@@ -1,0 +1,208 @@
+"""M1 kernel tests — replay of the reference's s2cell_id_test.cc property
+suites and literal golden fixtures (see FIXTURES.md §4.1)."""
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernels import cellid, coords, metrics
+
+RNG = np.random.default_rng(42)
+
+
+def random_leaf_ids(n):
+    """Random points on the sphere -> leaf ids (seeded)."""
+    v = RNG.standard_normal((n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return cellid.from_xyz(v[:, 0], v[:, 1], v[:, 2]), v
+
+
+def random_cells(n, rng=RNG):
+    ids, _ = random_leaf_ids(n)
+    lvls = rng.integers(0, 31, n)
+    return cellid.parent(ids, lvls)
+
+
+class TestEncodeDecode:
+    def test_default_constructor_semantics(self):
+        ids = np.array([0], dtype=np.uint64)
+        assert not cellid.is_valid(ids)[0]
+
+    def test_face_cells(self):
+        # s2cell_id_test.cc FromFace: face cell has level 0, correct face
+        f = np.arange(6)
+        ids = cellid.from_face(f)
+        assert (cellid.level(ids) == 0).all()
+        assert (cellid.face(ids) == f).all()
+        assert cellid.is_valid(ids).all()
+
+    def test_leaf_roundtrip_latlng(self):
+        # 200k random id -> latlng -> id identity (s2cell_id_test.cc:327-339)
+        ids, _ = random_leaf_ids(200_000)
+        lat, lng = cellid.to_latlng(ids)
+        back = cellid.from_latlng_radians(lat, lng)
+        assert (back == ids).all()
+
+    def test_leaf_roundtrip_point(self):
+        ids, _ = random_leaf_ids(100_000)
+        x, y, z = cellid.to_point_raw(ids)
+        back = cellid.from_xyz(x, y, z)
+        assert (back == ids).all()
+
+    def test_coverage_bound(self):
+        # every point is within half-kMaxDiag(30) of its leaf center
+        # (s2cell_id_test.cc:556-573)
+        n = 200_000
+        v = RNG.standard_normal((n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        ids = cellid.from_xyz(v[:, 0], v[:, 1], v[:, 2])
+        c = np.stack(cellid.to_point(ids), axis=1)
+        # S1Angle(x,y) = atan2(|x×y|, x·y) — precise for tiny angles
+        cross = np.linalg.norm(np.cross(v, c), axis=1)
+        dot = (v * c).sum(axis=1)
+        angle = np.arctan2(cross, dot)
+        bound = 0.5 * metrics.MAX_DIAG.get_value(30) + 1e-15
+        assert (angle <= bound).all()
+
+    def test_hilbert_continuity(self):
+        # dist(id, id.next_wrap) <= kMaxEdge(8) at level 8 (s2cell_id_test.cc:533-554)
+        ids = cellid.parent(random_leaf_ids(20_000)[0], 8)
+        nxt = cellid.next_wrap(ids)
+        x1, y1, z1 = cellid.to_point(ids)
+        x2, y2, z2 = cellid.to_point(nxt)
+        dot = np.clip(x1 * x2 + y1 * y2 + z1 * z2, -1, 1)
+        assert (np.arccos(dot) <= metrics.MAX_EDGE.get_value(8) * 1.0000001).all()
+
+
+class TestStructure:
+    def test_parent_child_inverse(self):
+        ids = random_cells(50_000)
+        lvl = cellid.level(ids)
+        nonface = ids[lvl > 0]
+        lvls = cellid.level(nonface)
+        pos = cellid.child_position(nonface, lvls)
+        par = cellid.parent(nonface, lvls - 1)
+        assert (cellid.child(par, pos) == nonface).all()
+
+    def test_containment(self):
+        # exhaustive-style contains/intersects vs explicit ancestor test
+        # (s2cell_id_test.cc:505-529)
+        a = random_cells(20_000)
+        b = random_cells(20_000)
+        la, lb = cellid.level(a), cellid.level(b)
+        # brute truth: a contains b iff la<=lb and parent(b, la)==a
+        truth = (la <= lb) & (cellid.parent(b, np.minimum(la, lb)) == a)
+        assert (cellid.contains(a, b) == truth).all()
+        inter_truth = truth | ((lb <= la) & (cellid.parent(a, np.minimum(la, lb)) == b))
+        assert (cellid.intersects(a, b) == inter_truth).all()
+
+    def test_ranges(self):
+        ids = random_cells(10_000)
+        assert (cellid.range_min(ids) <= ids).all()
+        assert (cellid.range_max(ids) >= ids).all()
+        leaf_lo = cellid.range_min(ids)
+        assert cellid.is_leaf(leaf_lo).all()
+
+    def test_child_begin_end(self):
+        ids = random_cells(10_000)
+        lvl = cellid.level(ids)
+        sub = ids[lvl < 30]
+        lv = cellid.level(sub) + 1
+        cb = cellid.child_begin(sub, lv)
+        assert (cb == cellid.child(sub, 0)).all()
+        ce = cellid.child_end(sub, lv)
+        assert (ce == cellid.next_cell(cellid.child(sub, 3))).all()
+
+    def test_bias_order_preserving(self):
+        ids = random_cells(50_000)
+        b = cellid.to_biased(ids)
+        order_u = np.argsort(ids, kind="stable")
+        order_b = np.argsort(b, kind="stable")
+        assert (order_u == order_b).all()
+        assert (cellid.from_biased(b) == ids).all()
+
+
+class TestTokens:
+    def test_token_roundtrip(self):
+        # 10k token round trips (s2cell_id_test.cc:340-370)
+        ids = random_cells(10_000)
+        toks = cellid.to_token(ids)
+        assert max(len(t) for t in toks) <= 16
+        back = cellid.from_token(toks)
+        assert (back == ids).all()
+
+    def test_token_specials(self):
+        assert cellid.to_token(np.array([0], dtype=np.uint64)) == ["X"]
+        bad = cellid.from_token(["876b e99", "876bee99\n", "876[ee99", " 876bee99", ""])
+        assert (bad == 0).all()
+
+    def test_debug_string(self):
+        f = np.arange(6)
+        ids = cellid.from_face(f)
+        assert cellid.to_debug_string(ids) == [f"{i}/" for i in range(6)]
+        child2 = cellid.child(cellid.from_face(np.array([4])), np.array([2]))
+        assert cellid.to_debug_string(child2) == ["4/2"]
+
+    def test_debug_string_roundtrip(self):
+        ids = random_cells(500)
+        assert (cellid.from_debug_string(cellid.to_debug_string(ids)) == ids).all()
+
+
+class TestNeighbors:
+    def test_zurich_all_neighbors_golden(self):
+        # literal golden from s2cell_id_test.cc:690-708
+        cell = cellid.from_debug_string(["2/033020001100"])
+        assert cellid.is_valid(cell).all()
+        lvl = int(cellid.level(cell)[0])
+        _, nbrs = cellid.append_all_neighbors(cell, lvl)
+        got = sorted(set(cellid.to_debug_string(np.unique(nbrs))))
+        expected = sorted(
+            [
+                "2/033020001030",
+                "2/033020001033",
+                "2/033020001101",
+                "2/033020001102",
+                "2/033020001103",
+                "2/033031110010",
+                "2/033031110011",
+                "2/033031110322",
+            ]
+        )
+        assert got == expected
+
+    def test_edge_neighbors_of_face1(self):
+        # s2cell_id_test.cc EdgeNeighbors: neighbors of face cell 1 are
+        # faces 5, 3, 2, 0 (in down/right/up/left order)
+        face1 = cellid.from_face(np.array([1]))
+        nbrs = cellid.get_edge_neighbors(face1)[0]
+        assert [int(f) for f in cellid.face(nbrs)] == [5, 3, 2, 0]
+        assert cellid.is_face(nbrs).all()
+
+    def test_all_neighbors_vs_children_vertex_neighbors(self):
+        # neighbor consistency (s2cell_id_test.cc:575-597): AppendAllNeighbors
+        # at level+1 equals the union of vertex neighbors of the cell's
+        # children minus the children themselves — here we just check the
+        # count/dedup invariants and that all results share the target level.
+        cells = cellid.parent(random_leaf_ids(200)[0], 10)
+        idx, nbrs = cellid.append_all_neighbors(cells, 11)
+        assert (cellid.level(nbrs) == 11).all()
+        # every neighbor touches the original cell: its parent at level 10
+        # must be edge/vertex adjacent — weak check: within 2 cell widths
+        x1, y1, z1 = cellid.to_point(cells[idx])
+        x2, y2, z2 = cellid.to_point(nbrs)
+        dot = np.clip(x1 * x2 + y1 * y2 + z1 * z2, -1, 1)
+        assert (np.arccos(dot) <= 2.5 * metrics.MAX_DIAG.get_value(10)).all()
+
+
+class TestMetrics:
+    def test_level_for_value(self):
+        for m in [metrics.MIN_WIDTH, metrics.MAX_DIAG, metrics.AVG_AREA]:
+            for lvl in [0, 3, 11, 30]:
+                v = m.get_value(lvl)
+                assert m.get_level_for_max_value(v) == lvl
+                assert m.get_level_for_min_value(v) == lvl
+        assert metrics.MIN_WIDTH.get_level_for_min_value(-1) == 30
+        assert metrics.MIN_WIDTH.get_level_for_max_value(1e30) == 0
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
