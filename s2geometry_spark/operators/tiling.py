@@ -1,0 +1,86 @@
+"""Tiling operators: leaf cell-id assignment + cell-at-level columns.
+
+The leaf encode is the only Python-boundary crossing (vectorized pandas
+UDF); every derived tiling column is pure integer SQL (parent_expr) so it
+stays inside whole-stage codegen and is usable for partition pruning.
+At design scale the `cell_l{k}` column is the Iceberg partition/sort key
+(SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import functions as s2f
+
+DEFAULT_TILING_LEVELS = (2, 5, 8, 12)
+
+
+def with_cell_from_triplet(
+    df: DataFrame, x0: str = "x0", y0: str = "y0", z0: str = "z0", out: str = "cell"
+) -> DataFrame:
+    return df.withColumn(out, s2f.cell_from_triplet(F.col(x0), F.col(y0), F.col(z0)))
+
+
+def with_cell_from_latlng(
+    df: DataFrame, lat: str = "lat", lng: str = "lng", out: str = "cell"
+) -> DataFrame:
+    return df.withColumn(out, s2f.cell_from_latlng_degrees(F.col(lat), F.col(lng)))
+
+
+def with_tiling_levels(
+    df: DataFrame, cell: str = "cell", levels=DEFAULT_TILING_LEVELS
+) -> DataFrame:
+    for lvl in levels:
+        df = df.withColumn(f"cell_l{lvl}", s2f.parent_expr(cell, lvl))
+    return df
+
+
+def triplet_exprs(key_col: str) -> list[Column]:
+    """Spark columns for the exact integer geotag of an integer key column.
+
+    Mirrors kernels.geotag.int_triplet_from_key / sql_xyz_exprs — pure
+    integer SQL, identical in DuckDB.
+    """
+    from ..kernels.geotag import sql_xyz_exprs
+
+    e = sql_xyz_exprs(key_col)
+    return [
+        F.expr(e["x0"]).alias("x0"),
+        F.expr(e["y0"]).alias("y0"),
+        F.expr(e["z0"]).alias("z0"),
+    ]
+
+
+def tile_counts(df: DataFrame, level: int, cell: str = "cell") -> DataFrame:
+    """images-per-tile at one level: partial+final hash agg (SURVEY §2.8)."""
+    return df.groupBy(s2f.parent_expr(cell, level).alias(f"cell_l{level}")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def tile_rollup(df: DataFrame, levels, cell: str = "cell") -> DataFrame:
+    """Multi-level tile rollup in ONE shuffle.
+
+    Aggregates once at the finest level, then re-aggregates coarser levels
+    from the fine partials (the density-tree ancestor property,
+    s2density_tree.h:16-40): map-side combine does most of the work and the
+    coarse levels reuse the fine aggregate instead of rescanning the fact
+    table.
+    """
+    levels = sorted(levels)
+    finest = levels[-1]
+    fine = df.groupBy(s2f.parent_expr(cell, finest).alias("cell_lvl")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    fine = fine.withColumn("level", F.lit(finest))
+    out = fine
+    for lvl in reversed(levels[:-1]):
+        coarser = (
+            fine.groupBy(s2f.parent_expr("cell_lvl", lvl).alias("cell_lvl"))
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("level", F.lit(lvl))
+        )
+        out = out.unionByName(coarser)
+    return out.select("level", "cell_lvl", "cnt")

@@ -1,0 +1,109 @@
+"""Pure-SQL S2 cell-id encoder for DuckDB — an independent correctness
+oracle for the engine's NumPy encode path.
+
+Generates a SQL query that derives a sphere point from an integer key
+(see kernels.geotag.int_triplet_from_key — exact integer arithmetic), then
+performs the full XYZ -> face/(u,v) -> (s,t) -> (i,j) -> Hilbert-position
+encode entirely in SQL.  Every floating-point step (divide, sqrt, multiply)
+is an IEEE correctly-rounded operation written in the same order as the
+NumPy kernels, so the resulting biased int64 cell ids match bit-for-bit.
+
+The 8 Hilbert lookup rounds use the 1024-entry table from
+kernels.hilbert.LOOKUP_POS embedded as a SQL list literal.
+"""
+
+from __future__ import annotations
+
+from .kernels.geotag import sql_xyz_exprs
+from .kernels.hilbert import LOOKUP_POS
+
+MAX_LEVEL = 30
+_BIAS = 1 << 63
+_HALF_BIAS = 1 << 62
+
+
+def _lookup_list_sql() -> str:
+    return "[" + ",".join(str(int(v)) for v in LOOKUP_POS.tolist()) + "]"
+
+
+def leaf_cell_sql_cte(table: str, key_expr: str, keep_cols: str = "") -> str:
+    """Return a WITH-clause body ending in CTE ``leaf`` with column
+    ``cell_leaf`` (biased int64 leaf cell id) alongside ``keep_cols``.
+
+    Compose as: ``f"WITH {leaf_cell_sql_cte(...)} SELECT ... FROM leaf"``.
+    """
+    xyz = sql_xyz_exprs(key_expr)
+    keep = (keep_cols + ", ") if keep_cols else ""
+
+    # Hilbert rounds 7..0: key = i_nibble*64 + j_nibble*4 + carry_bits
+    rounds = []
+    prev = "f_ij"
+    for k in range(7, -1, -1):
+        sh = 1 << (4 * k)
+        carry = "(face % 2)" if k == 7 else f"(b{k + 1} % 4)"
+        rounds.append(
+            f"r{k} AS (SELECT *, CAST(lk_t[((i // {sh}) % 16) * 64 + ((j // {sh}) % 16) * 4 "
+            f"+ {carry} + 1] AS BIGINT) AS b{k} FROM {prev})"
+        )
+        prev = f"r{k}"
+    pos_terms = " + ".join(f"(b{k} // 4) * {1 << (8 * k)}" for k in range(7, -1, -1))
+
+    return f"""
+pts AS (
+  SELECT {keep}{xyz["x0"]} AS x0, {xyz["y0"]} AS y0, {xyz["z0"]} AS z0
+  FROM {table}
+),
+xyz0 AS (
+  SELECT *, sqrt(CAST(x0*x0 + y0*y0 + z0*z0 AS DOUBLE)) AS nrm FROM pts
+),
+xyz AS (
+  SELECT *, CAST(x0 AS DOUBLE)/nrm AS x, CAST(y0 AS DOUBLE)/nrm AS y,
+         CAST(z0 AS DOUBLE)/nrm AS z
+  FROM xyz0
+),
+f0 AS (
+  SELECT *, CASE WHEN abs(x) > abs(y)
+                 THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+                 ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS fax
+  FROM xyz
+),
+fuv AS (
+  SELECT *, CASE WHEN (CASE fax WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+                 THEN fax + 3 ELSE fax END AS face
+  FROM f0
+),
+uv AS (
+  SELECT *,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM fuv
+),
+st AS (
+  SELECT *,
+    CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3*u) ELSE 1 - 0.5 * sqrt(1 - 3*u) END AS s,
+    CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3*v) ELSE 1 - 0.5 * sqrt(1 - 3*v) END AS t
+  FROM uv
+),
+f_ij AS (
+  SELECT *,
+    CASE WHEN s > 0 THEN CAST(floor(least(1073741824e0 * s, 1073741823e0)) AS BIGINT) ELSE 0 END AS i,
+    CASE WHEN t > 0 THEN CAST(floor(least(1073741824e0 * t, 1073741823e0)) AS BIGINT) ELSE 0 END AS j,
+    {_lookup_list_sql()} AS lk_t
+  FROM st
+),
+{",".join(rounds)},
+leaf AS (
+  SELECT *, 2*(face * {1 << 60} + {pos_terms} - {_HALF_BIAS}) + 1 AS cell_leaf
+  FROM r0
+)"""
+
+
+def parent_sql_expr(cell_expr: str, level: int) -> str:
+    """parent(level) of a biased leaf id — integer SQL, mirrors
+    functions.parent_expr."""
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    m = 2 * lsb
+    # non-negative mod of the (possibly negative) biased id
+    return f"({cell_expr}) - ((({cell_expr}) % {m}) + {m}) % {m} + {lsb}"

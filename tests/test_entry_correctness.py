@@ -1,0 +1,47 @@
+"""Emulates the driver's correctness gate: every queries() entry with an
+oracle_sql() twin must match DuckDB on sf0.01 (rows + schema + values)."""
+
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_TEST, compare_frames
+
+
+def _entry_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("spark_entry", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    return _entry_module()
+
+
+def test_entry_smoke(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"cell_l5", "cnt"}
+
+
+def test_queries_match_oracles(spark, duck, entry_mod):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for name, sql in oracles.items():
+        sdf = qs[name](spark, SF_ORACLE)
+        rel = duck.sql(sql)
+        compare_frames(sdf, rel)
+
+
+def test_rows_only_queries_run(spark, entry_mod):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    for name, fn in qs.items():
+        if name in oracles:
+            continue
+        df = fn(spark, SF_TEST)
+        assert df.count() >= 0
