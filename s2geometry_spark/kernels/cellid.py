@@ -314,6 +314,44 @@ def get_edge_neighbors(ids: np.ndarray) -> np.ndarray:
     return np.stack([down, right, up, left], axis=1)
 
 
+def append_vertex_neighbors(ids: np.ndarray, lvl: int) -> tuple[np.ndarray, np.ndarray]:
+    """AppendVertexNeighbors (s2cell_id.cc:514-554), vectorized.
+
+    ``lvl`` must be strictly less than every input cell's level.  Returns
+    (row_index, neighbor_id): 3 or 4 cells around the nearest vertex.
+    """
+    ids = np.asarray(ids, np.uint64)
+    f, i, j, _ = to_face_ij_orientation(ids)
+    halfsize = get_size_ij(np.int64(lvl + 1))
+    size = halfsize << 1
+    ipos = (i & halfsize) != 0
+    ioffset = np.where(ipos, size, -size)
+    isame = np.where(ipos, (i + size) < MAX_SIZE, (i - size) >= 0)
+    jpos = (j & halfsize) != 0
+    joffset = np.where(jpos, size, -size)
+    jsame = np.where(jpos, (j + size) < MAX_SIZE, (j - size) >= 0)
+
+    idx = np.arange(ids.size, dtype=np.int64)
+    rows = [idx, idx, idx]
+    outs = [
+        parent(ids, lvl),
+        parent(_from_face_ij_same(f, i + ioffset, j, isame), lvl),
+        parent(_from_face_ij_same(f, i, j + joffset, jsame), lvl),
+    ]
+    diag = isame | jsame  # cube-corner vertices have only 3 neighbors
+    if diag.any():
+        rows.append(idx[diag])
+        outs.append(
+            parent(
+                _from_face_ij_same(
+                    f[diag], (i + ioffset)[diag], (j + joffset)[diag], (isame & jsame)[diag]
+                ),
+                lvl,
+            )
+        )
+    return np.concatenate(rows), np.concatenate(outs)
+
+
 def append_all_neighbors(ids: np.ndarray, nbr_level: int) -> tuple[np.ndarray, np.ndarray]:
     """AppendAllNeighbors (s2cell_id.cc:556-598), vectorized.
 
