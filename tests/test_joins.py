@@ -1,0 +1,121 @@
+"""M4/M5 tests: containment join and kNN join vs brute-force NumPy oracles
+on deterministic synthetic points (FIXTURES.md §5 pattern)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.kernels import cellid, geotag, predicates
+from s2geometry_spark.kernels.regions import Cap, Loop
+from s2geometry_spark.operators.contains_join import (
+    RegionIndex,
+    cap_join,
+    contains_join,
+)
+from s2geometry_spark.operators.knn import knn_join
+
+
+def _points_df(spark, n=4000, key_mult=1, key_off=0):
+    keys = np.arange(1, n + 1, dtype=np.int64) * key_mult + key_off
+    x0, y0, z0 = geotag.int_triplet_from_key(keys)
+    x, y, z = geotag.xyz_from_triplet(x0, y0, z0)
+    cells = cellid.to_biased(cellid.from_xyz(x, y, z))
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"pid": keys, "x": x, "y": y, "z": z, "cell": cells}
+    )
+    return spark.createDataFrame(pdf), np.stack([x, y, z], axis=1), keys
+
+
+POLYS = {
+    "zurich": Loop.make_regular(47.36, 8.55, 0.25, 16),
+    "sydney": Loop.make_regular(-33.87, 151.20, 0.35, 24),
+    "sf": Loop.make_regular(37.77, -122.42, 0.15, 12),
+    "north": Loop.make_regular(90.0, 0.0, 0.5, 16),
+}
+
+
+class TestContainsJoin:
+    def test_matches_brute_force(self, spark):
+        df, pts, keys = _points_df(spark, 4000)
+        index = RegionIndex(POLYS)
+        got = contains_join(spark, df, index).toPandas()
+        got_set = set(zip(got["pid"], got["poly_id"]))
+        expect = set()
+        for rid, loop in POLYS.items():
+            inside = predicates.loop_contains_points(
+                loop.vertices, loop.origin_inside, pts
+            )
+            for i in np.nonzero(inside)[0]:
+                expect.add((keys[i], rid))
+        assert got_set == expect
+        assert len(expect) > 50  # sanity: fixtures actually exercise the join
+
+    def test_semi_anti_variants(self, spark):
+        df, pts, keys = _points_df(spark, 2000)
+        index = RegionIndex(POLYS)
+        pairs = contains_join(spark, df, index)
+        inside_any = df.join(pairs, "pid", "left_semi")
+        outside_all = df.join(pairs, "pid", "left_anti")
+        n_in = inside_any.count()
+        n_out = outside_all.count()
+        assert n_in + n_out == 2000
+        expect_in = set()
+        for loop in POLYS.values():
+            inside = predicates.loop_contains_points(
+                loop.vertices, loop.origin_inside, pts
+            )
+            expect_in |= {int(keys[i]) for i in np.nonzero(inside)[0]}
+        assert n_in == len(expect_in)
+
+    def test_cap_join_matches_brute_force(self, spark):
+        df, pts, keys = _points_df(spark, 4000)
+        caps = {
+            "c1": Cap.from_latlng_degrees(47.36, 8.55, 0.3),
+            "c2": Cap.from_latlng_degrees(-33.87, 151.20, 0.5),
+            "c3": Cap.from_latlng_degrees(0.0, 0.0, 0.2),
+        }
+        got = cap_join(spark, df, caps).toPandas()
+        got_set = set(zip(got["pid"], got["poly_id"]))
+        expect = set()
+        for rid, cap in caps.items():
+            inside = cap.contains_points(pts)
+            for i in np.nonzero(inside)[0]:
+                expect.add((keys[i], rid))
+        assert got_set == expect
+        assert len(expect) > 20
+
+
+class TestKnnJoin:
+    def test_matches_brute_force(self, spark):
+        pdf_p, pts, pkeys = _points_df(spark, 3000)
+        pdf_q, qts, qkeys = _points_df(spark, 120, key_mult=7, key_off=3)
+        points = pdf_p.toDF("pid", "px", "py", "pz", "p_cell")
+        queries = pdf_q.toDF("qid", "qx", "qy", "qz", "q_cell")
+        k = 3
+        got = knn_join(spark, points, queries, k, start_level=5, num_stages=2).toPandas()
+        # brute force oracle
+        d = ((qts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+        rows = []
+        for i, qk in enumerate(qkeys):
+            order = np.lexsort((pkeys, d[i]))[:k]
+            for r, j in enumerate(order, start=1):
+                rows.append((int(qk), r, int(pkeys[j])))
+        expect = set(rows)
+        got_set = set(zip(got["qid"], got["rank"], got["pid"]))
+        assert got_set == expect
+
+    def test_every_query_gets_k(self, spark):
+        pdf_p, _, _ = _points_df(spark, 500)
+        pdf_q, _, _ = _points_df(spark, 40, key_mult=11, key_off=5)
+        points = pdf_p.toDF("pid", "px", "py", "pz", "p_cell")
+        queries = pdf_q.toDF("qid", "qx", "qy", "qz", "q_cell")
+        got = knn_join(spark, points, queries, 5, start_level=6, num_stages=2)
+        counts = got.groupBy("qid").count().toPandas()
+        assert len(counts) == 40
+        assert (counts["count"] == 5).all()
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
