@@ -17,7 +17,36 @@ from pyspark.sql import functions as F
 
 from s2geometry_spark import functions as s2f
 from s2geometry_spark import oracle
+from s2geometry_spark.kernels.regions import Cap, Loop
 from s2geometry_spark.operators import tiling
+from s2geometry_spark.operators.contains_join import RegionIndex, cap_join, contains_join
+from s2geometry_spark.operators.knn import knn_join
+
+# fixture region zoo (hot spots from FIXTURES.md §1 + a polar loop)
+PIP_LOOPS = {
+    "zurich": (47.36, 8.55, 0.25, 16),
+    "sydney": (-33.87, 151.20, 0.35, 24),
+    "sf": (37.77, -122.42, 0.15, 12),
+    "north": (90.0, 0.0, 0.5, 16),
+}
+CAPS = {
+    "zurich": (47.36, 8.55, 0.3),
+    "sydney": (-33.87, 151.20, 0.5),
+    "equator": (0.0, 0.0, 0.2),
+}
+KNN_K = 3
+_QUERY_KEY = "c_custkey*7+3"  # distinct from the orders point set
+
+
+def _pip_loops() -> dict[str, Loop]:
+    return {
+        rid: Loop.make_regular(lat, lng, r, n)
+        for rid, (lat, lng, r, n) in PIP_LOOPS.items()
+    }
+
+
+def _caps() -> dict[str, Cap]:
+    return {rid: Cap.from_latlng_degrees(*args) for rid, args in CAPS.items()}
 
 TABLES = [
     "region",
@@ -74,12 +103,61 @@ def q_cell_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment join: term-indexer broadcast equi-join
+    + vectorized crossing-parity refinement (SURVEY.md §2.4)."""
+    pts = _order_points_xyz(spark, sf_dir)
+    index = RegionIndex(_pip_loops())
+    return contains_join(spark, pts, index)
+
+
+def _order_points_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """points with x,y,z doubles + leaf cell — xyz from the exact-integer
+    triplet via JVM sqrt/divide (bit-identical to the NumPy/DuckDB path)."""
+    orders = _load(spark, sf_dir, "orders")
+    pts = orders.select(F.col("o_orderkey").alias("pid"), *tiling.triplet_exprs("o_orderkey"))
+    nrm = F.sqrt((F.col("x0") * F.col("x0") + F.col("y0") * F.col("y0") + F.col("z0") * F.col("z0")).cast("double"))
+    pts = pts.select(
+        "pid",
+        (F.col("x0").cast("double") / nrm).alias("x"),
+        (F.col("y0").cast("double") / nrm).alias("y"),
+        (F.col("z0").cast("double") / nrm).alias("z"),
+    )
+    return pts.withColumn("cell", s2f.cell_from_xyz(F.col("x"), F.col("y"), F.col("z")))
+
+
+def q_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """within-distance (cap) join: covering-term candidates + pure-SQL
+    chord^2 refinement."""
+    pts = _order_points_xyz(spark, sf_dir)
+    return cap_join(spark, pts, _caps())
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join: staged cell-neighbor ring expansion + windowed top-k."""
+    points = _order_points_xyz(spark, sf_dir).toDF("pid", "px", "py", "pz", "p_cell")
+    customer = _load(spark, sf_dir, "customer")
+    q = customer.select(F.col("c_custkey").alias("qid"), *tiling.triplet_exprs(_QUERY_KEY))
+    nrm = F.sqrt((F.col("x0") * F.col("x0") + F.col("y0") * F.col("y0") + F.col("z0") * F.col("z0")).cast("double"))
+    q = q.select(
+        "qid",
+        (F.col("x0").cast("double") / nrm).alias("qx"),
+        (F.col("y0").cast("double") / nrm).alias("qy"),
+        (F.col("z0").cast("double") / nrm).alias("qz"),
+    ).withColumn("q_cell", s2f.cell_from_xyz(F.col("qx"), F.col("qy"), F.col("qz")))
+    out = knn_join(spark, points, q, KNN_K, start_level=5, num_stages=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_counts_l5": q_tile_counts_l5,
         "tile_counts_l12": q_tile_counts_l12,
         "tile_rollup": q_tile_rollup,
         "cell_tokens": q_cell_tokens,
+        "pip_join": q_pip_join,
+        "cap_join": q_cap_join,
+        "knn": q_knn,
     }
 
 
@@ -99,6 +177,34 @@ def oracle_sql() -> dict[str, str]:
         f"COUNT(*) AS cnt FROM leaf GROUP BY 2"
         for lvl in (2, 5, 8)
     )
+    pip_parts = " UNION ALL ".join(
+        f"SELECT pid, '{rid}' AS poly_id FROM xyz WHERE "
+        + oracle.convex_loop_predicate_sql(
+            Loop.make_regular(lat, lng, r, n).vertices
+        )
+        for rid, (lat, lng, r, n) in PIP_LOOPS.items()
+    )
+    cap_parts = " UNION ALL ".join(
+        f"SELECT pid, '{rid}' AS poly_id FROM xyz WHERE "
+        + oracle.cap_predicate_sql(cap.center, cap.radius2)
+        for rid, cap in _caps().items()
+    )
+    xyz_cte = oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
+    q_xyz_cte = oracle.xyz_sql_cte(
+        "customer", _QUERY_KEY, keep_cols="c_custkey AS qid", prefix="q"
+    )
+    knn_sql = f"""WITH {xyz_cte}, {q_xyz_cte}
+SELECT qid, rank, pid, dist_chord2 FROM (
+  SELECT q.qid AS qid, p.pid AS pid,
+         ((q.x - p.x)*(q.x - p.x) + (q.y - p.y)*(q.y - p.y))
+           + (q.z - p.z)*(q.z - p.z) AS dist_chord2,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY ((q.x - p.x)*(q.x - p.x) + (q.y - p.y)*(q.y - p.y))
+                      + (q.z - p.z)*(q.z - p.z) ASC, p.pid ASC
+         ) AS rank
+  FROM qxyz q CROSS JOIN xyz p
+) WHERE rank <= {KNN_K}"""
     return {
         "tile_counts_l5": _leaf_sql(
             f"SELECT {p5} AS cell_l5, COUNT(*) AS cnt FROM leaf GROUP BY 1"
@@ -107,6 +213,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {p12} AS cell_l12, COUNT(*) AS cnt FROM leaf GROUP BY 1"
         ),
         "tile_rollup": _leaf_sql(rollup_parts),
+        "pip_join": f"WITH {xyz_cte} {pip_parts}",
+        "cap_join": f"WITH {xyz_cte} {cap_parts}",
+        "knn": knn_sql,
     }
 
 

@@ -26,6 +26,28 @@ def _lookup_list_sql() -> str:
     return "[" + ",".join(str(int(v)) for v in LOOKUP_POS.tolist()) + "]"
 
 
+def xyz_sql_cte(table: str, key_expr: str, keep_cols: str = "", prefix: str = "") -> str:
+    """WITH-clause body ending in CTE ``{prefix}xyz`` holding unit-vector
+    columns x,y,z derived from the integer key (bit-identical to
+    kernels.geotag.xyz_from_triplet)."""
+    xyz = sql_xyz_exprs(key_expr)
+    keep = (keep_cols + ", ") if keep_cols else ""
+    p = prefix
+    return f"""
+{p}pts AS (
+  SELECT {keep}{xyz["x0"]} AS x0, {xyz["y0"]} AS y0, {xyz["z0"]} AS z0
+  FROM {table}
+),
+{p}xyz0 AS (
+  SELECT *, sqrt(CAST(x0*x0 + y0*y0 + z0*z0 AS DOUBLE)) AS nrm FROM {p}pts
+),
+{p}xyz AS (
+  SELECT *, CAST(x0 AS DOUBLE)/nrm AS x, CAST(y0 AS DOUBLE)/nrm AS y,
+         CAST(z0 AS DOUBLE)/nrm AS z
+  FROM {p}xyz0
+)"""
+
+
 def leaf_cell_sql_cte(table: str, key_expr: str, keep_cols: str = "") -> str:
     """Return a WITH-clause body ending in CTE ``leaf`` with column
     ``cell_leaf`` (biased int64 leaf cell id) alongside ``keep_cols``.
@@ -98,6 +120,32 @@ leaf AS (
   SELECT *, 2*(face * {1 << 60} + {pos_terms} - {_HALF_BIAS}) + 1 AS cell_leaf
   FROM r0
 )"""
+
+
+def convex_loop_predicate_sql(vertices) -> str:
+    """Containment predicate for a CCW *convex* spherical loop: the point is
+    inside iff it is strictly left of every edge's great circle.  Edge
+    normals are precomputed doubles; independent of (and therefore a strong
+    cross-check for) the engine's crossing-parity kernel."""
+    import numpy as np
+
+    v = np.asarray(vertices, float)
+    m = v.shape[0]
+    terms = []
+    for i in range(m):
+        c = np.cross(v[i], v[(i + 1) % m])
+        terms.append(f"({float(c[0])!r}*x + {float(c[1])!r}*y + {float(c[2])!r}*z > 0)")
+    return "(" + " AND ".join(terms) + ")"
+
+
+def cap_predicate_sql(center, radius_chord2: float) -> str:
+    """chord^2 cap containment — same pinned association order as
+    functions.chord2_expr, so bit-identical to the engine path."""
+    cx, cy, cz = (float(c) for c in center)
+    return (
+        f"(((x - {cx!r})*(x - {cx!r}) + (y - {cy!r})*(y - {cy!r}))"
+        f" + (z - {cz!r})*(z - {cz!r}) <= {float(radius_chord2)!r})"
+    )
 
 
 def parent_sql_expr(cell_expr: str, level: int) -> str:
