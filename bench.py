@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is materialized with a count() (forces the full plan, no driver
+collect of payload rows).  A warmup pass on sf0.001 triggers JIT/codegen +
+Arrow worker spin-up so the timed numbers measure the plan, not startup.
+
+Optional scaling-efficiency mode (north rule): SPARK_GRAFT_SCALING=1 runs
+the same job at two parallelism levels (cpus/4 and cpus) in separate
+SparkSessions and reports throughput at both plus efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def _run_all(cpus: int, sf_dir: str, warmup: bool = True):
+    """Returns (per-query seconds dict, total input rows touched)."""
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from s2geometry_spark.sources.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(app_name=f"bench-local[{cpus}]", cpus=cpus)
+    qs = entry.queries()
+    if warmup:
+        for fn in qs.values():
+            try:
+                fn(spark, WARMUP_DIR).count()
+            except Exception:
+                pass
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    # rows processed: the point tables feeding the headline queries
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    spark.stop()
+    return timings, n_orders
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    out: dict = {"unit": "sec", "sf": sf}
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        lo = max(1, CPUS // 4)
+        t_lo, rows = _run_all(lo, SF_DIR)
+        t_hi, _ = _run_all(CPUS, SF_DIR)
+        tot_lo, tot_hi = sum(t_lo.values()), sum(t_hi.values())
+        speedup = tot_lo / tot_hi if tot_hi > 0 else 0.0
+        eff = speedup / (CPUS / lo)
+        out.update(
+            {
+                "metric": f"headline suite wall time local[{CPUS}] (scaling run)",
+                "value": round(tot_hi, 3),
+                "queries": t_hi,
+                "scaling": {
+                    "cores_lo": lo,
+                    "cores_hi": CPUS,
+                    "sec_lo": round(tot_lo, 3),
+                    "sec_hi": round(tot_hi, 3),
+                    "rows_per_sec_lo": round(rows / tot_lo, 1),
+                    "rows_per_sec_hi": round(rows / tot_hi, 1),
+                    "speedup": round(speedup, 3),
+                    "efficiency": round(eff, 3),
+                },
+            }
+        )
+    else:
+        timings, rows = _run_all(CPUS, SF_DIR)
+        total = sum(timings.values())
+        out.update(
+            {
+                "metric": f"headline suite wall time on local[{CPUS}]",
+                "value": round(total, 3),
+                "queries": timings,
+                "rows_per_sec": round(rows * len(timings) / total, 1) if total else 0.0,
+            }
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
