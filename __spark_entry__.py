@@ -149,6 +149,54 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# ---------- image pipeline queries (BASELINE.json input_hint table) ----------
+# The images table is synthesized deterministically at a size scaled to the
+# sf dir (no external data); these are rows-only checks — image decode is
+# not SQL-expressible, so there is no oracle_sql entry (per the driver
+# contract's weaker-check path).  Per-row invariants (PSNR>=40dB lossy /
+# exact lossless + caption equality) are asserted by img_invariant_violations
+# returning ZERO rows.
+
+IMG_LOOPS = {
+    "zurich": (47.36, 8.55, 0.012, 16),
+    "sydney": (-33.87, 151.20, 0.012, 16),
+    "sf": (37.77, -122.42, 0.012, 16),
+}
+
+
+def _images_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2geometry_spark.operators import image_pipeline as ip
+    from s2geometry_spark.sources import images as imgsrc
+
+    n = imgsrc.n_images_for_sf_dir(sf_dir)
+    return ip.with_geotag(imgsrc.images_df(spark, n))
+
+
+def q_img_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode (mapInPandas) -> tile assign (pure SQL) -> per-tile hash agg."""
+    from s2geometry_spark.operators import image_pipeline as ip
+
+    return ip.tile_image_stats(_images_geo(spark, sf_dir), 5)
+
+
+def q_img_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geotagged images x broadcast polygon set containment join."""
+    from s2geometry_spark.operators import image_pipeline as ip
+
+    loops = {
+        rid: Loop.make_regular(lat, lng, r, n) for rid, (lat, lng, r, n) in IMG_LOOPS.items()
+    }
+    return ip.images_pip_join(spark, _images_geo(spark, sf_dir), RegionIndex(loops))
+
+
+def q_img_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUST return 0 rows: every image decodes to PSNR>=40dB (lossy) or
+    exactly (lossless) vs its source, with caption exact-equality."""
+    from s2geometry_spark.operators import image_pipeline as ip
+
+    return ip.invariant_violations(_images_geo(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_counts_l5": q_tile_counts_l5,
@@ -158,6 +206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "cap_join": q_cap_join,
         "knn": q_knn,
+        "img_tile_stats": q_img_tile_stats,
+        "img_pip_join": q_img_pip_join,
+        "img_invariant_violations": q_img_invariant_violations,
     }
 
 

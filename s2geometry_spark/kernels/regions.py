@@ -674,8 +674,27 @@ class Loop:
         return Loop(np.array(verts))
 
     def _compute_bound(self) -> LatLngRect:
-        """Conservative lat-lng bound: vertex extremes expanded by the
-        max possible edge bulge (edge half-arc)."""
+        """Conservative lat-lng bound of the loop REGION (interior included).
+
+        Boundary part: vertex extremes expanded by the max edge bulge.
+        Interior part (s2loop.cc InitOriginAndBound): a loop whose interior
+        contains a pole must extend the bound to that pole with full
+        longitude — the vertex-derived rect only bounds the BOUNDARY, and
+        e.g. a 70°-radius loop at Sydney contains the south pole while no
+        vertex comes near it.
+        """
+        rect = self._compute_boundary_bound()
+        north_in = self.contains_point(np.array([0.0, 0.0, 1.0]))
+        south_in = self.contains_point(np.array([0.0, 0.0, -1.0]))
+        if north_in or south_in:
+            lat = R1Interval(
+                -M_PI_2 if south_in else rect.lat.lo,
+                M_PI_2 if north_in else rect.lat.hi,
+            )
+            rect = LatLngRect(lat, S1Interval.full())
+        return rect
+
+    def _compute_boundary_bound(self) -> LatLngRect:
         v = self.vertices
         lats = np.arctan2(v[:, 2], np.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2))
         lngs = np.arctan2(v[:, 1], v[:, 0])

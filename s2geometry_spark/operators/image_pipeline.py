@@ -1,0 +1,183 @@
+"""The north-rule image pipeline: geotag -> tile -> join -> verify.
+
+Every image row is geotagged to a sphere point from its METADATA (the
+phash column, per BASELINE.json: "each image geotagged to a sphere point
+via its metadata"), assigned S2 tiling cells, joined against broadcast
+polygon sets, and carries the per-row invariant through every operator:
+decoded pixels ≈ source (exact for lossless fmts, PSNR ≥ 40 dB for
+lossy) and caption exact-equality.
+
+Boundary discipline: geotag+encode is ONE pandas UDF crossing; tiling
+columns and xyz reconstruction are pure SQL; decode/verify/feature-
+extract are Arrow-batched ``mapInPandas`` (per-image NumPy inside the
+batch — the only sane shape for variable-size binary payloads).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import functions as s2f
+from ..kernels import cellid, imagecodec
+from ..kernels.geotag import geotag_from_index
+from .contains_join import RegionIndex, contains_join
+
+GEO_SCHEMA = StructType(
+    [
+        StructField("lat", DoubleType(), False),
+        StructField("lng", DoubleType(), False),
+        StructField("cell", LongType(), False),
+    ]
+)
+
+
+@pandas_udf(GEO_SCHEMA)
+def geotag_cell_from_phash(phash: pd.Series) -> pd.DataFrame:
+    """phash (int64 metadata) -> (lat, lng, leaf cell biased int64)."""
+    key = phash.to_numpy(np.int64).astype(np.uint64)  # reinterpret bits
+    lat, lng = geotag_from_index(key)
+    ids = cellid.from_latlng_degrees(lat, lng)
+    return pd.DataFrame({"lat": lat, "lng": lng, "cell": cellid.to_biased(ids)})
+
+
+def with_geotag(images: DataFrame) -> DataFrame:
+    """Adds lat, lng, cell (one Python-boundary crossing)."""
+    g = geotag_cell_from_phash(F.col("phash"))
+    return (
+        images.withColumn("_g", g)
+        .select("*", "_g.lat", "_g.lng", "_g.cell")
+        .drop("_g")
+    )
+
+
+def with_xyz(df: DataFrame, lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """Unit direction vector from lat/lng — pure SQL trig (JVM codegen)."""
+    la, ln = F.radians(F.col(lat)), F.radians(F.col(lng))
+    return (
+        df.withColumn("x", F.cos(la) * F.cos(ln))
+        .withColumn("y", F.cos(la) * F.sin(ln))
+        .withColumn("z", F.sin(la))
+    )
+
+
+# ---------- invariant verification (decode vs source) ----------
+
+VERIFY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("psnr_db", DoubleType(), False),
+        StructField("caption_ok", BooleanType(), False),
+        StructField("pixels_ok", BooleanType(), False),
+    ]
+)
+
+
+def _verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..sources.images import caption_for, source_pixels
+
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            idx = int(row.image_id[3:])
+            decoded, fmt = imagecodec.decode(bytes(row.bytes))
+            src = source_pixels(idx)
+            psnr = imagecodec.psnr_db(src, decoded)
+            lossless = fmt in imagecodec.LOSSLESS
+            pixels_ok = (
+                bool(np.array_equal(src, decoded))
+                if lossless
+                else bool(psnr >= imagecodec.PSNR_MIN_DB)
+            )
+            out.append(
+                {
+                    "image_id": row.image_id,
+                    "fmt": fmt,
+                    "psnr_db": 999.0 if np.isinf(psnr) else float(psnr),
+                    "caption_ok": row.caption == caption_for(idx),
+                    "pixels_ok": pixels_ok,
+                }
+            )
+        yield pd.DataFrame(out, columns=VERIFY_SCHEMA.fieldNames())
+
+
+def verify_invariants(images: DataFrame) -> DataFrame:
+    """Per-row invariant table (decode + PSNR + caption equality)."""
+    cols = images.select("image_id", "bytes", "caption")
+    return cols.mapInPandas(_verify_batches, VERIFY_SCHEMA)
+
+
+def invariant_violations(images: DataFrame) -> DataFrame:
+    v = verify_invariants(images)
+    return v.where(~(F.col("caption_ok") & F.col("pixels_ok")))
+
+
+# ---------- decode -> feature extract ----------
+
+LUMA_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("cell", LongType(), False),
+        StructField("mean_luma", DoubleType(), False),
+        StructField("n_px", LongType(), False),
+    ]
+)
+
+
+def _luma_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, cells, lumas, npx = [], [], [], []
+        for row in pdf.itertuples(index=False):
+            px, _ = imagecodec.decode(bytes(row.bytes))
+            p = px.astype(np.float64)
+            luma = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+            ids.append(row.image_id)
+            cells.append(row.cell)
+            lumas.append(float(luma.mean()))
+            npx.append(px.shape[0] * px.shape[1])
+        yield pd.DataFrame(
+            {"image_id": ids, "cell": cells, "mean_luma": lumas, "n_px": npx}
+        )
+
+
+def decoded_features(images_geo: DataFrame) -> DataFrame:
+    """Decode every image and extract luma features (Arrow-batched)."""
+    return images_geo.select("image_id", "cell", "bytes").mapInPandas(
+        _luma_batches, LUMA_SCHEMA
+    )
+
+
+def tile_image_stats(images_geo: DataFrame, level: int) -> DataFrame:
+    """Per-tile rollup of decoded image features: decode (mapInPandas) ->
+    pure-SQL parent tiling -> hash agg (partial+final, one shuffle)."""
+    feats = decoded_features(images_geo)
+    return feats.groupBy(s2f.parent_expr("cell", level).alias(f"cell_l{level}")).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_px").alias("total_px"),
+        F.avg("mean_luma").alias("avg_luma"),
+    )
+
+
+def images_pip_join(
+    spark: SparkSession, images_geo: DataFrame, index: RegionIndex
+) -> DataFrame:
+    """Which polygons contain each image's geotag point — the flagship
+    broadcast term-join, with image_id as the point id."""
+    pts = with_xyz(images_geo).select(
+        F.col("image_id").alias("pid"), "x", "y", "z", "cell"
+    )
+    return contains_join(spark, pts, index).withColumnRenamed("pid", "image_id")

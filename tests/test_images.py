@@ -1,0 +1,140 @@
+"""Image table + pipeline tests: codecs, determinism, per-row invariants
+(PSNR >= 40 dB lossy / exact lossless + caption equality), tiling, and the
+polygon containment join against a NumPy brute-force oracle."""
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernels import cellid, imagecodec
+from s2geometry_spark.kernels.geotag import geotag_from_index
+from s2geometry_spark.kernels.regions import Cap, Loop
+from s2geometry_spark.operators import image_pipeline as ip
+from s2geometry_spark.operators.contains_join import RegionIndex
+from s2geometry_spark.sources import images as imgsrc
+
+N = 240
+
+
+# ---------- codec unit tests (no Spark) ----------
+
+
+def test_codec_roundtrip_lossless():
+    for idx in [0, 1, 7, 12345]:
+        px = imagecodec.gen_pixels(idx, 13, 9)
+        for fmt in ("raw", "rle"):
+            decoded, f2 = imagecodec.decode(imagecodec.encode(px, fmt))
+            assert f2 == fmt
+            assert np.array_equal(decoded, px)
+
+
+def test_codec_qnt_lossy_psnr():
+    for idx in [0, 3, 999]:
+        px = imagecodec.gen_pixels(idx, 16, 16)
+        decoded, _ = imagecodec.decode(imagecodec.encode(px, "qnt"))
+        assert not np.array_equal(decoded, px)  # genuinely lossy
+        p = imagecodec.psnr_db(px, decoded)
+        assert 40.0 <= p < 60.0, p
+        assert np.max(np.abs(px.astype(int) - decoded.astype(int))) <= 3
+
+
+def test_rle_compresses_constant_image():
+    const = np.full((16, 16, 3), 200, np.uint8)
+    assert len(imagecodec.encode(const, "rle")) < len(imagecodec.encode(const, "raw")) / 10
+    decoded, _ = imagecodec.decode(imagecodec.encode(const, "rle"))
+    assert np.array_equal(decoded, const)
+
+
+def test_phash_deterministic_and_varied():
+    h1 = imagecodec.phash64(imagecodec.gen_pixels(42, 12, 12))
+    h2 = imagecodec.phash64(imagecodec.gen_pixels(42, 12, 12))
+    assert h1 == h2
+    hashes = {imagecodec.phash64(imagecodec.gen_pixels(i, 12, 12)) for i in range(50)}
+    assert len(hashes) > 40  # distinct images -> distinct hashes
+
+
+def test_make_row_deterministic():
+    a, b = imgsrc.make_row(17), imgsrc.make_row(17)
+    assert a == b
+    assert a["phash"] == imagecodec.phash64(imgsrc.source_pixels(17))
+
+
+# ---------- Spark pipeline ----------
+
+
+@pytest.fixture(scope="module")
+def images_geo(spark):
+    df = ip.with_geotag(imgsrc.images_df(spark, N, num_partitions=8)).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_images_df_schema_and_determinism(spark):
+    df1 = imgsrc.images_df(spark, 60, num_partitions=4)
+    assert df1.schema == imgsrc.IMAGES_SCHEMA
+    rows1 = {r.image_id: (bytes(r.bytes), r.phash, r.caption) for r in df1.collect()}
+    rows2 = {
+        r.image_id: (bytes(r.bytes), r.phash, r.caption)
+        for r in imgsrc.images_df(spark, 60, num_partitions=7).collect()
+    }
+    assert rows1 == rows2  # partitioning-invariant generation
+    assert len(rows1) == 60
+
+
+def test_invariants_all_pass(images_geo):
+    v = ip.verify_invariants(images_geo)
+    rows = v.collect()
+    assert len(rows) == N
+    assert all(r.caption_ok and r.pixels_ok for r in rows)
+    lossy = [r for r in rows if r.fmt == "qnt"]
+    assert lossy and all(40.0 <= r.psnr_db < 900 for r in lossy)
+    lossless = [r for r in rows if r.fmt in ("raw", "rle")]
+    assert lossless and all(r.psnr_db == 999.0 for r in lossless)
+    assert ip.invariant_violations(images_geo).count() == 0
+
+
+def test_geotag_matches_kernel(images_geo):
+    rows = images_geo.select("phash", "lat", "lng", "cell").collect()
+    ph = np.array([r.phash for r in rows], np.int64).astype(np.uint64)
+    lat, lng = geotag_from_index(ph)
+    ids = cellid.from_latlng_degrees(lat, lng)
+    np.testing.assert_allclose([r.lat for r in rows], lat)
+    np.testing.assert_array_equal(
+        np.array([r.cell for r in rows], np.int64), cellid.to_biased(ids)
+    )
+
+
+def test_tile_image_stats(images_geo):
+    stats = ip.tile_image_stats(images_geo, 5).collect()
+    assert sum(r.n_images for r in stats) == N
+    assert all(0.0 < r.avg_luma < 255.0 for r in stats)
+    # hot spots (20% of rows in 3 city caps) -> some tiles much denser
+    assert max(r.n_images for r in stats) >= 5
+
+
+def test_images_pip_join_vs_bruteforce(spark, images_geo):
+    loops = {
+        "zurich": Loop.make_regular(47.36, 8.55, 1.2, 16),
+        "sydney": Loop.make_regular(-33.87, 151.20, 1.2, 16),
+    }
+    got = {
+        (r.image_id, r.poly_id)
+        for r in ip.images_pip_join(spark, images_geo, RegionIndex(loops)).collect()
+    }
+    # brute force on the driver
+    rows = images_geo.select("image_id", "lat", "lng").collect()
+    lat = np.radians(np.array([r.lat for r in rows]))
+    lng = np.radians(np.array([r.lng for r in rows]))
+    pts = np.stack(
+        [np.cos(lat) * np.cos(lng), np.cos(lat) * np.sin(lng), np.sin(lat)], axis=1
+    )
+    from s2geometry_spark.kernels import predicates
+
+    want = set()
+    for rid, lp in loops.items():
+        inside = predicates.polygon_contains_points(
+            [np.asarray(lp.vertices)], [bool(lp.origin_inside)], pts
+        )
+        want |= {(rows[i].image_id, rid) for i in np.flatnonzero(inside)}
+    assert got == want
+    assert want  # hot spots guarantee non-empty
