@@ -197,6 +197,110 @@ def q_img_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ip.invariant_violations(_images_geo(spark, sf_dir))
 
 
+# ---------- training-data pipeline queries (documents / embeddings) ----------
+
+JACCARD_N, JACCARD_TAU = 3, 0.2
+NEARDUP_TAU = 0.5
+ANN_K = 5
+_ANN_QFILTER = 29  # queries = vectors with vec_id % 29 == 0
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "embeddings")
+
+
+def _emb_queries(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") % _ANN_QFILTER == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from s2geometry_spark.operators import dedup
+
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from s2geometry_spark.operators import dedup
+
+    return dedup.ngram_jaccard_join(_docs(spark, sf_dir), JACCARD_N, JACCARD_TAU)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Scale-path near-dup (probabilistic recall) — rows-only check."""
+    from s2geometry_spark.operators import dedup
+
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=32, bands=16, tau=JACCARD_TAU
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash banded Hamming pairs — rows-only check."""
+    from s2geometry_spark.operators import dedup
+
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
+def q_text_token_stats(spark, sf_dir):
+    from s2geometry_spark.operators import text
+
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from s2geometry_spark.operators import text
+
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark, sf_dir):
+    from s2geometry_spark.operators import text
+
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Rolling-hash doc fingerprint (xxhash64-based) — rows-only check."""
+    from s2geometry_spark.operators import text
+
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_topk(spark, sf_dir):
+    from s2geometry_spark.operators import ann
+
+    emb = _emb(spark, sf_dir)
+    return ann.cosine_topk_bruteforce(emb, _emb_queries(emb), k=ANN_K)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    from s2geometry_spark.operators import ann
+
+    return ann.embedding_near_dup(_emb(spark, sf_dir), tau=NEARDUP_TAU)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (scale path) — rows-only check."""
+    from s2geometry_spark.operators import ann
+
+    emb = _emb(spark, sf_dir)
+    return ann.cosine_topk_lsh(emb, _emb_queries(emb), k=ANN_K, nbits=16, bands=8)
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (scale path) — rows-only check."""
+    from s2geometry_spark.operators import ann
+
+    emb = _emb(spark, sf_dir)
+    return ann.ivf_topk(emb, _emb_queries(emb), k=ANN_K, n_centroids=8, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_counts_l5": q_tile_counts_l5,
@@ -209,6 +313,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_topk": q_ann_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
     }
 
 
@@ -256,7 +372,40 @@ SELECT qid, rank, pid, dist_chord2 FROM (
          ) AS rank
   FROM qxyz q CROSS JOIN xyz p
 ) WHERE rank <= {KNN_K}"""
+    from s2geometry_spark.operators import ann, dedup, text
+
+    dim = 64
+    dot = ann.dot_sql("q.embedding", "v.embedding", dim)
+    nq, nv = ann.norm_sql("q.embedding", dim), ann.norm_sql("v.embedding", dim)
+    ann_sql = f"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+                  WHERE vec_id % {_ANN_QFILTER} = 0)
+SELECT qid, rank, vec_id, cosine FROM (
+  SELECT q.qid, v.vec_id,
+         ({dot}) / (({nq}) * ({nv})) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY ({dot}) / (({nq}) * ({nv})) DESC, v.vec_id ASC
+         ) AS rank
+  FROM q, embeddings v WHERE v.vec_id <> q.qid
+) WHERE rank <= {ANN_K}"""
+    dot_ab = ann.dot_sql("a.embedding", "b.embedding", dim)
+    na, nb = ann.norm_sql("a.embedding", dim), ann.norm_sql("b.embedding", dim)
+    near_dup_sql = f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ({dot_ab}) / (({na}) * ({nb})) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ({dot_ab}) / (({na}) * ({nb})) >= {NEARDUP_TAU}"""
     return {
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,"
+            " count(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle_sql(JACCARD_N, JACCARD_TAU),
+        "text_token_stats": text.token_stats_oracle_sql(),
+        "text_quality": text.quality_score_oracle_sql(),
+        "text_lang_id": text.lang_id_oracle_sql(),
+        "ann_topk": ann_sql,
+        "emb_near_dup": near_dup_sql,
         "tile_counts_l5": _leaf_sql(
             f"SELECT {p5} AS cell_l5, COUNT(*) AS cnt FROM leaf GROUP BY 1"
         ),

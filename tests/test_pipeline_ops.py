@@ -1,0 +1,163 @@
+"""Training-data pipeline ops vs DuckDB oracles at sf0.01 (documents /
+embeddings), plus recall/consistency checks for the probabilistic scale
+paths (MinHash-LSH, SimHash, LSH-ANN, IVF)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.operators import ann, dedup, text
+from tests.conftest import SF_ORACLE, compare_frames
+
+DIM = 64
+TAU = 0.2
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_exact_dedup_oracle(docs, duck):
+    got = dedup.exact_dedup(docs)
+    want = duck.sql(
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,"
+        " count(*) AS n_dups FROM documents GROUP BY 1"
+    )
+    compare_frames(got, want)
+
+
+def test_ngram_jaccard_oracle(docs, duck):
+    got = dedup.ngram_jaccard_join(docs, n=3, tau=TAU)
+    want = duck.sql(dedup.ngram_jaccard_oracle_sql(n=3, tau=TAU))
+    assert got.count() > 0, "tau too high: empty result is a vacuous test"
+    compare_frames(got, want)
+
+
+def test_minhash_lsh_subset_of_exact(docs):
+    """LSH pairs must be a SUBSET of the exact pairs (precision 1.0) with
+    decent recall at this tau."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_join(docs, 3, TAU).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16, tau=TAU).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5, (len(lsh), len(exact))
+
+
+def test_simhash_pairs_consistent(docs):
+    """simhash is deterministic; banded candidates verify their Hamming
+    bound; near-identical docs (if any) collide."""
+    s1 = {r.doc_id: r.simhash for r in dedup.simhash64(docs.limit(100)).collect()}
+    s2 = {r.doc_id: r.simhash for r in dedup.simhash64(docs.limit(100)).collect()}
+    assert s1 == s2
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=16).collect()
+    for r in pairs:
+        assert 0 <= r.hamming <= 16
+
+
+def test_token_stats_oracle(docs, duck):
+    compare_frames(text.token_stats(docs), duck.sql(text.token_stats_oracle_sql()))
+
+
+def test_quality_score_oracle(docs, duck):
+    compare_frames(text.quality_score(docs), duck.sql(text.quality_score_oracle_sql()))
+
+
+def test_lang_id_oracle(docs, duck):
+    compare_frames(text.lang_id(docs), duck.sql(text.lang_id_oracle_sql()))
+
+
+def test_fingerprint_deterministic_and_distinct(docs):
+    fp = text.fingerprint(docs)
+    rows = fp.collect()
+    assert len({r.fp for r in rows}) == len(rows)  # all docs distinct here
+    again = {r.doc_id: r.fp for r in text.fingerprint(docs).collect()}
+    assert again == {r.doc_id: r.fp for r in rows}
+
+
+def _queries(emb):
+    return emb.where(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+
+
+def test_cosine_topk_bruteforce_oracle(emb, duck):
+    got = ann.cosine_topk_bruteforce(emb, _queries(emb), k=5)
+    dot = ann.dot_sql("q.embedding", "v.embedding", DIM)
+    nq = ann.norm_sql("q.embedding", DIM)
+    nv = ann.norm_sql("v.embedding", DIM)
+    want = duck.sql(f"""
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 29 = 0)
+SELECT qid, rank, vec_id, cosine FROM (
+  SELECT q.qid, v.vec_id,
+         ({dot}) / (({nq}) * ({nv})) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY ({dot}) / (({nq}) * ({nv})) DESC, v.vec_id ASC
+         ) AS rank
+  FROM q, embeddings v WHERE v.vec_id <> q.qid
+) WHERE rank <= 5
+""")
+    assert got.count() > 0
+    compare_frames(got, want)
+
+
+def test_embedding_near_dup_oracle(emb, duck):
+    tau = 0.5
+    got = ann.embedding_near_dup(emb, tau=tau)
+    dot = ann.dot_sql("a.embedding", "b.embedding", DIM)
+    na = ann.norm_sql("a.embedding", DIM)
+    nb = ann.norm_sql("b.embedding", DIM)
+    want = duck.sql(f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ({dot}) / (({na}) * ({nb})) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ({dot}) / (({na}) * ({nb})) >= {tau}
+""")
+    compare_frames(got, want)
+
+
+def test_lsh_topk_subset_and_recall(emb):
+    q = _queries(emb)
+    exact = {
+        (r.qid, r.vec_id) for r in ann.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.qid, r.vec_id)
+        for r in ann.cosine_topk_lsh(emb, q, k=5, nbits=16, bands=8, dim=DIM).collect()
+    }
+    # every approx hit is a real vector pair scored exactly; recall is
+    # probabilistic but should be substantial with 8 bands of 2 bits
+    assert approx
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, recall
+
+
+def test_ivf_topk_runs_and_ranks(emb):
+    q = _queries(emb)
+    out = ann.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=4).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.rank, r.cosine))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r[1] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
