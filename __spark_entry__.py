@@ -92,8 +92,8 @@ def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cell_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leaf encode + token round-trip surface (rows-only check: token text
-    is engine-only; the leaf id itself is oracle-checked elsewhere)."""
+    """Leaf encode + ToToken surface; oracle derives the hex token from
+    the SQL-encoded leaf id independently."""
     df = _order_points(spark, sf_dir)
     return df.select(
         "pid",
@@ -101,6 +101,34 @@ def q_cell_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2f.cell_token("cell").alias("token"),
         s2f.cell_level("cell").alias("lvl"),
     )
+
+
+def q_cellunion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2CellUnion containment join: points x broadcast coverings of the
+    fixture caps, per-level prefix equi-joins (S2CellIteratorJoin shape)."""
+    from s2geometry_spark.kernels.coverer import CovererOptions, RegionCoverer
+    from s2geometry_spark.operators.contains_join import cell_union_contains_join
+
+    coverer = RegionCoverer(CovererOptions(max_cells=16))
+    unions = {rid: coverer.get_covering(cap) for rid, cap in _caps().items()}
+    pts = _order_points(spark, sf_dir)
+    return cell_union_contains_join(spark, pts, unions)
+
+
+def q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points inside >= 1 fixture loop (left_semi variant)."""
+    from s2geometry_spark.operators.contains_join import contains_semi_join
+
+    pts = _order_points_xyz(spark, sf_dir)
+    return contains_semi_join(spark, pts, RegionIndex(_pip_loops()))
+
+
+def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points inside NO fixture loop (left_anti variant)."""
+    from s2geometry_spark.operators.contains_join import contains_anti_join
+
+    pts = _order_points_xyz(spark, sf_dir)
+    return contains_anti_join(spark, pts, RegionIndex(_pip_loops()))
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,7 +335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_l12": q_tile_counts_l12,
         "tile_rollup": q_tile_rollup,
         "cell_tokens": q_cell_tokens,
+        "cellunion_join": q_cellunion_join,
         "pip_join": q_pip_join,
+        "pip_semi": q_pip_semi,
+        "pip_anti": q_pip_anti,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "img_tile_stats": q_img_tile_stats,
@@ -334,6 +365,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _leaf_sql(select: str) -> str:
     cte = oracle.leaf_cell_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
     return f"WITH {cte} {select}"
+
+
+def _cellunion_join_oracle() -> str:
+    """Independent check of the cell-union join: the same driver-side
+    coverings, expressed as per-(region, level) IN-lists over parents of
+    the SQL-encoded leaf id."""
+    import numpy as np
+
+    from s2geometry_spark.kernels import cellid
+    from s2geometry_spark.kernels.coverer import CovererOptions, RegionCoverer
+
+    coverer = RegionCoverer(CovererOptions(max_cells=16))
+    parts = []
+    for rid, cap in _caps().items():
+        ids = coverer.get_covering(cap)
+        by_level: dict[int, list[int]] = {}
+        for v, lv in zip(
+            cellid.to_biased(np.asarray(ids, np.uint64)).tolist(),
+            cellid.level(np.asarray(ids, np.uint64)).tolist(),
+        ):
+            by_level.setdefault(int(lv), []).append(int(v))
+        # one part per region (DuckDB inlines the encoder CTE per part, so
+        # fewer parts matter): OR of per-level IN-lists
+        preds = [
+            f"{oracle.parent_sql_expr('cell_leaf', lv)} IN ({','.join(str(c) for c in cells)})"
+            for lv, cells in sorted(by_level.items())
+        ]
+        parts.append(
+            f"SELECT pid, '{rid}' AS region_id FROM leaf WHERE " + " OR ".join(preds)
+        )
+    return _leaf_sql(" UNION ALL ".join(parts))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -406,6 +468,19 @@ WHERE a.vec_id < b.vec_id
         "text_lang_id": text.lang_id_oracle_sql(),
         "ann_topk": ann_sql,
         "emb_near_dup": near_dup_sql,
+        "cell_tokens": _leaf_sql(
+            f"SELECT pid, cell_leaf AS cell, {oracle.token_sql_expr('cell_leaf')} AS token, "
+            "CAST(30 AS INTEGER) AS lvl FROM leaf"
+        ),
+        "cellunion_join": _cellunion_join_oracle(),
+        "pip_semi": f"WITH {xyz_cte} SELECT pid FROM xyz WHERE " + " OR ".join(
+            oracle.convex_loop_predicate_sql(Loop.make_regular(lat, lng, r, n).vertices)
+            for (lat, lng, r, n) in PIP_LOOPS.values()
+        ),
+        "pip_anti": f"WITH {xyz_cte} SELECT pid FROM xyz WHERE NOT (" + " OR ".join(
+            oracle.convex_loop_predicate_sql(Loop.make_regular(lat, lng, r, n).vertices)
+            for (lat, lng, r, n) in PIP_LOOPS.values()
+        ) + ")",
         "tile_counts_l5": _leaf_sql(
             f"SELECT {p5} AS cell_l5, COUNT(*) AS cnt FROM leaf GROUP BY 1"
         ),

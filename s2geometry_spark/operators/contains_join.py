@@ -210,6 +210,57 @@ def cap_join(
     return cand.where(expr).select(point_id, "poly_id")
 
 
+def cell_union_contains_join(
+    spark: SparkSession,
+    points: DataFrame,
+    unions: dict[str, "np.ndarray"],
+    point_id: str = "pid",
+    cell: str = "cell",
+) -> DataFrame:
+    """S2CellUnion::Contains as a distributed join (s2cell_union.cc:285-308
+    re-expressed): all (point, region) pairs whose leaf cell lies inside
+    the region's covering cell union.
+
+    Plan: group covering cells by level; for each level, equi-join the
+    point's parent(level) (pure-SQL prefix, prunable/codegen) against a
+    broadcast (cell, region) dim table; union the per-level joins.
+    Normalized unions are non-overlapping, so no dedup is needed.  This is
+    the S2CellIteratorJoin shape with the small side broadcast.
+    """
+    by_level: dict[int, list[tuple[int, str]]] = {}
+    for rid, ids in unions.items():
+        arr = np.asarray(ids, np.uint64)
+        for v, lv in zip(cellid.to_biased(arr).tolist(), cellid.level(arr).tolist()):
+            by_level.setdefault(int(lv), []).append((int(v), rid))
+    out = None
+    for lv, rows in sorted(by_level.items()):
+        dim = F.broadcast(
+            spark.createDataFrame(rows, schema="u_cell long, region_id string")
+        )
+        j = points.select(
+            point_id, s2f.parent_expr(cell, lv).alias("u_cell")
+        ).join(dim, "u_cell").select(point_id, "region_id")
+        out = j if out is None else out.unionByName(j)
+    return out
+
+
+def contains_semi_join(
+    spark: SparkSession, points: DataFrame, index: RegionIndex, point_id: str = "pid", **kw
+) -> DataFrame:
+    """Points contained by AT LEAST one region (left_semi on the pair set)."""
+    pairs = contains_join(spark, points, index, point_id=point_id, **kw)
+    return points.select(point_id).join(pairs, point_id, "left_semi")
+
+
+def contains_anti_join(
+    spark: SparkSession, points: DataFrame, index: RegionIndex, point_id: str = "pid", **kw
+) -> DataFrame:
+    """Points contained by NO region (left_anti) — e.g. "images outside
+    every sensitive zone"."""
+    pairs = contains_join(spark, points, index, point_id=point_id, **kw)
+    return points.select(point_id).join(pairs, point_id, "left_anti")
+
+
 def contains_join(
     spark: SparkSession,
     points: DataFrame,

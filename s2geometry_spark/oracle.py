@@ -116,8 +116,12 @@ f_ij AS (
   FROM st
 ),
 {",".join(rounds)},
-leaf AS (
-  SELECT *, 2*(face * {1 << 60} + {pos_terms} - {_HALF_BIAS}) + 1 AS cell_leaf
+leaf AS MATERIALIZED (
+  -- MATERIALIZED stops DuckDB pushing outer predicates through the
+  -- Hilbert-round chain (substituting cell_leaf below r0 expands the
+  -- expression tree exponentially: each b_k is referenced twice)
+  SELECT * EXCLUDE (lk_t),
+         2*(face * {1 << 60} + {pos_terms} - {_HALF_BIAS}) + 1 AS cell_leaf
   FROM r0
 )"""
 
@@ -146,6 +150,14 @@ def cap_predicate_sql(center, radius_chord2: float) -> str:
         f"(((x - {cx!r})*(x - {cx!r}) + (y - {cy!r})*(y - {cy!r}))"
         f" + (z - {cz!r})*(z - {cz!r}) <= {float(radius_chord2)!r})"
     )
+
+
+def token_sql_expr(cell_expr: str) -> str:
+    """ToToken (s2cell_id.cc:217-254) of a biased int64 cell id in DuckDB
+    SQL: unbias to uint64 via HUGEINT, 16-digit lower hex, strip trailing
+    zeros (ids are never 0, so the token is never empty)."""
+    un = f"CAST(CAST({cell_expr} AS HUGEINT) + {_BIAS} AS UBIGINT)"
+    return f"rtrim(lpad(lower(hex({un})), 16, '0'), '0')"
 
 
 def parent_sql_expr(cell_expr: str, level: int) -> str:
