@@ -140,14 +140,15 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> Dat
     """(doc_id, sig array<long>): sig[i] = min over shingles of
     xxhash64(shingle, seed=i).  One shuffle (groupBy doc)."""
     sh = shingle_set(docs, n)
+    # wide flat projection (codegen) + partial/final min agg — no per-row
+    # array construction on the exploded shingle table
     hashed = sh.select(
         "doc_id",
-        F.array(
-            *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
-        ).alias("hs"),
+        *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
     )
-    mins = [F.min(F.col("hs")[i]).alias(f"h{i}") for i in range(num_hashes)]
-    agg = hashed.groupBy("doc_id").agg(*mins)
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
     return agg.select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -223,31 +224,42 @@ def simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): sign-aggregated 64-bit word-feature hash.
 
     Pure SQL: per word, xxhash64 gives 64 bits; each bit votes +-1; the
-    sign of the per-bit sum is the output bit.  Computed bit-planewise
-    with aggregate() over the word array — no Python.
+    sign of the per-bit sum is the output bit.  Shape: explode words ->
+    64 flat vote columns (codegen) -> partial+final hash agg of 64 sums
+    -> recombine.  (An aggregate() fold over the word array would be
+    interpreted per element — an order of magnitude slower.)
     """
-    w = words_col()
-    hashes = F.transform(w, lambda x: F.xxhash64(x))
-    bit_exprs = []
-    for bit in range(64):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_exprs.append(
-            F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(1 << bit).cast("long")
-            if bit < 63
-            else F.when(votes > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+    tok = docs.select("doc_id", F.explode(words_col()).alias("w")).withColumn(
+        "h", F.xxhash64(F.col("w"))
+    )
+    votes = tok.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"v{b}")
+            for b in range(64)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(64)]
+    )
+    bit_exprs = [
+        (
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            if b < 63
+            else F.when(F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
+        for b in range(64)
+    ]
     sim = bit_exprs[0]
     for e in bit_exprs[1:]:
         sim = sim + e
-    return docs.select("doc_id", sim.alias("simhash"))
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:

@@ -66,20 +66,115 @@ def _stage(
     pid: str,
 ) -> DataFrame:
     """One ring-expansion stage at ``level``; returns per-query top-k with a
-    ``certified`` flag."""
+    ``certified`` flag.
+
+    Shape: both sides shuffle ONCE on the block key; a cogrouped
+    applyInPandas computes per-(query, block) top-k with a vectorized
+    chord^2 matrix (pinned ((dx²+dy²)+dz²) order — bit-identical to the
+    SQL oracle), so the global top-k window sees <= 9k candidate rows per
+    query-block instead of the full joined candidate set (~8x fewer rows
+    through the window shuffle at sf0.1).
+    """
     pts = points_with_cell.withColumn("p_blk", s2f.parent_expr("p_cell", level))
     blk = _neighbor_block_udf(level)
     q = queries.withColumn("q_blocks", blk(F.col("q_cell")))
     q = q.withColumn("p_blk", F.explode("q_blocks")).drop("q_blocks")
 
-    joined = q.join(pts, "p_blk", "inner")
-    dist = s2f.chord2_expr(
-        F.col("qx"), F.col("qy"), F.col("qz"), F.col("px"), F.col("py"), F.col("pz")
+    # cogroup on a COARSER prefix (16 blocks per group): per-group pandas
+    # overhead is the dominant cost with one group per block (~6k calls at
+    # sf0.1); blocks inside a group are matched via sorted numpy slices.
+    group_level = max(level - 2, 0)
+    pts = pts.withColumn("g_blk", s2f.parent_expr("p_blk", group_level))
+    q = q.withColumn("g_blk", s2f.parent_expr("p_blk", group_level))
+
+    out_schema = (
+        f"{qid} long, qx double, qy double, qz double, q_cell long, "
+        f"{pid} long, dist_chord2 double"
     )
-    joined = joined.withColumn("dist_chord2", dist)
+
+    def group_topk(key, qdf: pd.DataFrame, pdf: pd.DataFrame):
+        if len(qdf) == 0 or len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    qid: pd.Series(dtype="int64"),
+                    "qx": pd.Series(dtype="float64"),
+                    "qy": pd.Series(dtype="float64"),
+                    "qz": pd.Series(dtype="float64"),
+                    "q_cell": pd.Series(dtype="int64"),
+                    pid: pd.Series(dtype="int64"),
+                    "dist_chord2": pd.Series(dtype="float64"),
+                }
+            )
+        p_blk = pdf["p_blk"].to_numpy(np.int64)
+        order_p = np.argsort(p_blk, kind="stable")
+        p_blk_s = p_blk[order_p]
+        P = pdf[["px", "py", "pz"]].to_numpy(np.float64)[order_p]
+        p_ids = pdf[pid].to_numpy(np.int64)[order_p]
+
+        q_blk = qdf["p_blk"].to_numpy(np.int64)
+        Qm = qdf[["qx", "qy", "qz"]].to_numpy(np.float64)
+        q_ids = qdf[qid].to_numpy(np.int64)
+        q_cells = qdf["q_cell"].to_numpy(np.int64)
+
+        out_q, out_qx, out_qy, out_qz, out_qc, out_p, out_d = (
+            [], [], [], [], [], [], [],
+        )
+        for b in np.unique(q_blk):
+            lo = np.searchsorted(p_blk_s, b, "left")
+            hi = np.searchsorted(p_blk_s, b, "right")
+            if lo == hi:
+                continue
+            qm = q_blk == b
+            Qb = Qm[qm]
+            Pb = P[lo:hi]
+            ids_b = p_ids[lo:hi]
+            dx = Qb[:, 0][:, None] - Pb[None, :, 0]
+            dy = Qb[:, 1][:, None] - Pb[None, :, 1]
+            dz = Qb[:, 2][:, None] - Pb[None, :, 2]
+            D = (dx * dx + dy * dy) + dz * dz
+            take = min(k, Pb.shape[0])
+            if take < Pb.shape[0]:
+                part = np.argpartition(D, take - 1, axis=1)[:, :take]
+            else:
+                part = np.broadcast_to(
+                    np.arange(Pb.shape[0]), (Qb.shape[0], Pb.shape[0])
+                ).copy()
+            ridx = np.arange(Qb.shape[0])[:, None]
+            d_part = D[ridx, part]
+            id_part = ids_b[part]
+            o1 = np.argsort(id_part, axis=1, kind="stable")
+            d1 = np.take_along_axis(d_part, o1, axis=1)
+            o2 = np.argsort(d1, axis=1, kind="stable")
+            fin = np.take_along_axis(o1, o2, axis=1)
+            out_q.append(np.repeat(q_ids[qm], take))
+            out_qx.append(np.repeat(Qb[:, 0], take))
+            out_qy.append(np.repeat(Qb[:, 1], take))
+            out_qz.append(np.repeat(Qb[:, 2], take))
+            out_qc.append(np.repeat(q_cells[qm], take))
+            out_p.append(np.take_along_axis(id_part, fin, axis=1).reshape(-1))
+            out_d.append(np.take_along_axis(d_part, fin, axis=1).reshape(-1))
+        if not out_q:
+            return group_topk(key, qdf.iloc[:0], pdf.iloc[:0])
+        return pd.DataFrame(
+            {
+                qid: np.concatenate(out_q),
+                "qx": np.concatenate(out_qx),
+                "qy": np.concatenate(out_qy),
+                "qz": np.concatenate(out_qz),
+                "q_cell": np.concatenate(out_qc),
+                pid: np.concatenate(out_p),
+                "dist_chord2": np.concatenate(out_d),
+            }
+        )
+
+    cand = (
+        q.groupBy("g_blk")
+        .cogroup(pts.groupBy("g_blk"))
+        .applyInPandas(group_topk, out_schema)
+    )
     w = Window.partitionBy(qid).orderBy(F.col("dist_chord2").asc(), F.col(pid).asc())
     topk = (
-        joined.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(qid, "qx", "qy", "qz", "q_cell", pid, "dist_chord2", "rank")
     )
@@ -131,8 +226,12 @@ def knn_join(
         )
         certified_q = staged.where(F.col("certified")).select(qid).distinct()
         # uncertified AND zero-candidate queries both survive the anti-join
-        remaining = remaining.join(certified_q, qid, "left_anti")
+        remaining = remaining.join(certified_q, qid, "left_anti").cache()
         level -= 3
+        # short-circuit: a later stage would still shuffle the whole points
+        # side through the cogroup even with zero queries left
+        if remaining.limit(1).count() == 0:
+            return _union_all(results)
 
     # brute-force fallback for the (typically empty) remainder
     bf = remaining.crossJoin(points)
@@ -147,7 +246,11 @@ def knn_join(
         .select(qid, "rank", pid, "dist_chord2")
     )
     results.append(bf)
-    out = results[0]
-    for r in results[1:]:
+    return _union_all(results)
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for r in dfs[1:]:
         out = out.unionByName(r)
     return out
