@@ -45,13 +45,17 @@ GEO_SCHEMA = StructType(
 )
 
 
-@pandas_udf(GEO_SCHEMA)
-def geotag_cell_from_phash(phash: pd.Series) -> pd.DataFrame:
+def _geotag_frame(phash: pd.Series) -> pd.DataFrame:
     """phash (int64 metadata) -> (lat, lng, leaf cell biased int64)."""
     key = phash.to_numpy(np.int64).astype(np.uint64)  # reinterpret bits
     lat, lng = geotag_from_index(key)
     ids = cellid.from_latlng_degrees(lat, lng)
     return pd.DataFrame({"lat": lat, "lng": lng, "cell": cellid.to_biased(ids)})
+
+
+@pandas_udf(GEO_SCHEMA)
+def geotag_cell_from_phash(phash: pd.Series) -> pd.DataFrame:
+    return _geotag_frame(phash)
 
 
 def with_geotag(images: DataFrame) -> DataFrame:
@@ -88,14 +92,16 @@ VERIFY_SCHEMA = StructType(
 
 
 def _verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..sources.images import caption_for, source_pixels
+    from ..sources.images import caption_for
 
     for pdf in batches:
         out = []
         for row in pdf.itertuples(index=False):
             idx = int(row.image_id[3:])
             decoded, fmt = imagecodec.decode(bytes(row.bytes))
-            src = source_pixels(idx)
+            # regenerate the source at the DECODED dimensions: pixels are a
+            # pure function of (idx, w, h), so any px_scale verifies
+            src = imagecodec.gen_pixels(idx, decoded.shape[1], decoded.shape[0])
             psnr = imagecodec.psnr_db(src, decoded)
             lossless = fmt in imagecodec.LOSSLESS
             pixels_ok = (
@@ -167,6 +173,63 @@ def tile_image_stats(images_geo: DataFrame, level: int) -> DataFrame:
     feats = decoded_features(images_geo)
     return feats.groupBy(s2f.parent_expr("cell", level).alias(f"cell_l{level}")).agg(
         F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_px").alias("total_px"),
+        F.avg("mean_luma").alias("avg_luma"),
+    )
+
+
+FUSED_SCHEMA = StructType(
+    [
+        StructField("cell", LongType(), False),
+        StructField("ok", BooleanType(), False),
+        StructField("mean_luma", DoubleType(), False),
+        StructField("n_px", LongType(), False),
+    ]
+)
+
+
+def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..sources.images import caption_for
+
+    for pdf in batches:
+        cells_in = _geotag_frame(pdf["phash"])
+        cells, oks, lumas, npx = [], [], [], []
+        for i, row in enumerate(pdf.itertuples(index=False)):
+            idx = int(row.image_id[3:])
+            decoded, fmt = imagecodec.decode(bytes(row.bytes))
+            src = imagecodec.gen_pixels(idx, decoded.shape[1], decoded.shape[0])
+            if fmt in imagecodec.LOSSLESS:
+                pok = bool(np.array_equal(src, decoded))
+            else:
+                pok = bool(imagecodec.psnr_db(src, decoded) >= imagecodec.PSNR_MIN_DB)
+            p = decoded.astype(np.float64)
+            luma = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+            cells.append(int(cells_in["cell"].iloc[i]))
+            oks.append(pok and row.caption == caption_for(idx))
+            lumas.append(float(luma.mean()))
+            npx.append(decoded.shape[0] * decoded.shape[1])
+        yield pd.DataFrame(
+            {"cell": cells, "ok": oks, "mean_luma": lumas, "n_px": npx}
+        )
+
+
+def fused_tile_audit(images: DataFrame, level: int) -> DataFrame:
+    """Scan -> ONE Python crossing (decode + invariant check + geotag +
+    feature extract) -> JVM hash agg.
+
+    The chained per-step pipeline (geotag UDF -> verify mapInPandas ->
+    luma mapInPandas) runs 3 Python workers per task; at high parallelism
+    the worker oversubscription inverts scaling.  Fusing to a single
+    mapInPandas is the production shape for wide Python pipelines and
+    what the scaling benchmark measures.  Returns per-tile
+    (n_images, n_violations, total_px, avg_luma).
+    """
+    feats = images.select("image_id", "bytes", "caption", "phash").mapInPandas(
+        _fused_batches, FUSED_SCHEMA
+    )
+    return feats.groupBy(s2f.parent_expr("cell", level).alias(f"cell_l{level}")).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_violations"),
         F.sum("n_px").alias("total_px"),
         F.avg("mean_luma").alias("avg_luma"),
     )

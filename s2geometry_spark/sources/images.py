@@ -60,11 +60,17 @@ def caption_for(idx: int) -> str:
     return f"photo {idx:012d}: a {w1} near the {w2}"
 
 
-def make_row(idx: int) -> dict:
-    """One deterministic image row; pure function of idx."""
+def make_row(idx: int, px_scale: int = 1) -> dict:
+    """One deterministic image row; pure function of (idx, px_scale).
+
+    ``px_scale`` multiplies the image dimensions (default tiny images for
+    fast tests; the scaling benchmark uses larger ones so per-row decode
+    cost resembles real thumbnails).  The invariant checker regenerates
+    the source from the DECODED dimensions, so any px_scale verifies.
+    """
     h64 = splitmix64(np.asarray([idx], np.uint64))[0]
-    w = 8 + int(h64 % np.uint64(17))
-    h = 8 + int((h64 >> np.uint64(8)) % np.uint64(17))
+    w = (8 + int(h64 % np.uint64(17))) * px_scale
+    h = (8 + int((h64 >> np.uint64(8)) % np.uint64(17))) * px_scale
     fmt = FMTS[idx % len(FMTS)]
     pixels = imagecodec.gen_pixels(idx, w, h)
     return {
@@ -78,16 +84,24 @@ def make_row(idx: int) -> dict:
     }
 
 
-def _gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = [make_row(int(i)) for i in pdf["id"]]
-        yield pd.DataFrame(rows, columns=IMAGES_SCHEMA.fieldNames())
+def _gen_batches(px_scale: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_row(int(i), px_scale) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=IMAGES_SCHEMA.fieldNames())
+
+    return gen
 
 
-def images_df(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
+def images_df(
+    spark: SparkSession,
+    n: int,
+    num_partitions: int | None = None,
+    px_scale: int = 1,
+) -> DataFrame:
     num_partitions = num_partitions or max(8, spark.sparkContext.defaultParallelism)
     rng = spark.range(0, n, numPartitions=min(num_partitions, max(1, n)))
-    return rng.mapInPandas(_gen_batches, IMAGES_SCHEMA)
+    return rng.mapInPandas(_gen_batches(px_scale), IMAGES_SCHEMA)
 
 
 def n_images_for_sf_dir(sf_dir: str) -> int:

@@ -112,6 +112,22 @@ def test_tile_image_stats(images_geo):
     assert max(r.n_images for r in stats) >= 5
 
 
+def test_fused_tile_audit_matches_unfused(spark, images_geo):
+    """The single-crossing fused operator must agree with the chained path."""
+    fused = {r[0]: (r.n_images, r.n_violations) for r in ip.fused_tile_audit(images_geo, 5).collect()}
+    stats = {r[0]: r.n_images for r in ip.tile_image_stats(images_geo, 5).collect()}
+    assert {k: v[0] for k, v in fused.items()} == stats
+    assert all(v[1] == 0 for v in fused.values())
+
+
+def test_px_scale_generates_larger_verified_images(spark):
+    df = ip.with_geotag(imgsrc.images_df(spark, 40, num_partitions=4, px_scale=4))
+    rows = df.collect()
+    assert all(32 <= r.w <= 96 and 32 <= r.h <= 96 for r in rows)
+    v = ip.verify_invariants(df).collect()
+    assert all(r.caption_ok and r.pixels_ok for r in v)
+
+
 def test_images_pip_join_vs_bruteforce(spark, images_geo):
     loops = {
         "zurich": Loop.make_regular(47.36, 8.55, 1.2, 16),
