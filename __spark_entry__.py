@@ -152,6 +152,34 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contains_join(spark, pts, _pip_index())
 
 
+# polygon-with-hole fixtures: shell/hole pairs -> XOR-of-loops semantics
+# (s2polygon.cc:704-729); each value is ((shell args), (hole args))
+POLY_HOLES = {
+    "zurich_ring": ((47.36, 8.55, 0.35, 16), (47.36, 8.55, 0.12, 12)),
+    "equator_ring": ((0.0, 0.0, 0.3, 20), (0.0, 0.0, 0.1, 8)),
+}
+
+
+@functools.lru_cache(maxsize=1)
+def _polygon_index() -> RegionIndex:
+    from s2geometry_spark.kernels.regions import Polygon
+
+    regions = {
+        rid: Polygon(
+            [Loop.make_regular(*shell), Loop.make_regular(*hole)]
+        )
+        for rid, (shell, hole) in POLY_HOLES.items()
+    }
+    return RegionIndex(regions)
+
+
+def q_pip_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join against polygons WITH HOLES (annuli): same term
+    join; refinement XORs the per-loop crossing parities."""
+    pts = _order_points_xyz(spark, sf_dir)
+    return contains_join(spark, pts, _polygon_index())
+
+
 def _order_points_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """points with x,y,z doubles + leaf cell — xyz from the exact-integer
     triplet via JVM sqrt/divide (bit-identical to the NumPy/DuckDB path)."""
@@ -358,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_tokens": q_cell_tokens,
         "cellunion_join": q_cellunion_join,
         "pip_join": q_pip_join,
+        "pip_polygon_holes": q_pip_polygon_holes,
         "pip_semi": q_pip_semi,
         "pip_anti": q_pip_anti,
         "cap_join": q_cap_join,
@@ -423,6 +452,13 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {lvl} AS level, {oracle.parent_sql_expr('cell_leaf', lvl)} AS cell_lvl, "
         f"COUNT(*) AS cnt FROM leaf GROUP BY 2"
         for lvl in (2, 5, 8)
+    )
+    poly_parts = " UNION ALL ".join(
+        f"SELECT pid, '{rid}' AS poly_id FROM xyz WHERE "
+        + oracle.convex_loop_predicate_sql(Loop.make_regular(*shell).vertices)
+        + " AND NOT "
+        + oracle.convex_loop_predicate_sql(Loop.make_regular(*hole).vertices)
+        for rid, (shell, hole) in POLY_HOLES.items()
     )
     pip_parts = " UNION ALL ".join(
         f"SELECT pid, '{rid}' AS poly_id FROM xyz WHERE "
@@ -507,6 +543,7 @@ WHERE a.vec_id < b.vec_id
         ),
         "tile_rollup": _leaf_sql(rollup_parts),
         "pip_join": f"WITH {xyz_cte} {pip_parts}",
+        "pip_polygon_holes": f"WITH {xyz_cte} {poly_parts}",
         "cap_join": f"WITH {xyz_cte} {cap_parts}",
         "knn": knn_sql,
     }

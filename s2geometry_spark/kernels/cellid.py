@@ -208,6 +208,68 @@ def from_face(f) -> np.ndarray:
     return (f << U64(61)) + lsb_for_level(0)
 
 
+def advance(ids: np.ndarray, steps) -> np.ndarray:
+    """advance (s2cell_id.cc:119-141): move `steps` cells forward/back at
+    the same level along the Hilbert curve (no clamping here — caller
+    stays in range as in the reference's dchecked fast path)."""
+    ids = np.asarray(ids, np.uint64)
+    steps = np.asarray(steps, np.int64)
+    step_size = (lsb(ids) << _ONE).astype(np.int64)
+    return (ids.astype(np.int64) + steps * step_size).astype(np.uint64)
+
+
+def common_ancestor_level(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """GetCommonAncestorLevel (s2cell_id.cc:193-207): level of the lowest
+    common ancestor, -1 if none (different faces)."""
+    a = np.asarray(a, np.uint64)
+    b = np.asarray(b, np.uint64)
+    bits = np.maximum(a ^ b, np.maximum(lsb(a), lsb(b)))
+    # 61 - bit_length(bits), then >> 1 (floor towards -inf for the -1 case)
+    blen = np.zeros_like(bits, dtype=np.int64)
+    tmp = bits.copy()
+    while np.any(tmp):
+        nz = tmp > 0
+        blen[nz] += 1
+        tmp = tmp >> _ONE
+    return np.maximum(61 - blen, -1) >> 1
+
+
+def maximum_tile(ids: np.ndarray, limits: np.ndarray) -> np.ndarray:
+    """maximum_tile(id, limit) (s2cell_id.cc:168-191): the largest cell
+    starting at `id` (a range_min-style position) that does not extend
+    past `limit`'s range and is not a smaller-than-necessary piece.
+    Scalar control flow per element (tiling a scan range produces few
+    cells; used driver-side), faithful to the reference:
+      - if this range starts at/after limit's range: return limit;
+      - if this cell overflows limit: descend child(0) until inside;
+      - else ascend while the parent still starts here and fits."""
+    ids = np.atleast_1d(np.asarray(ids, np.uint64))
+    limits = np.atleast_1d(np.asarray(limits, np.uint64))
+
+    def _s(f, v):  # scalar helper over the array kernels
+        return int(f(np.array([v], np.uint64))[0])
+
+    out = np.empty_like(ids)
+    for k in range(ids.size):
+        cid = int(ids[k])
+        lim = int(limits[k])
+        start = _s(range_min, cid)
+        if start >= _s(range_min, lim):
+            out[k] = lim
+            continue
+        if _s(range_max, cid) >= lim:
+            while _s(range_max, cid) >= lim:
+                cid = _s(lambda x: child(x, 0), cid)
+        else:
+            while _s(is_face, cid) == 0:
+                par = _s(lambda x: parent(x, _s(level, cid) - 1), cid)
+                if _s(range_min, par) != start or _s(range_max, par) >= lim:
+                    break
+                cid = par
+        out[k] = cid
+    return out
+
+
 # ---------- tokens ----------
 
 
