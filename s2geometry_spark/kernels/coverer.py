@@ -336,6 +336,29 @@ class RegionCoverer:
         return True
 
 
+def get_simple_covering(region, start_point_xyz, level: int) -> np.ndarray:
+    """GetSimpleCovering / FloodFill (s2region_coverer.cc:488-516): BFS over
+    edge-neighbors at a FIXED level from the cell containing start_point,
+    keeping every cell that may intersect the region.  Returns sorted ids.
+    """
+    x, y, z = (np.array([float(v)]) for v in start_point_xyz)
+    start = cellid.parent(cellid.from_xyz(x, y, z), level)[0]
+    frontier = [int(start)]
+    seen = {int(start)}
+    out = []
+    while frontier:
+        v = frontier.pop()
+        if not region.may_intersect_cell(Cell(v)):
+            continue
+        out.append(v)
+        for nbr in cellid.get_edge_neighbors(np.array([v], np.uint64)).reshape(-1):
+            n = int(nbr)
+            if n not in seen:
+                seen.add(n)
+                frontier.append(n)
+    return np.sort(np.array(out, dtype=np.uint64))
+
+
 class _CellUnionRegion:
     """S2CellUnion as a region (for CanonicalizeCovering's re-cover path)."""
 

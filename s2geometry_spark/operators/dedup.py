@@ -84,8 +84,15 @@ def ngram_jaccard_join(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFra
     """
     sh = shingle_set(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # EXACT pruning: a shingle appearing in exactly one document can never
+    # contribute to a shared count, so drop df==1 shingles before the
+    # self-join (typically the large majority of the inverted index).
+    df2 = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") >= 2
+    )
+    sh2 = sh.join(df2.select("shingle"), "shingle")
+    a = sh2.alias("a")
+    b = sh2.alias("b")
     pairs = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

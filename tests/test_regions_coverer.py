@@ -284,3 +284,29 @@ class TestCellUnion:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_get_simple_covering_flood_fill():
+    """GetSimpleCovering: fixed-level BFS covering must contain the cap's
+    canonical covering region (every point of the region is covered)."""
+    import numpy as np
+
+    from s2geometry_spark.kernels import cellid
+    from s2geometry_spark.kernels.coverer import get_simple_covering
+    from s2geometry_spark.kernels.regions import Cap
+
+    cap = Cap.from_latlng_degrees(47.36, 8.55, 0.05)
+    level = 9
+    cov = get_simple_covering(cap, cap.center, level)
+    assert len(cov) > 0
+    assert (cellid.level(cov) == level).all()
+    # coverage: random points inside the cap land in a covering cell
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        v = np.asarray(cap.center) + 0.03 * rng.normal(size=3)
+        v = v / np.linalg.norm(v)
+        if float(((v - np.asarray(cap.center)) ** 2).sum()) > cap.radius2:
+            continue
+        leaf = cellid.from_xyz(*(np.array([c]) for c in v))
+        anc = cellid.parent(leaf, level)[0]
+        assert anc in cov
