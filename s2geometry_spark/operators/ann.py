@@ -315,23 +315,42 @@ def ivf_topk(
     vector to its nearest centroid (broadcast argmax — one scan), probe the
     nprobe nearest centroid lists per query.  Approximate; recall grows
     with nprobe (nprobe == n_centroids is exact)."""
-    cent = (
+    cent_rows = (
         vectors.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(97)) == 0)
         .orderBy("vec_id")
         .limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+        .collect()
     )
+    C = np.array([list(r.c_emb) for r in cent_rows], dtype=np.float64)
+    cids = np.array([r.cid for r in cent_rows], dtype=np.int64)
+    cn = _fold_norms(C)
 
     def route(df: DataFrame, emb_col: str, out: str, topn: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).withColumn(
-            "_cs", cosine_expr(F.col(emb_col), F.col("c_emb"))
-        )
-        w = Window.partitionBy(*df.columns).orderBy(F.col("_cs").desc(), F.col("cid"))
-        return (
-            scored.withColumn("_cr", F.row_number().over(w))
-            .where(F.col("_cr") <= topn)
-            .select(*df.columns, F.col("cid").alias(out))
-        )
+        """Assign each row its top-`topn` centroids — one Arrow-batched
+        NumPy pass (the centroid matrix ships in the closure), no
+        crossJoin/window."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        in_fields = df.schema.fields
+        schema = StructType(list(in_fields) + [StructField(out, LongType(), False)])
+
+        def batches(it):
+            for pdf in it:
+                A = _np_mat(pdf[emb_col])
+                an = _fold_norms(A)
+                S = _fold_dots(A, C) / (an[:, None] * cn[None, :])
+                k_eff = min(topn, C.shape[0])
+                # top-k centroids by (-cosine, cid)
+                order = np.argsort(cids[None, :].repeat(len(pdf), 0), axis=1, kind="stable")
+                s_byid = np.take_along_axis(S, order, axis=1)
+                o2 = np.argsort(-s_byid, axis=1, kind="stable")[:, :k_eff]
+                sel = np.take_along_axis(order, o2, axis=1)  # (n, k_eff)
+                rep = pdf.loc[pdf.index.repeat(k_eff)].reset_index(drop=True)
+                rep[out] = cids[sel.reshape(-1)]
+                yield rep
+
+        return df.mapInPandas(batches, schema)
 
     v_r = route(vectors, "embedding", "v_cid", 1)
     q_r = route(queries, "q_embedding", "q_cid", nprobe)

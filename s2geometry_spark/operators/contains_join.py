@@ -221,27 +221,40 @@ def cell_union_contains_join(
     re-expressed): all (point, region) pairs whose leaf cell lies inside
     the region's covering cell union.
 
-    Plan: group covering cells by level; for each level, equi-join the
-    point's parent(level) (pure-SQL prefix, prunable/codegen) against a
-    broadcast (cell, region) dim table; union the per-level joins.
-    Normalized unions are non-overlapping, so no dedup is needed.  This is
-    the S2CellIteratorJoin shape with the small side broadcast.
+    Plan: ONE scan of the points, exploding (level, parent(cell, level))
+    pairs for only the levels present in any covering (pure-SQL prefix
+    exprs, codegen), then a single broadcast equi-join on (level, cell)
+    against the exploded covering dim table.  Normalized unions are
+    non-overlapping, so no dedup is needed.  This is the
+    S2CellIteratorJoin shape with the small side broadcast; the explode
+    factor equals the number of distinct covering levels (<= ~8), far
+    cheaper than re-scanning + re-encoding the fact table per level.
     """
-    by_level: dict[int, list[tuple[int, str]]] = {}
+    dim_rows: list[tuple[int, int, str]] = []
+    levels: set[int] = set()
     for rid, ids in unions.items():
         arr = np.asarray(ids, np.uint64)
         for v, lv in zip(cellid.to_biased(arr).tolist(), cellid.level(arr).tolist()):
-            by_level.setdefault(int(lv), []).append((int(v), rid))
-    out = None
-    for lv, rows in sorted(by_level.items()):
-        dim = F.broadcast(
-            spark.createDataFrame(rows, schema="u_cell long, region_id string")
+            dim_rows.append((int(lv), int(v), rid))
+            levels.add(int(lv))
+    dim = F.broadcast(
+        spark.createDataFrame(
+            dim_rows, schema="u_level int, u_cell long, region_id string"
         )
-        j = points.select(
-            point_id, s2f.parent_expr(cell, lv).alias("u_cell")
-        ).join(dim, "u_cell").select(point_id, "region_id")
-        out = j if out is None else out.unionByName(j)
-    return out
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lv).alias("u_level"),
+                s2f.parent_expr(cell, lv).alias("u_cell"),
+            )
+            for lv in sorted(levels)
+        ]
+    )
+    exploded = points.select(point_id, F.explode(pairs).alias("p")).select(
+        point_id, F.col("p.u_level").alias("u_level"), F.col("p.u_cell").alias("u_cell")
+    )
+    return exploded.join(dim, ["u_level", "u_cell"]).select(point_id, "region_id")
 
 
 def contains_semi_join(
