@@ -36,6 +36,9 @@ CAPS = {
 }
 KNN_K = 3
 _QUERY_KEY = "c_custkey*7+3"  # distinct from the orders point set
+# hausdorff needs query points NOT coincident with any order point, so its
+# key derivation avoids the order-key range entirely
+_HAUSDORFF_KEY = "c_custkey*7919+123457"
 
 
 def _pip_loops() -> dict[str, Loop]:
@@ -218,6 +221,24 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed Hausdorff distance h(customers -> orders): kNN(k=1) + max
+    (S2HausdorffDistanceQuery over point sets)."""
+    from s2geometry_spark.operators.knn import hausdorff_distance
+
+    points = _order_points_xyz(spark, sf_dir).toDF("pid", "px", "py", "pz", "p_cell")
+    customer = _load(spark, sf_dir, "customer")
+    q = customer.select(F.col("c_custkey").alias("qid"), *tiling.triplet_exprs(_HAUSDORFF_KEY))
+    nrm = F.sqrt((F.col("x0") * F.col("x0") + F.col("y0") * F.col("y0") + F.col("z0") * F.col("z0")).cast("double"))
+    q = q.select(
+        "qid",
+        (F.col("x0").cast("double") / nrm).alias("qx"),
+        (F.col("y0").cast("double") / nrm).alias("qy"),
+        (F.col("z0").cast("double") / nrm).alias("qz"),
+    ).withColumn("q_cell", s2f.cell_from_xyz(F.col("qx"), F.col("qy"), F.col("qz")))
+    return hausdorff_distance(spark, points, q)
+
+
 # ---------- image pipeline queries (BASELINE.json input_hint table) ----------
 # The images table is synthesized deterministically at a size scaled to the
 # sf dir (no external data); these are rows-only checks — image decode is
@@ -391,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_anti": q_pip_anti,
         "cap_join": q_cap_join,
         "knn": q_knn,
+        "hausdorff": q_hausdorff,
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
@@ -511,7 +533,20 @@ SELECT qid, rank, vec_id, cosine FROM (
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND ({dot_ab}) / (({na}) * ({nb})) >= {NEARDUP_TAU}"""
+    h_xyz_cte = oracle.xyz_sql_cte(
+        "customer", _HAUSDORFF_KEY, keep_cols="c_custkey AS qid", prefix="h"
+    )
+    hausdorff_sql = f"""WITH {xyz_cte}, {h_xyz_cte}
+SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
+  SELECT max(mind) AS h_chord2 FROM (
+    SELECT q.qid, min(((q.x - p.x)*(q.x - p.x) + (q.y - p.y)*(q.y - p.y))
+             + (q.z - p.z)*(q.z - p.z)) AS mind
+    FROM hxyz q CROSS JOIN xyz p
+    GROUP BY q.qid
+  )
+)"""
     return {
+        "hausdorff": hausdorff_sql,
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,"
             " count(*) AS n_dups FROM documents GROUP BY 1"

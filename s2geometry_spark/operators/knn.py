@@ -254,3 +254,30 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
     for r in dfs[1:]:
         out = out.unionByName(r)
     return out
+
+
+def hausdorff_distance(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    start_level: int = 5,
+    num_stages: int = 2,
+) -> DataFrame:
+    """Directed Hausdorff distance h(Q -> P) = max_{q in Q} min_{p in P}
+    d(q, p) — the S2HausdorffDistanceQuery semantics over point sets,
+    composed from the kNN join (k=1 nearest in P per q, then one max agg;
+    the same best-first pruning the reference's query uses is our staged
+    ring expansion).
+
+    points: (pid, px, py, pz, p_cell); queries: (qid, qx, qy, qz, q_cell).
+    Returns one row: (h_chord2, h_radians).
+    """
+    nn = knn_join(
+        spark, points, queries, k=1, start_level=start_level, num_stages=num_stages
+    )
+    agg = nn.groupBy().agg(F.max("dist_chord2").alias("h_chord2"))
+    # chord^2 -> angle: 2*asin(sqrt(d2)/2) (s1chord_angle.h ToAngle)
+    return agg.select(
+        "h_chord2",
+        (2.0 * F.asin(F.sqrt(F.col("h_chord2")) / 2.0)).alias("h_radians"),
+    )
