@@ -198,6 +198,14 @@ def _order_points_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.withColumn("cell", s2f.cell_from_xyz(F.col("x"), F.col("y"), F.col("z")))
 
 
+def q_tile_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile convex hull (S2ConvexHullQuery per group) — rows-only
+    check (geometric construction; no SQL equivalent)."""
+    from s2geometry_spark.operators.tiling import per_tile_hulls
+
+    return per_tile_hulls(_order_points_xyz(spark, sf_dir), level=2)
+
+
 def q_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """within-distance (cap) join: covering-term candidates + pure-SQL
     chord^2 refinement."""
@@ -413,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
+        "tile_hulls": q_tile_hulls,
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,

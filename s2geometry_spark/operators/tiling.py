@@ -60,6 +60,42 @@ def tile_counts(df: DataFrame, level: int, cell: str = "cell") -> DataFrame:
     )
 
 
+def per_tile_hulls(df: DataFrame, level: int, cell: str = "cell") -> DataFrame:
+    """Convex hull of the points in each tile (S2ConvexHullQuery per
+    group): shuffle once on the tile key, hull + area per group in NumPy.
+
+    df needs x,y,z unit-vector columns.  Returns (cell_l{level},
+    n_points, n_hull_vertices, hull_area).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.convexhull import convex_hull
+    from ..kernels.measures import loop_area
+
+    key = f"cell_l{level}"
+    out_schema = f"{key} long, n_points long, n_hull_vertices long, hull_area double"
+
+    def one_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = pdf[["x", "y", "z"]].to_numpy(np.float64)
+        try:
+            hull = convex_hull(pts)
+            area = loop_area(hull) if hull.shape[0] >= 3 else 0.0
+        except ValueError:  # non-hemispheric tile group (only at level 0-1)
+            hull, area = pts, float("nan")
+        return pd.DataFrame(
+            {
+                key: [int(pdf[key].iloc[0])],
+                "n_points": [len(pdf)],
+                "n_hull_vertices": [hull.shape[0]],
+                "hull_area": [float(area)],
+            }
+        )
+
+    with_key = df.withColumn(key, s2f.parent_expr(cell, level))
+    return with_key.groupBy(key).applyInPandas(one_tile, out_schema)
+
+
 def tile_rollup(df: DataFrame, levels, cell: str = "cell") -> DataFrame:
     """Multi-level tile rollup in ONE shuffle.
 
