@@ -198,6 +198,58 @@ def _order_points_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.withColumn("cell", s2f.cell_from_xyz(F.col("x"), F.col("y"), F.col("z")))
 
 
+# edge fixtures: each row of orders/customer yields one geodesic edge with
+# both endpoints derived from the row key (keys need not be contiguous)
+_EDGE_A_KEY2 = "o_orderkey*31+17"
+_EDGE_B_KEY2 = "c_custkey*53+29"
+
+
+_EDGE_EPS = 0.02  # second endpoint = normalize(p0 + eps*q): short edges
+
+
+def _edges_df(spark, sf_dir, table, key, key2, id_col, prefix):
+    """Edges with endpoint0 = unit(triplet(key)) and endpoint1 =
+    unit(p0 + eps * unit(triplet(key2))) — short geodesics (~eps rad),
+    every arithmetic step pinned so the oracle reproduces it exactly."""
+    from s2geometry_spark.kernels.geotag import sql_xyz_exprs
+
+    t = _load(spark, sf_dir, table)
+
+    def unit(kexpr):
+        e = sql_xyz_exprs(kexpr)
+        x0, y0, z0 = F.expr(e["x0"]), F.expr(e["y0"]), F.expr(e["z0"])
+        nrm = F.sqrt((x0 * x0 + y0 * y0 + z0 * z0).cast("double"))
+        return (
+            x0.cast("double") / nrm,
+            y0.cast("double") / nrm,
+            z0.cast("double") / nrm,
+        )
+
+    px, py, pz = unit(key)
+    qx, qy, qz = unit(key2)
+    ex = px + F.lit(_EDGE_EPS) * qx
+    ey = py + F.lit(_EDGE_EPS) * qy
+    ez = pz + F.lit(_EDGE_EPS) * qz
+    en = F.sqrt(((ex * ex + ey * ey) + ez * ez).cast("double"))
+    return t.select(
+        F.col(key).alias(id_col),
+        px.alias(f"{prefix}0x"), py.alias(f"{prefix}0y"), pz.alias(f"{prefix}0z"),
+        (ex / en).alias(f"{prefix}1x"), (ey / en).alias(f"{prefix}1y"), (ez / en).alias(f"{prefix}1z"),
+    )
+
+
+def q_edge_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-crossing join (S2CrossingEdgeQuery): orders-derived edges x
+    customer-derived edges; term-join candidates + pinned-determinant
+    refinement (robust=False so the oracle's double arithmetic is
+    bit-identical; generic fixture data never enters the triage band)."""
+    from s2geometry_spark.operators.edge_join import edge_crossing_join
+
+    ea = _edges_df(spark, sf_dir, "orders", "o_orderkey", _EDGE_A_KEY2, "eid_a", "a")
+    eb = _edges_df(spark, sf_dir, "customer", "c_custkey", _EDGE_B_KEY2, "eid_b", "b")
+    return edge_crossing_join(spark, ea, eb, robust=False, broadcast_b=True)
+
+
 def q_tile_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile convex hull (S2ConvexHullQuery per group) — rows-only
     check (geometric construction; no SQL equivalent)."""
@@ -422,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "hausdorff": q_hausdorff,
         "tile_hulls": q_tile_hulls,
+        "edge_crossings": q_edge_crossings,
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
@@ -475,6 +528,65 @@ def _cellunion_join_oracle() -> str:
         )
     return _leaf_sql(" UNION ALL ".join(parts))
 
+
+
+
+def _edge_crossings_oracle() -> str:
+    """Pinned-determinant interior-crossing test over the cross join,
+    mirroring predicates.edges_cross_batch(robust=False) exactly."""
+    from s2geometry_spark.kernels.geotag import sql_xyz_exprs
+
+    def unit_exprs(kexpr):
+        e = sql_xyz_exprs(kexpr)
+        nrm = f"sqrt(CAST(({e['x0']})*({e['x0']}) + ({e['y0']})*({e['y0']}) + ({e['z0']})*({e['z0']}) AS DOUBLE))"
+        return (
+            f"CAST(({e['x0']}) AS DOUBLE)/{nrm}",
+            f"CAST(({e['y0']}) AS DOUBLE)/{nrm}",
+            f"CAST(({e['z0']}) AS DOUBLE)/{nrm}",
+        )
+
+    def edge_cte(name, table, key, key2, idsel, pfx):
+        px, py, pz = unit_exprs(key)
+        qx, qy, qz = unit_exprs(key2)
+        # CAST: a bare 0.08 literal is DECIMAL(3,2) in DuckDB and decimal
+        # multiplication rounds differently from IEEE double (1-ulp drift)
+        eps = f"CAST({_EDGE_EPS} AS DOUBLE)"
+        ex = f"({px} + {eps} * {qx})"
+        ey = f"({py} + {eps} * {qy})"
+        ez = f"({pz} + {eps} * {qz})"
+        en = f"sqrt(CAST((({ex}*{ex} + {ey}*{ey}) + {ez}*{ez}) AS DOUBLE))"
+        return (
+            f"{name} AS (SELECT {idsel}, {px} AS {pfx}0x, {py} AS {pfx}0y, {pz} AS {pfx}0z, "
+            f"{ex}/{en} AS {pfx}1x, {ey}/{en} AS {pfx}1y, {ez}/{en} AS {pfx}1z FROM {table})"
+        )
+
+    ea = edge_cte("ea", "orders", "o_orderkey", _EDGE_A_KEY2, "o_orderkey AS eid_a", "a")
+    eb = edge_cte("eb", "customer", "c_custkey", _EDGE_B_KEY2, "c_custkey AS eid_b", "b")
+    # n = a0 x a1 (pinned component order), m = b0 x b1
+    return f"""WITH {ea}, {eb},
+pr AS (
+  SELECT eid_a, eid_b,
+    (a0y*a1z - a0z*a1y) AS nx, (a0z*a1x - a0x*a1z) AS ny, (a0x*a1y - a0y*a1x) AS nz,
+    (b0y*b1z - b0z*b1y) AS mx, (b0z*b1x - b0x*b1z) AS my, (b0x*b1y - b0y*b1x) AS mz,
+    a0x, a0y, a0z, a1x, a1y, a1z, b0x, b0y, b0z, b1x, b1y, b1z
+  FROM ea CROSS JOIN eb
+),
+dt AS (
+  SELECT eid_a, eid_b,
+    (nx*b0x + ny*b0y) + nz*b0z AS db0, (nx*b1x + ny*b1y) + nz*b1z AS db1,
+    (mx*a0x + my*a0y) + mz*a0z AS da0, (mx*a1x + my*a1y) + mz*a1z AS da1
+  FROM pr
+),
+sg0 AS (
+  SELECT eid_a, eid_b,
+    CASE WHEN abs(db0) <= 1e-15 THEN 0 ELSE sign(db0) END AS db0s,
+    CASE WHEN abs(db1) <= 1e-15 THEN 0 ELSE sign(db1) END AS db1s,
+    CASE WHEN abs(da0) <= 1e-15 THEN 0 ELSE sign(da0) END AS da0s,
+    CASE WHEN abs(da1) <= 1e-15 THEN 0 ELSE sign(da1) END AS da1s
+  FROM dt
+)
+SELECT eid_a, eid_b FROM sg0
+WHERE db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s"""
 
 def oracle_sql() -> dict[str, str]:
     p5 = oracle.parent_sql_expr("cell_leaf", 5)
@@ -556,6 +668,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
 )"""
     return {
         "hausdorff": hausdorff_sql,
+        "edge_crossings": _edge_crossings_oracle(),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,"
             " count(*) AS n_dups FROM documents GROUP BY 1"

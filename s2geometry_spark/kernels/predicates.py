@@ -359,6 +359,78 @@ def loop_contains_points(
     return inside
 
 
+def _pinned_cross(ax, ay, az, bx, by, bz):
+    """Component-wise cross product with pinned operation order (matches
+    the SQL oracle's expression tree exactly)."""
+    return (
+        ay * bz - az * by,
+        az * bx - ax * bz,
+        ax * by - ay * bx,
+    )
+
+
+def _pinned_dot(ax, ay, az, bx, by, bz):
+    return (ax * bx + ay * by) + az * bz
+
+
+def edges_cross_batch(
+    A0: np.ndarray, A1: np.ndarray, B0: np.ndarray, B1: np.ndarray,
+    robust: bool = True,
+) -> np.ndarray:
+    """Interior-crossing test for n edge PAIRS (vectorized CrossingSign>0).
+
+    A0,A1,B0,B1: (n,3) endpoint arrays, one candidate pair per row.
+    robust=True sends triage-uncertain rows through the exact scalar path
+    (the engine default); robust=False uses pure double triage signs with
+    the pinned operation order — bit-reproducible in any IEEE SQL engine,
+    for oracle-matched queries (generic data never enters the band).
+    """
+    ax, ay, az = A0[:, 0], A0[:, 1], A0[:, 2]
+    bx, by, bz = A1[:, 0], A1[:, 1], A1[:, 2]
+    nx, ny, nz = _pinned_cross(ax, ay, az, bx, by, bz)  # a0 x a1
+
+    def tri(px, py, pz, qx, qy, qz, rx, ry, rz):
+        cxx, cyy, czz = _pinned_cross(px, py, pz, qx, qy, qz)
+        return _pinned_dot(cxx, cyy, czz, rx, ry, rz)
+
+    d_b0 = _pinned_dot(nx, ny, nz, B0[:, 0], B0[:, 1], B0[:, 2])  # sign(a0,a1,b0)
+    d_b1 = _pinned_dot(nx, ny, nz, B1[:, 0], B1[:, 1], B1[:, 2])  # sign(a0,a1,b1)
+    mx, my, mz = _pinned_cross(
+        B0[:, 0], B0[:, 1], B0[:, 2], B1[:, 0], B1[:, 1], B1[:, 2]
+    )  # b0 x b1
+    d_a0 = _pinned_dot(mx, my, mz, ax, ay, az)  # sign(b0,b1,a0)
+    d_a1 = _pinned_dot(mx, my, mz, bx, by, bz)  # sign(b0,b1,a1)
+
+    if not robust:
+        # pure-double semantics: strict sign alternation on both edges PLUS
+        # the orientation chain link sign(d_b1) == sign(d_a0) — without it
+        # two arcs straddling each other's great circles at ANTIPODAL
+        # intersection points false-positive (the reference's cbd/dac
+        # checks, s2edge_crosser.cc).  Signs use a FIXED tolerance band
+        # (|det| <= 1e-15 -> 0): shared-vertex pairs produce exact-zero
+        # determinants plus rounding noise whose ulp-level value is not
+        # portable across engines; the band makes the decision
+        # deterministic everywhere (near-degenerate pairs -> no crossing).
+        def sgn(d):
+            return np.where(np.abs(d) <= 1e-15, 0, np.sign(d))
+
+        return (
+            (sgn(d_b0) * sgn(d_b1) < 0)
+            & (sgn(d_a0) * sgn(d_a1) < 0)
+            & (sgn(d_b1) == sgn(d_a0))
+        )
+
+    s_b0 = np.where(d_b0 > MAX_DET_ERROR, 1, np.where(d_b0 < -MAX_DET_ERROR, -1, 0))
+    s_b1 = np.where(d_b1 > MAX_DET_ERROR, 1, np.where(d_b1 < -MAX_DET_ERROR, -1, 0))
+    s_a0 = np.where(d_a0 > MAX_DET_ERROR, 1, np.where(d_a0 < -MAX_DET_ERROR, -1, 0))
+    s_a1 = np.where(d_a1 > MAX_DET_ERROR, 1, np.where(d_a1 < -MAX_DET_ERROR, -1, 0))
+    certain = (s_b0 != 0) & (s_b1 != 0) & (s_a0 != 0) & (s_a1 != 0)
+    out = certain & (s_b0 * s_b1 < 0) & (s_a0 * s_a1 < 0) & (s_b1 == s_a0)
+    for i in np.flatnonzero(~certain):
+        out[i] = crossing_sign(A0[i], A1[i], B0[i], B1[i]) > 0
+    return out
+
+
 def compute_origin_inside(vertices: np.ndarray) -> bool:
     """S2Loop::InitOriginAndBound essence (s2loop.cc:275-301): decide whether
     S2::Origin() is inside the loop.

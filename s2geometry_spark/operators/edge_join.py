@@ -1,0 +1,171 @@
+"""Edge-crossing join: S2CrossingEdgeQuery (s2crossing_edge_query.cc)
+re-expressed as distributed dataflow over two EDGE tables.
+
+Plan:
+  covering — each edge's bounding-cap cell-union bound (vertex neighbors
+  at the cap's radius level, s2cap.cc:202-223), VECTORIZED: radii ->
+  levels scalar-cheaply, then one append_vertex_neighbors call per level
+  group; 6-face fallback for huge edges; levels clamped to MAX_LEVEL.
+  terms — the REGION-to-REGION term-indexer scheme
+  (s2region_term_indexer.cc:23-72): the index side (B) emits covering
+  terms + ancestor terms, the query side (A) emits an ancestor term per
+  covering cell + covering terms for its ancestors; coverings overlap in
+  range iff they share a term.  Emitted as FLAT (eid, term_cell,
+  is_covering) rows from one mapInPandas pass — no per-row Python.
+  candidates — ONE equi-join of the two term tables on (term_cell,
+  is_covering) + pair dedup; edge coordinates are joined back by eid
+  afterwards (the term tables stay narrow).
+  refine — vectorized interior-crossing kernel per candidate batch
+  (predicates.edges_cross_batch: pinned-order triage determinants with
+  the antipodal sign-chain check; robust mode drops uncertain rows to
+  the exact scalar path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels import cellid, metrics, predicates
+
+MAX_LEVEL = 20
+
+
+def _edge_coverings_flat(
+    A0: np.ndarray, A1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(owner_row_idx, covering_cell uint64) flat arrays for a batch."""
+    n = A0.shape[0]
+    mid = A0 + A1
+    nrm = np.linalg.norm(mid, axis=1)
+    bad = nrm < 1e-12
+    mid[bad] = A0[bad]
+    nrm[bad] = 1.0
+    mid = mid / nrm[:, None]
+    r2 = ((mid - A0) ** 2).sum(axis=1)
+    radius = 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(r2)))
+    levels = np.array(
+        [metrics.MIN_WIDTH.get_level_for_min_value(float(r)) - 1 for r in radius],
+        dtype=np.int64,
+    )
+    levels = np.minimum(levels, MAX_LEVEL)
+    owners = []
+    cells = []
+    full = levels < 0
+    if full.any():
+        faces = cellid.from_face(np.arange(6))
+        for i in np.flatnonzero(full):
+            owners.append(np.full(6, i))
+            cells.append(faces)
+    leafs = cellid.from_xyz(mid[:, 0], mid[:, 1], mid[:, 2])
+    for lv in np.unique(levels[levels >= 0]):
+        sel = np.flatnonzero(levels == lv)
+        idx, nbrs = cellid.append_vertex_neighbors(leafs[sel], int(lv))
+        owners.append(sel[idx])
+        cells.append(nbrs)
+    owner = np.concatenate(owners) if owners else np.zeros(0, np.int64)
+    cell = np.concatenate(cells) if cells else np.zeros(0, np.uint64)
+    return owner, cell
+
+
+def _terms_flat(owner: np.ndarray, cell: np.ndarray, side: str):
+    """Vectorized term emission for a flat covering batch.
+
+    index side: (c, True) [if level < MAX_LEVEL], (c, False), ancestors
+    (p, False); query side: (c, False), ancestors (p, True).
+    """
+    lv = cellid.level(cell)
+    out_owner, out_cell, out_cov = [], [], []
+    biased = cellid.to_biased(cell)
+    if side == "index":
+        m = lv < MAX_LEVEL
+        out_owner.append(owner[m]); out_cell.append(biased[m]); out_cov.append(np.ones(m.sum(), bool))
+        out_owner.append(owner); out_cell.append(biased); out_cov.append(np.zeros(len(owner), bool))
+        anc_flag = False
+    else:
+        out_owner.append(owner); out_cell.append(biased); out_cov.append(np.zeros(len(owner), bool))
+        anc_flag = True
+    for L in np.unique(lv):
+        if L == 0:
+            continue
+        sel = np.flatnonzero(lv == L)
+        sub = cell[sel]
+        for p in range(int(L) - 1, -1, -1):
+            par = cellid.to_biased(cellid.parent(sub, p))
+            out_owner.append(owner[sel])
+            out_cell.append(par)
+            out_cov.append(np.full(len(sel), anc_flag))
+    return (
+        np.concatenate(out_owner),
+        np.concatenate(out_cell),
+        np.concatenate(out_cov),
+    )
+
+
+def _term_table(edges: DataFrame, id_col: str, prefix: str, side: str) -> DataFrame:
+    cols = [f"{prefix}{k}{ax}" for k in (0, 1) for ax in "xyz"]
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {id_col: pd.Series(dtype="int64"),
+                     "term_cell": pd.Series(dtype="int64"),
+                     "is_covering": pd.Series(dtype="bool")}
+                )
+                continue
+            A0 = pdf[cols[:3]].to_numpy(np.float64)
+            A1 = pdf[cols[3:]].to_numpy(np.float64)
+            owner, cell = _edge_coverings_flat(A0, A1)
+            o, c, f = _terms_flat(owner, cell, side)
+            ids = pdf[id_col].to_numpy(np.int64)
+            out = pd.DataFrame(
+                {id_col: ids[o], "term_cell": c.astype(np.int64), "is_covering": f}
+            )
+            yield out.drop_duplicates()
+
+    return edges.select(id_col, *cols).mapInPandas(
+        batches, f"{id_col} long, term_cell long, is_covering boolean"
+    )
+
+
+def edge_crossing_join(
+    spark: SparkSession,
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    robust: bool = True,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """All (eid_a, eid_b) pairs whose edge interiors cross.
+
+    edges_a: (eid_a, a0x..a1z); edges_b: (eid_b, b0x..b1z).
+    """
+    ta = _term_table(edges_a, "eid_a", "a", "query")
+    tb = _term_table(edges_b, "eid_b", "b", "index")
+    if broadcast_b:
+        tb = F.broadcast(tb)
+    pairs = (
+        ta.join(tb, ["term_cell", "is_covering"])
+        .select("eid_a", "eid_b")
+        .dropDuplicates(["eid_a", "eid_b"])
+    )
+    eb = F.broadcast(edges_b) if broadcast_b else edges_b
+    cand = pairs.join(edges_a, "eid_a").join(eb, "eid_b")
+
+    def refine(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"eid_a": pd.Series(dtype="int64"), "eid_b": pd.Series(dtype="int64")}
+                )
+                continue
+            A0 = pdf[["a0x", "a0y", "a0z"]].to_numpy(np.float64)
+            A1 = pdf[["a1x", "a1y", "a1z"]].to_numpy(np.float64)
+            B0 = pdf[["b0x", "b0y", "b0z"]].to_numpy(np.float64)
+            B1 = pdf[["b1x", "b1y", "b1z"]].to_numpy(np.float64)
+            hit = predicates.edges_cross_batch(A0, A1, B0, B1, robust=robust)
+            yield pdf.loc[hit, ["eid_a", "eid_b"]]
+
+    return cand.mapInPandas(refine, "eid_a long, eid_b long")

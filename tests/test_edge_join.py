@@ -1,0 +1,103 @@
+"""Edge-crossing join vs brute force: random geodesic edge sets, all
+crossing pairs via the scalar robust predicate as the oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.kernels import predicates
+from s2geometry_spark.operators.edge_join import edge_crossing_join
+
+
+def random_edges(rng, n, spread=0.3, center=(1.0, 0.0, 0.0)):
+    c = np.asarray(center, float)
+    c /= np.linalg.norm(c)
+    p0 = c[None, :] + spread * rng.normal(size=(n, 3))
+    p1 = c[None, :] + spread * rng.normal(size=(n, 3))
+    p0 /= np.linalg.norm(p0, axis=1)[:, None]
+    p1 /= np.linalg.norm(p1, axis=1)[:, None]
+    return p0, p1
+
+
+def to_df(spark, prefix, ids, P0, P1):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            f"eid_{prefix[0]}": ids,
+            f"{prefix}0x": P0[:, 0], f"{prefix}0y": P0[:, 1], f"{prefix}0z": P0[:, 2],
+            f"{prefix}1x": P1[:, 0], f"{prefix}1y": P1[:, 1], f"{prefix}1z": P1[:, 2],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def brute_pairs(A0, A1, B0, B1):
+    out = set()
+    for i in range(A0.shape[0]):
+        for j in range(B0.shape[0]):
+            if predicates.crossing_sign(A0[i], A1[i], B0[j], B1[j]) > 0:
+                out.add((i, j))
+    return out
+
+
+def test_edges_cross_batch_vs_scalar():
+    rng = np.random.default_rng(21)
+    A0, A1 = random_edges(rng, 60)
+    B0, B1 = random_edges(rng, 60)
+    # all pairs flattened
+    n, m = 60, 60
+    ii, jj = np.meshgrid(np.arange(n), np.arange(m), indexing="ij")
+    got = predicates.edges_cross_batch(
+        A0[ii.ravel()], A1[ii.ravel()], B0[jj.ravel()], B1[jj.ravel()]
+    ).reshape(n, m)
+    want = brute_pairs(A0, A1, B0, B1)
+    assert {(i, j) for i, j in zip(*np.nonzero(got))} == want
+    assert want  # dense random edges do cross
+
+
+def test_edge_crossing_join_vs_bruteforce(spark):
+    rng = np.random.default_rng(22)
+    # mixed edge lengths across two clusters => mixed covering levels
+    A0a, A1a = random_edges(rng, 40, spread=0.3)
+    A0b, A1b = random_edges(rng, 20, spread=0.02)
+    A0 = np.vstack([A0a, A0b]); A1 = np.vstack([A1a, A1b])
+    B0a, B1a = random_edges(rng, 40, spread=0.25)
+    B0b, B1b = random_edges(rng, 20, spread=0.01)
+    B0 = np.vstack([B0a, B0b]); B1 = np.vstack([B1a, B1b])
+    da = to_df(spark, "a", list(range(len(A0))), A0, A1)
+    db = to_df(spark, "b", list(range(len(B0))), B0, B1)
+    got = {
+        (r.eid_a, r.eid_b)
+        for r in edge_crossing_join(spark, da, db, broadcast_b=True).collect()
+    }
+    want = brute_pairs(A0, A1, B0, B1)
+    assert got == want
+    assert want
+
+
+def test_edge_crossing_join_disjoint_regions(spark):
+    rng = np.random.default_rng(23)
+    A0, A1 = random_edges(rng, 20, spread=0.05, center=(1, 0, 0))
+    B0, B1 = random_edges(rng, 20, spread=0.05, center=(-1, 0, 0))
+    da = to_df(spark, "a", list(range(20)), A0, A1)
+    db = to_df(spark, "b", list(range(20)), B0, B1)
+    assert edge_crossing_join(spark, da, db).count() == 0
+
+def test_antipodal_pairs_do_not_cross():
+    """Two arcs whose great circles intersect at ANTIPODAL points each
+    straddle the other's great circle but do NOT cross — the sign-chain
+    check must reject them (regression: the naive two-straddle test
+    false-positives here)."""
+    rng = np.random.default_rng(33)
+    A0, A1 = random_edges(rng, 25, spread=0.1, center=(1, 0, 0))
+    B0, B1 = random_edges(rng, 25, spread=0.1, center=(-1, 0, 0))
+    n = 25
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    for robust in (True, False):
+        got = predicates.edges_cross_batch(
+            A0[ii.ravel()], A1[ii.ravel()], B0[jj.ravel()], B1[jj.ravel()],
+            robust=robust,
+        )
+        assert not got.any(), f"antipodal false positives (robust={robust})"
+    assert not brute_pairs(A0, A1, B0, B1)
