@@ -318,15 +318,29 @@ _IMG_CACHE: dict = {}
 
 
 def _images_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generated images table, geotagged; cached per (session, sf) so the
-    three image queries share one generation pass."""
+    """Generated images table, geotagged — NOT cached: caching binary-heavy
+    rows collapses the memory store under 32 concurrent writers (BENCH.md
+    §3, 28s vs 7s).  Queries that only need the geo columns should use
+    `_images_geo_narrow` (cached) instead; bytes-consuming queries
+    regenerate the deterministic table (one scan each, no binary cache)."""
     from s2geometry_spark.operators import image_pipeline as ip
     from s2geometry_spark.sources import images as imgsrc
 
+    n = imgsrc.n_images_for_sf_dir(sf_dir)
+    return ip.with_geotag(imgsrc.images_df(spark, n))
+
+
+def _images_geo_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow (image_id, lat, lng, cell) projection, cached per (session,
+    sf): a few dozen bytes per row, safe to pin, shared by the geo-only
+    queries."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IMG_CACHE:
-        n = imgsrc.n_images_for_sf_dir(sf_dir)
-        _IMG_CACHE[key] = ip.with_geotag(imgsrc.images_df(spark, n)).cache()
+        _IMG_CACHE[key] = (
+            _images_geo(spark, sf_dir)
+            .select("image_id", "lat", "lng", "cell")
+            .cache()
+        )
     return _IMG_CACHE[key]
 
 
@@ -344,7 +358,9 @@ def q_img_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops = {
         rid: Loop.make_regular(lat, lng, r, n) for rid, (lat, lng, r, n) in IMG_LOOPS.items()
     }
-    return ip.images_pip_join(spark, _images_geo(spark, sf_dir), RegionIndex(loops))
+    return ip.images_pip_join(
+        spark, _images_geo_narrow(spark, sf_dir), RegionIndex(loops)
+    )
 
 
 def q_img_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -177,6 +177,18 @@ def interpolate(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
     if ab < 1e-15:
         return np.broadcast_to(a, (t.size, 3)).copy()
     sin_ab = np.sin(ab)
+    if sin_ab < 1e-15:
+        # near-antipodal endpoints: the geodesic is ill-defined (any great
+        # circle through a works); pick the one through a deterministic
+        # orthogonal direction, mirroring the reference's robust-ortho
+        # behaviour (s2edge_distances.cc Interpolate -> S2::Ortho).
+        ref = np.zeros(3)
+        ref[int(np.argmin(np.abs(a)))] = 1.0
+        m = np.cross(a, ref)
+        m /= np.linalg.norm(m)
+        ang = t * ab
+        out = np.cos(ang)[:, None] * a + np.sin(ang)[:, None] * m
+        return out / np.linalg.norm(out, axis=1)[:, None]
     wa = np.sin((1.0 - t) * ab) / sin_ab
     wb = np.sin(t * ab) / sin_ab
     out = wa[:, None] * a + wb[:, None] * b

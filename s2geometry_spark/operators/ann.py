@@ -116,12 +116,22 @@ def cosine_topk_bruteforce(
         StructType,
     )
 
-    q_rows = queries.collect()  # query set is small by contract
-    qids = [r.qid for r in q_rows]
     import numpy as np
 
+    # Loud row cap instead of a silent driver OOM: the query matrix ships to
+    # executors via a torrent broadcast, so it must actually be small.
+    MAX_QUERIES = 100_000
+    q_rows = queries.limit(MAX_QUERIES + 1).collect()
+    if len(q_rows) > MAX_QUERIES:
+        raise ValueError(
+            f"cosine_topk_bruteforce: query side exceeds {MAX_QUERIES} rows; "
+            "use cosine_topk_lsh / ivf_topk for a large query table"
+        )
+    qids = [r.qid for r in q_rows]
     Q = np.array([list(r.q_embedding) for r in q_rows], dtype=np.float64)
     qn = _fold_norms(Q)
+    sc = vectors.sparkSession.sparkContext
+    bq = sc.broadcast((np.array(qids, dtype=np.int64), Q, qn))
 
     schema = StructType(
         [
@@ -132,7 +142,7 @@ def cosine_topk_bruteforce(
     )
 
     def batches(it):
-        qid_arr = np.array(qids, dtype=np.int64)
+        qid_arr, Q, qn = bq.value
         for pdf in it:
             A = _np_mat(pdf["embedding"])
             an = _fold_norms(A)
@@ -165,47 +175,78 @@ def cosine_topk_bruteforce(
     )
 
 
-def embedding_near_dup(vectors: DataFrame, tau: float = 0.9) -> DataFrame:
-    """All pairs (vec_a < vec_b) with cosine >= tau — brute force,
-    oracle-checkable; the LSH variant is the scale path."""
-    import numpy as np
+def embedding_near_dup(
+    vectors: DataFrame, tau: float = 0.9, n_blocks: int = 8
+) -> DataFrame:
+    """All pairs (vec_a < vec_b) with cosine >= tau — EXACT, fully
+    distributed block-pair self-join (the classic all-pairs triangle
+    decomposition): each vector hashes to one of ``n_blocks`` blocks; every
+    unordered block pair (i <= j) is one cogroup task computing a dense
+    (|Bi| x |Bj|) fold-order cosine tile in NumPy.  Replication is
+    ~n_blocks/2 copies per side — no driver collect, no O(n^2) pair rows in
+    the JVM, and the O(n^2) flop cost is spread over n_blocks*(n_blocks+1)/2
+    independent tasks.  Raise ``n_blocks`` with the table (tile memory is
+    (n/n_blocks)^2 doubles); minhash/simhash/LSH remain the sub-quadratic
+    candidate-generation paths when exactness isn't required.
+    """
     import pandas as pd
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    # O(n^2) comparison set: the right side is collected once and shipped
-    # in the UDF closure (brute force is inherently the small-n correctness
-    # baseline; minhash/simhash/LSH are the 100-TB paths).  Each Arrow
-    # batch of the left side computes a (batch x n) fold-order cosine
-    # block — no pair rows are ever materialized in the JVM.
-    rows = vectors.select("vec_id", "embedding").collect()
-    all_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-    vn = _fold_norms(V)
-
-    schema = StructType(
-        [
-            StructField("vec_a", LongType(), False),
-            StructField("vec_b", LongType(), False),
-            StructField("cosine", DoubleType(), False),
-        ]
+    nb = F.lit(n_blocks)
+    base = vectors.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64(F.col("vec_id")), nb).cast("int").alias("_blk"),
+    )
+    # A-side of tile (i, j): vectors of block i, for every j >= i.
+    a_side = base.select(
+        "vec_id",
+        "embedding",
+        F.col("_blk").alias("_bi"),
+        F.explode(F.sequence(F.col("_blk"), nb - 1)).alias("_bj"),
+    )
+    # B-side of tile (i, j): vectors of block j, for every i <= j.
+    b_side = base.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("embedding_b"),
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_bi"),
+        F.col("_blk").alias("_bj"),
     )
 
-    def batches(it):
-        for pdf in it:
-            A = _np_mat(pdf["embedding"])
-            an = _fold_norms(A)
-            aid = pdf["vec_id"].to_numpy(np.int64)
-            C = _fold_dots(A, V) / (an[:, None] * vn[None, :])
-            ii, jj = np.nonzero((C >= tau) & (aid[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": aid[ii],
-                    "vec_b": all_ids[jj],
-                    "cosine": C[ii, jj],
-                }
-            )
+    def tile(key, apdf: pd.DataFrame, bpdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(apdf) == 0 or len(bpdf) == 0:
+            return empty
+        A = _np_mat(apdf["embedding"])
+        B = _np_mat(bpdf["embedding_b"])
+        aid = apdf["vec_id"].to_numpy(np.int64)
+        bid = bpdf["vec_id_b"].to_numpy(np.int64)
+        C = _fold_dots(A, B) / (_fold_norms(A)[:, None] * _fold_norms(B)[None, :])
+        if key[0] == key[1]:
+            # diagonal tile: every unordered pair appears twice (both
+            # orderings across the A/B copies) — keep one, drop self-pairs
+            keep = aid[:, None] < bid[None, :]
+        else:
+            # off-diagonal tile: each unordered pair appears exactly ONCE
+            # (the lower block is always the A side), with either id order
+            keep = np.ones_like(C, dtype=bool)
+        ii, jj = np.nonzero((C >= tau) & keep)
+        if ii.size == 0:
+            return empty
+        lo = np.minimum(aid[ii], bid[jj])
+        hi = np.maximum(aid[ii], bid[jj])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": C[ii, jj]})
 
-    return vectors.select("vec_id", "embedding").mapInPandas(batches, schema)
+    return (
+        a_side.groupBy("_bi", "_bj")
+        .cogroup(b_side.groupBy("_bi", "_bj"))
+        .applyInPandas(tile, "vec_a long, vec_b long, cosine double")
+    )
 
 
 # ---------- LSH (random hyperplanes) ----------

@@ -99,12 +99,21 @@ class CheckpointedRun:
         """
         written = []
         t_run = time.time()
+        # real attempt lineage: prior manifest rows for a bucket are earlier
+        # tries; an orphaned data dir with NO manifest row is a crash between
+        # data write and manifest append (also an earlier try).
+        prior_attempts: dict[int, int] = {}
+        for rec in self.lineage():
+            prior_attempts[rec["bucket"]] = prior_attempts.get(rec["bucket"], 0) + 1
         pending = self.pending_buckets()
         if max_buckets is not None:
             pending = pending[:max_buckets]
         for b in pending:
             t0 = time.time()
             out = os.path.join(self.out_dir, "data", f"bucket={b}")
+            attempt = prior_attempts.get(b, 0) + 1
+            if b not in prior_attempts and os.path.exists(out):
+                attempt += 1  # orphaned partial write from a crashed attempt
             df = make_unit(spark, b)
             df.write.mode("overwrite").parquet(out)  # idempotent re-attempt
             rows = spark.read.parquet(out).count()
@@ -115,7 +124,7 @@ class CheckpointedRun:
                 "rows": rows,
                 "wall_s": round(wall, 3),
                 "rows_per_sec": round(rows / wall, 1) if wall > 0 else 0.0,
-                "attempt": 1,
+                "attempt": attempt,
                 "status": "done",
             }
             self._append_manifest(rec)

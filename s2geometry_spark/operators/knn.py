@@ -133,26 +133,22 @@ def _stage(
             dz = Qb[:, 2][:, None] - Pb[None, :, 2]
             D = (dx * dx + dy * dy) + dz * dz
             take = min(k, Pb.shape[0])
-            if take < Pb.shape[0]:
-                part = np.argpartition(D, take - 1, axis=1)[:, :take]
-            else:
-                part = np.broadcast_to(
-                    np.arange(Pb.shape[0]), (Qb.shape[0], Pb.shape[0])
-                ).copy()
-            ridx = np.arange(Qb.shape[0])[:, None]
-            d_part = D[ridx, part]
-            id_part = ids_b[part]
-            o1 = np.argsort(id_part, axis=1, kind="stable")
-            d1 = np.take_along_axis(d_part, o1, axis=1)
-            o2 = np.argsort(d1, axis=1, kind="stable")
-            fin = np.take_along_axis(o1, o2, axis=1)
+            # full (dist, pid) lexicographic order — a distance-only
+            # argpartition can drop the smaller-pid member of a tie at the
+            # k-th boundary, breaking the oracle's (dist, pid) tie-break.
+            # ids_b is shared across rows, so pre-permute columns by pid once
+            # and a stable distance argsort yields (dist, pid) order.
+            oi = np.argsort(ids_b, kind="stable")
+            D2 = D[:, oi]
+            ids2 = ids_b[oi]
+            fin = np.argsort(D2, axis=1, kind="stable")[:, :take]
             out_q.append(np.repeat(q_ids[qm], take))
             out_qx.append(np.repeat(Qb[:, 0], take))
             out_qy.append(np.repeat(Qb[:, 1], take))
             out_qz.append(np.repeat(Qb[:, 2], take))
             out_qc.append(np.repeat(q_cells[qm], take))
-            out_p.append(np.take_along_axis(id_part, fin, axis=1).reshape(-1))
-            out_d.append(np.take_along_axis(d_part, fin, axis=1).reshape(-1))
+            out_p.append(ids2[fin].reshape(-1))
+            out_d.append(np.take_along_axis(D2, fin, axis=1).reshape(-1))
         if not out_q:
             return group_topk(key, qdf.iloc[:0], pdf.iloc[:0])
         return pd.DataFrame(
@@ -215,6 +211,7 @@ def knn_join(
     """
     points = points.cache()
     remaining = queries
+    prev_cached: list[DataFrame] = []
     results = []
     level = start_level
     for _ in range(num_stages):
@@ -229,8 +226,17 @@ def knn_join(
         remaining = remaining.join(certified_q, qid, "left_anti").cache()
         level -= 3
         # short-circuit: a later stage would still shuffle the whole points
-        # side through the cogroup even with zero queries left
-        if remaining.limit(1).count() == 0:
+        # side through the cogroup even with zero queries left; this count
+        # also materializes the new `remaining`, after which the PREVIOUS
+        # stage's remaining cache is dead weight — unpersist it so query-side
+        # caches don't pile up in block-manager memory for the session's
+        # life.  (`staged` caches stay: they back the lazily-returned result
+        # union; they're bounded by num_stages and dropped with the plan.)
+        empty = remaining.limit(1).count() == 0
+        for df in prev_cached:
+            df.unpersist()
+        prev_cached = [remaining]
+        if empty:
             return _union_all(results)
 
     # brute-force fallback for the (typically empty) remainder

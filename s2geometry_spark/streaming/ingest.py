@@ -40,6 +40,28 @@ def tile_stream(
     return out
 
 
+def idempotent_batch_writer(out_dir: str, partition_level: int):
+    """foreachBatch sink whose replays are exact overwrites, not appends.
+
+    Each micro-batch lands under a deterministic ``ingest_batch=<batch_id>``
+    partition via DYNAMIC partition overwrite: a replayed batch (stream
+    restart after data write but before checkpoint commit) re-derives the
+    same batch_id from the checkpointed source offsets and overwrites only
+    its own partitions — the idempotent-append contract Iceberg's MERGE
+    gives natively, built on plain parquet."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", f"cell_l{partition_level}")
+            .parquet(out_dir)
+        )
+
+    return write_batch
+
+
 def start_tiled_ingest(
     spark,
     source_dir: str,
@@ -52,19 +74,21 @@ def start_tiled_ingest(
 ):
     """File-source streaming ingest: new files under ``source_dir`` are
     tiled and appended to ``out_dir`` partitioned by the coarse tiling
-    column (the Iceberg partition key at design scale)."""
+    column (the Iceberg partition key at design scale).
+
+    Exactly-once: a blind parquet append would duplicate rows if the stream
+    restarts after a batch wrote data but before the checkpoint commit.
+    Each micro-batch instead lands under a deterministic
+    ``ingest_batch=<batch_id>`` partition with DYNAMIC partition overwrite —
+    a replayed batch re-derives the same batch_id from the checkpointed
+    source offsets and overwrites only its own partitions, which is the
+    idempotent-append contract Iceberg's MERGE gives natively."""
     reader = spark.readStream.schema(schema)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     stream = reader.parquet(source_dir)
     tiled = tile_stream(stream, levels=(partition_level,))
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.write.mode("append")
-            .partitionBy(f"cell_l{partition_level}")
-            .parquet(out_dir)
-        )
+    write_batch = idempotent_batch_writer(out_dir, partition_level)
 
     writer = (
         tiled.writeStream.foreachBatch(write_batch)

@@ -104,6 +104,23 @@ def test_interpolate_endpoints_and_midpoint():
     assert np.allclose(measures.interpolate(a, b, 0.5)[0], _pt(0, 45), atol=1e-12)
 
 
+def test_interpolate_antipodal_no_nan():
+    """Near-antipodal endpoints: sin(ab) underflows; the result must stay a
+    finite unit vector with correct endpoint behaviour (any great circle
+    through `a` is acceptable, per the reference's robust ortho)."""
+    a = _pt(0, 0)
+    b = -a  # exactly antipodal
+    for t in (0.0, 0.25, 0.5, 1.0):
+        p = measures.interpolate(a, b, t)[0]
+        assert np.all(np.isfinite(p))
+        assert np.linalg.norm(p) == pytest.approx(1.0, abs=1e-12)
+    assert np.allclose(measures.interpolate(a, b, 0.0)[0], a)
+    assert np.allclose(measures.interpolate(a, b, 1.0)[0], b, atol=1e-12)
+    # midpoint is 90 degrees from both endpoints
+    mid = measures.interpolate(a, b, 0.5)[0]
+    assert abs(np.dot(mid, a)) < 1e-12
+
+
 def test_polyline_ops():
     v = np.stack([_pt(0, 0), _pt(0, 10), _pt(10, 10)])
     L = measures.polyline_length(v)

@@ -103,3 +103,31 @@ def test_checkpoint_resume(spark, images_geo, tmp_path):
     run2 = CheckpointedRun(out, n_buckets=8)
     assert run2.pending_buckets() == []
     assert run2.run(spark, make_unit) == []
+
+
+def test_checkpoint_attempt_lineage(spark, images_geo, tmp_path):
+    """A crash between data write and manifest append must surface as
+    attempt=2 on the re-run, not be re-recorded as attempt 1."""
+    import os
+
+    from s2geometry_spark.operators.checkpoint import CheckpointedRun
+
+    out = str(tmp_path / "ckpt_att")
+    run = CheckpointedRun(out, n_buckets=2)
+
+    def make_unit(spark_, b):
+        return run.bucket_filter(images_geo, "image_id", b).select("image_id")
+
+    run.run(spark, make_unit, max_buckets=1)
+    # crash simulation for bucket 1: data dir written, manifest line lost
+    make_unit(spark, 1).write.mode("overwrite").parquet(
+        os.path.join(out, "data", "bucket=1")
+    )
+    rec = run.run(spark, make_unit)
+    assert [r["bucket"] for r in rec] == [1]
+    assert rec[0]["attempt"] == 2
+    # a failed manifest row also counts as a prior attempt
+    run._append_manifest({"run_id": "x", "bucket": 0, "status": "failed"})
+    run3 = CheckpointedRun(out, n_buckets=2)
+    # bucket 0 was done before the failed marker; force a re-run path check
+    assert run3.pending_buckets() == []

@@ -46,10 +46,17 @@ def test_tiled_ingest_matches_batch(spark, img_source, tmp_path):
         for r in got.groupBy("cell_l5").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert have == want
-    # partition layout: one directory per coarse tile (the Iceberg key)
+    # partition layout: batch-id dir (idempotent-replay key) containing one
+    # directory per coarse tile (the Iceberg key)
     import os
 
-    parts = [p for p in os.listdir(out) if p.startswith("cell_l5=")]
+    batch_dirs = [p for p in os.listdir(out) if p.startswith("ingest_batch=")]
+    assert batch_dirs == ["ingest_batch=0"]
+    parts = [
+        p
+        for p in os.listdir(os.path.join(out, "ingest_batch=0"))
+        if p.startswith("cell_l5=")
+    ]
     assert len(parts) == len(want)
 
 
@@ -79,6 +86,26 @@ def test_ingest_is_incremental_across_restarts(spark, img_source, tmp_path):
         spark, str(src), imgsrc.IMAGES_SCHEMA, out, ckpt, partition_level=5
     )
     q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == N + 50
+
+
+def test_ingest_replay_after_crash_is_idempotent(spark, img_source, tmp_path):
+    """Crash between data write and checkpoint commit replays the batch with
+    the SAME batch_id on restart (Spark re-derives it from the checkpointed
+    offsets); the batch-keyed dynamic-partition overwrite must not duplicate
+    rows.  (Driven directly through the sink — an in-process restart after
+    deleting commits/0 trips Spark's same-JVM concurrent-checkpoint guard,
+    which a real cross-JVM restart doesn't.)"""
+    out = str(tmp_path / "out3")
+    tiled = ingest.tile_stream(
+        spark.read.parquet(str(img_source / "batch0")), levels=(5,)
+    )
+    write_batch = ingest.idempotent_batch_writer(out, partition_level=5)
+    write_batch(tiled, 0)
+    assert spark.read.parquet(out).count() == N
+    write_batch(tiled, 0)  # crash replay: same batch_id, same rows
+    assert spark.read.parquet(out).count() == N  # overwritten, not appended
+    write_batch(tiled.limit(50), 1)  # a genuinely new batch appends
     assert spark.read.parquet(out).count() == N + 50
 
 
