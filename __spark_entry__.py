@@ -251,11 +251,16 @@ def q_edge_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tile_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-tile convex hull (S2ConvexHullQuery per group) — rows-only
-    check (geometric construction; no SQL equivalent)."""
+    """Per-tile convex hull (S2ConvexHullQuery per group).  Oracle form:
+    the hull construction is not SQL-expressible, but its defining
+    containment property is — n_inside counts tile points passing the
+    computed hull's Contains predicate, and the oracle asserts
+    n_inside == n_points per tile (hull minimality/CCW order are covered
+    by kernel property tests)."""
     from s2geometry_spark.operators.tiling import per_tile_hulls
 
-    return per_tile_hulls(_order_points_xyz(spark, sf_dir), level=2)
+    hulls = per_tile_hulls(_order_points_xyz(spark, sf_dir), level=2)
+    return hulls.select("cell_l2", "n_points", "n_inside")
 
 
 def q_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,7 +411,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """Scale-path near-dup (probabilistic recall) — rows-only check."""
+    """Scale-path near-dup; the DuckDB oracle recomputes the identical
+    seeded-minhash banding, so the probabilistic-recall algorithm is
+    itself checked bit-exactly."""
     from s2geometry_spark.operators import dedup
 
     return dedup.minhash_lsh_pairs(
@@ -415,7 +422,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash banded Hamming pairs — rows-only check."""
+    """SimHash banded Hamming pairs — bit-exact DuckDB oracle (portable
+    md5-h64 feature hashes)."""
     from s2geometry_spark.operators import dedup
 
     return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16)
@@ -440,7 +448,8 @@ def q_text_lang_id(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    """Rolling-hash doc fingerprint (xxhash64-based) — rows-only check."""
+    """Rolling-hash doc fingerprint (portable md5-h32 token hashes) —
+    bit-exact DuckDB oracle via the identical list_reduce fold."""
     from s2geometry_spark.operators import text
 
     return text.fingerprint(_docs(spark, sf_dir))
@@ -460,7 +469,8 @@ def q_emb_near_dup(spark, sf_dir):
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN (scale path) — rows-only check."""
+    """Random-hyperplane LSH ANN (scale path) — the oracle recomputes the
+    identical fold-order hyperplane signatures + banding in SQL."""
     from s2geometry_spark.operators import ann
 
     emb = _emb(spark, sf_dir)
@@ -468,7 +478,8 @@ def q_ann_topk_lsh(spark, sf_dir):
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF coarse-quantizer ANN (scale path) — rows-only check."""
+    """IVF coarse-quantizer ANN (scale path) — the oracle recomputes the
+    identical centroid rule + routing + refinement in SQL."""
     from s2geometry_spark.operators import ann
 
     emb = _emb(spark, sf_dir)
@@ -690,6 +701,21 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
             " count(*) AS n_dups FROM documents GROUP BY 1"
         ),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle_sql(JACCARD_N, JACCARD_TAU),
+        "dedup_minhash_lsh": dedup.minhash_lsh_oracle_sql(
+            num_hashes=32, bands=16, n=JACCARD_N, tau=JACCARD_TAU
+        ),
+        "dedup_simhash": dedup.simhash_oracle_sql(max_hamming=16),
+        "text_fingerprint": text.fingerprint_oracle_sql(),
+        "ann_topk_lsh": ann.lsh_topk_oracle_sql(
+            k=ANN_K, nbits=16, bands=8, qfilter=_ANN_QFILTER
+        ),
+        "ann_topk_ivf": ann.ivf_topk_oracle_sql(
+            k=ANN_K, n_centroids=8, nprobe=4, qfilter=_ANN_QFILTER
+        ),
+        "tile_hulls": _leaf_sql(
+            f"SELECT {oracle.parent_sql_expr('cell_leaf', 2)} AS cell_l2, "
+            "COUNT(*) AS n_points, COUNT(*) AS n_inside FROM leaf GROUP BY 1"
+        ),
         "text_token_stats": text.token_stats_oracle_sql(),
         "text_quality": text.quality_score_oracle_sql(),
         "text_lang_id": text.lang_id_oracle_sql(),

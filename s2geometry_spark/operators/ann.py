@@ -270,9 +270,11 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 1234) -> list[list[float]]:
 
 
 def signature_udf(planes: list[list[float]]):
-    """LSH signature as an Arrow-batched NumPy matmul: one long per row,
-    bit i = sign(dot(emb, plane_i)).  Signatures have no oracle contract,
-    so BLAS summation order is fine here."""
+    """LSH signature as an Arrow-batched NumPy kernel: one long per row,
+    bit i = sign(dot(emb, plane_i)).  The dot accumulates in DIMENSION
+    ORDER (fold kernel, not BLAS) so the sign of a near-zero projection —
+    and therefore the signature — is bit-reproducible by the left-assoc
+    SQL oracle."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
@@ -281,7 +283,7 @@ def signature_udf(planes: list[list[float]]):
     @pandas_udf(LongType())
     def sig(emb: pd.Series) -> pd.Series:
         A = np.array(emb.tolist(), dtype=np.float64)
-        bits = (A @ P.T > 0).astype(np.uint64)
+        bits = (_fold_dots(A, P) > 0).astype(np.uint64)
         weights = np.uint64(1) << np.arange(P.shape[0], dtype=np.uint64)
         return pd.Series((bits * weights[None, :]).sum(axis=1).astype(np.int64))
 
@@ -342,6 +344,134 @@ def cosine_topk_lsh(
     )
 
 
+def _plane_lit(x: float) -> str:
+    """Exponent-form literal: DuckDB types bare decimals as DECIMAL (which
+    rounds differently from IEEE double); %.17e round-trips exactly and is
+    typed DOUBLE."""
+    return "%.17e" % x
+
+
+def lsh_topk_oracle_sql(
+    k: int = 5,
+    nbits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    qfilter: int = 29,
+) -> str:
+    """DuckDB oracle for cosine_topk_lsh: recomputes the IDENTICAL
+    algorithm — fold-order hyperplane projections (plane coefficients as
+    exact double literals), banded buckets, exact cosine refinement,
+    window top-k — so the match is bit-exact, not a recall bound."""
+    planes = _hyperplanes(dim, nbits)
+    rows_per_band = nbits // bands
+
+    def bit_sql(col: str, plane: list[float]) -> str:
+        dot = " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * {_plane_lit(plane[i])}"
+            for i in range(dim)
+        )
+        return f"(CASE WHEN ({dot}) > 0 THEN 1 ELSE 0 END)"
+
+    def bucket_sql(col: str, bi: int) -> str:
+        return " + ".join(
+            f"{bit_sql(col, planes[bi * rows_per_band + r])} * {1 << r}"
+            for r in range(rows_per_band)
+        )
+
+    v_buckets = ", ".join(
+        f"({bucket_sql('embedding', bi)}) AS b{bi}" for bi in range(bands)
+    )
+    v_bands = " UNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band, b{bi} AS bucket FROM sigv"
+        for bi in range(bands)
+    )
+    q_bands = " UNION ALL ".join(
+        f"SELECT qid, {bi} AS band, b{bi} AS bucket FROM sigq"
+        for bi in range(bands)
+    )
+    dot = dot_sql("q.embedding", "v.embedding", dim)
+    nq, nv = norm_sql("q.embedding", dim), norm_sql("v.embedding", dim)
+    return f"""
+WITH sigv AS (SELECT vec_id, {v_buckets} FROM embeddings),
+sigq AS (SELECT vec_id AS qid, {v_buckets} FROM embeddings
+         WHERE vec_id % {qfilter} = 0),
+vb AS ({v_bands}),
+qb AS ({q_bands}),
+cand AS (
+  SELECT DISTINCT a.qid, b.vec_id
+  FROM qb a JOIN vb b USING (band, bucket)
+  WHERE b.vec_id <> a.qid
+)
+SELECT qid, rank, vec_id, cosine FROM (
+  SELECT c.qid, c.vec_id,
+         ({dot}) / (({nq}) * ({nv})) AS cosine,
+         row_number() OVER (
+           PARTITION BY c.qid
+           ORDER BY ({dot}) / (({nq}) * ({nv})) DESC, c.vec_id ASC
+         ) AS rank
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.qid
+  JOIN embeddings v ON v.vec_id = c.vec_id
+) WHERE rank <= {k}"""
+
+
+def ivf_topk_oracle_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    qfilter: int = 29,
+) -> str:
+    """DuckDB oracle for ivf_topk: identical centroid rule (every 97th
+    id), identical fold-order routing cosine with (cosine DESC, cid ASC)
+    tie-break, identical refinement."""
+    route_dot = dot_sql("v.embedding", "c.c_emb", dim)
+    route_nv, route_nc = norm_sql("v.embedding", dim), norm_sql("c.c_emb", dim)
+    route_cos = f"({route_dot}) / (({route_nv}) * ({route_nc}))"
+    dot = dot_sql("q.embedding", "v.embedding", dim)
+    nq, nv = norm_sql("q.embedding", dim), norm_sql("v.embedding", dim)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT {n_centroids}
+),
+vroute AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id ORDER BY {route_cos} DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qroute AS (
+  SELECT qid, cid FROM (
+    SELECT v.vec_id AS qid, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id ORDER BY {route_cos} DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings v CROSS JOIN cent c
+    WHERE v.vec_id % {qfilter} = 0
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT q.qid, v.vec_id
+  FROM qroute q JOIN vroute v USING (cid)
+  WHERE v.vec_id <> q.qid
+)
+SELECT qid, rank, vec_id, cosine FROM (
+  SELECT c.qid, c.vec_id,
+         ({dot}) / (({nq}) * ({nv})) AS cosine,
+         row_number() OVER (
+           PARTITION BY c.qid
+           ORDER BY ({dot}) / (({nq}) * ({nv})) DESC, c.vec_id ASC
+         ) AS rank
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.qid
+  JOIN embeddings v ON v.vec_id = c.vec_id
+) WHERE rank <= {k}"""
+
+
 # ---------- IVF-style coarse quantizer ----------
 
 
@@ -355,9 +485,11 @@ def ivf_topk(
     """IVF: deterministic coarse centroids (every m-th vector), route each
     vector to its nearest centroid (broadcast argmax — one scan), probe the
     nprobe nearest centroid lists per query.  Approximate; recall grows
-    with nprobe (nprobe == n_centroids is exact)."""
+    with nprobe (nprobe == n_centroids is exact).  Centroid selection is
+    the portable every-97th-id rule so the DuckDB oracle picks the
+    identical set."""
     cent_rows = (
-        vectors.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(97)) == 0)
+        vectors.where(F.col("vec_id") % 97 == 0)
         .orderBy("vec_id")
         .limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))

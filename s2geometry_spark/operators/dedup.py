@@ -37,6 +37,43 @@ def words_col(text: str | Column = "text") -> Column:
     return F.split(c, TOKEN_SEP)
 
 
+# ---------- portable 64-bit string hash (Spark == DuckDB, bit-exact) ----------
+#
+# xxhash64 is Spark-only, so every operator that must be ORACLE-CHECKABLE
+# hashes strings via md5 (available in both engines) and recomposes the
+# first 16 hex chars into a signed 64-bit integer:
+#   hi32 = int(hex[0:8]), lo32 = int(hex[8:16]); h = (hi32 << 32) + lo32
+# Spark's shiftleft wraps into the sign bit (no ANSI overflow) and DuckDB
+# gets the same two's-complement value via an explicit signed fold.
+
+
+def md5_h64(c: Column) -> Column:
+    """Signed 64-bit hash of a string column from its md5 (portable)."""
+    hx = F.md5(c)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32) + lo
+
+
+def md5_h64_sql(expr: str) -> str:
+    """DuckDB SQL for the identical signed 64-bit md5 hash."""
+    hi = f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+    lo = f"(('0x' || substr(md5({expr}), 9, 8))::BIGINT)"
+    return (
+        f"((CASE WHEN {hi} >= 2147483648 THEN {hi} - 4294967296 ELSE {hi} END)"
+        f" * 4294967296 + {lo})"
+    )
+
+
+def md5_h32(c: Column) -> Column:
+    """Unsigned 32-bit md5-derived hash (always fits int64)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def md5_h32_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
 # ---------- exact ----------
 
 
@@ -143,15 +180,22 @@ WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= {tau}
 # ---------- MinHash + LSH (the scale path) ----------
 
 
+SEED_SEP = "\x1f"  # ASCII unit separator: cannot occur in word shingles
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
-    """(doc_id, sig array<long>): sig[i] = min over shingles of
-    xxhash64(shingle, seed=i).  One shuffle (groupBy doc)."""
+    """(doc_id, sig array<long>): sig[i] = min over shingles of the
+    portable md5-h64 of (shingle + SEP + i).  One shuffle (groupBy doc);
+    the seeded-hash family is reproducible in DuckDB (minhash oracle)."""
     sh = shingle_set(docs, n)
     # wide flat projection (codegen) + partial/final min agg — no per-row
     # array construction on the exploded shingle table
     hashed = sh.select(
         "doc_id",
-        *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+        *[
+            md5_h64(F.concat(F.col("shingle"), F.lit(f"{SEED_SEP}{i}"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
@@ -178,11 +222,16 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n)
+    # bucket key = the band's raw minhash values joined into one string —
+    # no hash-collision false candidates, and the DuckDB oracle builds the
+    # identical key (a hashed bucket would be fine at scale; raw keys keep
+    # the candidate set EXACTLY reproducible)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.xxhash64(
-                *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+            F.concat_ws(
+                ",",
+                *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)],
             ).alias("bucket"),
         )
         for bi in range(bands)
@@ -224,20 +273,72 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, n: int = 3, tau: float = 0.5
+) -> str:
+    """DuckDB oracle for minhash_lsh_pairs: recomputes the IDENTICAL
+    algorithm (seeded md5-h64 min-hashes, banded raw-value buckets, exact
+    Jaccard refinement) — bit-exact candidates, not a recall bound."""
+    rows_per_band = num_hashes // bands
+    grams = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    seeded = [md5_h64_sql("shingle || chr(31) || '%d'" % i) for i in range(num_hashes)]
+    mins = ", ".join(f"min({seeded[i]}) AS h{i}" for i in range(num_hashes))
+    band_sel = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {key} AS bucket FROM sig".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"CAST(h{bi * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH wrds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {grams} AS shingle
+  FROM wrds, UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN szs sa ON sa.doc_id = doc_a
+JOIN szs sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= {tau}
+"""
+
+
 # ---------- SimHash ----------
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): sign-aggregated 64-bit word-feature hash.
 
-    Pure SQL: per word, xxhash64 gives 64 bits; each bit votes +-1; the
-    sign of the per-bit sum is the output bit.  Shape: explode words ->
-    64 flat vote columns (codegen) -> partial+final hash agg of 64 sums
-    -> recombine.  (An aggregate() fold over the word array would be
-    interpreted per element — an order of magnitude slower.)
+    Pure SQL: per word, the portable md5-derived hash gives 64 bits; each
+    bit votes +-1; the sign of the per-bit sum is the output bit.  Shape:
+    explode words -> 64 flat vote columns (codegen) -> partial+final hash
+    agg of 64 sums -> recombine.  (An aggregate() fold over the word
+    array would be interpreted per element — an order of magnitude
+    slower.)  The DuckDB oracle recomputes the identical integer pipeline
+    (simhash_oracle_sql).
     """
     tok = docs.select("doc_id", F.explode(words_col()).alias("w")).withColumn(
-        "h", F.xxhash64(F.col("w"))
+        "h", md5_h64(F.col("w"))
     )
     votes = tok.select(
         "doc_id",
@@ -308,3 +409,44 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     return cand.withColumn("hamming", ham).where(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+def simhash_oracle_sql(max_hamming: int = 8) -> str:
+    """DuckDB oracle for simhash_near_pairs: the identical integer
+    pipeline — md5-h64 per word, per-bit +-1 votes, sign recombine, 4x16
+    band self-join, popcount Hamming — so the match is bit-exact, not a
+    recall bound."""
+    h = md5_h64_sql("w")
+    # per-bit votes: sum over words of (+1 | -1) on bit b; >> is arithmetic
+    # in both engines, and & 1 isolates the bit regardless of sign fill
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    # recombine: bit 63 is the sign bit — add -(2^63) instead of 1<<63
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(63)
+    )
+    sim = f"({bits} + (CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0::BIGINT END))"
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, (simhash >> {16 * i}) & 65535 AS chunk FROM sims"
+        for i in range(4)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+agg AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+sims AS (SELECT doc_id, {sim} AS simhash FROM agg),
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b USING (band, chunk)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""

@@ -151,24 +151,43 @@ FROM wrds
 """
 
 
+FP_MOD = (1 << 57) - 13
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): 64-bit rolling polynomial fingerprint of the token
     stream: fp = fold(tokens, 0, (acc, t) -> (acc*31 + h32(t)) mod M).
-    Shift-tolerant doc identity; pure SQL fold (no Python); no SQL
-    oracle (xxhash64 is Spark-specific) — rows-only check.
+    Shift-tolerant doc identity; pure SQL fold (no Python).
 
     Arithmetic stays inside int64 (ANSI mode forbids wraparound): the
     accumulator is reduced mod M < 2^57 each step and the per-token hash
-    is truncated to 32 bits, so acc*31 + h < 2^62 never overflows."""
+    is a 32-bit md5 prefix (portable — the DuckDB oracle recomputes the
+    identical integer fold), so acc*31 + h < 2^62 never overflows."""
+    from .dedup import md5_h32
+
     w = words_col()
-    mod = F.lit((1 << 57) - 13).cast("long")
+    mod = F.lit(FP_MOD).cast("long")
     fp = F.aggregate(
         w,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(
-            acc * F.lit(31).cast("long")
-            + F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF).cast("long")),
-            mod,
-        ),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + md5_h32(t), mod),
     )
     return docs.select("doc_id", fp.alias("fp"))
+
+
+def fingerprint_oracle_sql() -> str:
+    """DuckDB oracle: the same left fold via list_reduce (first element is
+    the seed, so 0 is prepended); integer arithmetic is exact on both
+    sides."""
+    from .dedup import md5_h32_sql
+
+    h = md5_h32_sql("t")
+    return f"""
+WITH wrds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+hs AS (
+  SELECT doc_id, list_prepend(0::BIGINT, list_transform(w, t -> {h})) AS hl
+  FROM wrds
+)
+SELECT doc_id, list_reduce(hl, (acc, h) -> (acc * 31 + h) % {FP_MOD}) AS fp
+FROM hs
+"""

@@ -65,16 +65,23 @@ def per_tile_hulls(df: DataFrame, level: int, cell: str = "cell") -> DataFrame:
     group): shuffle once on the tile key, hull + area per group in NumPy.
 
     df needs x,y,z unit-vector columns.  Returns (cell_l{level},
-    n_points, n_hull_vertices, hull_area).
+    n_points, n_hull_vertices, hull_area, n_inside) where n_inside counts
+    the tile's points inside-or-on the computed hull — a correct hull has
+    n_inside == n_points, which is what the DuckDB oracle asserts (the
+    hull construction itself is verified by kernel property tests).
     """
     import numpy as np
     import pandas as pd
 
     from ..kernels.convexhull import convex_hull
     from ..kernels.measures import loop_area
+    from ..kernels.regions import Loop
 
     key = f"cell_l{level}"
-    out_schema = f"{key} long, n_points long, n_hull_vertices long, hull_area double"
+    out_schema = (
+        f"{key} long, n_points long, n_hull_vertices long, hull_area double, "
+        "n_inside long"
+    )
 
     def one_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         pts = pdf[["x", "y", "z"]].to_numpy(np.float64)
@@ -83,12 +90,23 @@ def per_tile_hulls(df: DataFrame, level: int, cell: str = "cell") -> DataFrame:
             area = loop_area(hull) if hull.shape[0] >= 3 else 0.0
         except ValueError:  # non-hemispheric tile group (only at level 0-1)
             hull, area = pts, float("nan")
+        if hull.shape[0] >= 3:
+            c = hull.mean(axis=0)
+            c /= np.linalg.norm(c)
+            # pull exact-boundary points (the hull vertices themselves)
+            # slightly toward the hull centroid to dodge boundary parity
+            q = pts * (1.0 - 1e-9) + c[None, :] * 1e-9
+            q /= np.linalg.norm(q, axis=1)[:, None]
+            n_inside = int(Loop(hull).contains_points(q).sum())
+        else:
+            n_inside = len(pdf)  # degenerate hull (<=2 distinct points)
         return pd.DataFrame(
             {
                 key: [int(pdf[key].iloc[0])],
                 "n_points": [len(pdf)],
                 "n_hull_vertices": [hull.shape[0]],
                 "hull_area": [float(area)],
+                "n_inside": [n_inside],
             }
         )
 
