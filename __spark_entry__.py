@@ -250,6 +250,31 @@ def q_edge_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_crossing_join(spark, ea, eb, robust=False, broadcast_b=True)
 
 
+def _customer_queries(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    """customer-derived unit query points with leaf cells (pinned math)."""
+    customer = _load(spark, sf_dir, "customer")
+    q = customer.select(F.col("c_custkey").alias("qid"), *tiling.triplet_exprs(key))
+    nrm = F.sqrt((F.col("x0") * F.col("x0") + F.col("y0") * F.col("y0") + F.col("z0") * F.col("z0")).cast("double"))
+    return q.select(
+        "qid",
+        (F.col("x0").cast("double") / nrm).alias("qx"),
+        (F.col("y0").cast("double") / nrm).alias("qy"),
+        (F.col("z0").cast("double") / nrm).alias("qz"),
+    ).withColumn("q_cell", s2f.cell_from_xyz(F.col("qx"), F.col("qy"), F.col("qz")))
+
+
+def q_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest-edge kNN join (S2ClosestEdgeQuery): customer-derived query
+    points x orders-derived short edges; staged ring expansion with the
+    pinned point-to-arc chord^2 kernel (bit-exact DuckDB oracle)."""
+    from s2geometry_spark.operators.knn_edges import closest_edges_join
+
+    edges = _edges_df(spark, sf_dir, "orders", "o_orderkey", _EDGE_A_KEY2, "eid", "e")
+    q = _customer_queries(spark, sf_dir, _QUERY_KEY)
+    out = closest_edges_join(spark, edges, q, KNN_K, num_stages=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_tile_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile convex hull (S2ConvexHullQuery per group).  Oracle form:
     the hull construction is not SQL-expressible, but its defining
@@ -273,15 +298,7 @@ def q_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN join: staged cell-neighbor ring expansion + windowed top-k."""
     points = _order_points_xyz(spark, sf_dir).toDF("pid", "px", "py", "pz", "p_cell")
-    customer = _load(spark, sf_dir, "customer")
-    q = customer.select(F.col("c_custkey").alias("qid"), *tiling.triplet_exprs(_QUERY_KEY))
-    nrm = F.sqrt((F.col("x0") * F.col("x0") + F.col("y0") * F.col("y0") + F.col("z0") * F.col("z0")).cast("double"))
-    q = q.select(
-        "qid",
-        (F.col("x0").cast("double") / nrm).alias("qx"),
-        (F.col("y0").cast("double") / nrm).alias("qy"),
-        (F.col("z0").cast("double") / nrm).alias("qz"),
-    ).withColumn("q_cell", s2f.cell_from_xyz(F.col("qx"), F.col("qy"), F.col("qz")))
+    q = _customer_queries(spark, sf_dir, _QUERY_KEY)
     out = knn_join(spark, points, q, KNN_K, start_level=5, num_stages=2)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -502,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "tile_hulls": q_tile_hulls,
         "edge_crossings": q_edge_crossings,
+        "knn_edges": q_knn_edges,
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
@@ -558,37 +576,79 @@ def _cellunion_join_oracle() -> str:
 
 
 
+def _unit_exprs_sql(kexpr):
+    from s2geometry_spark.kernels.geotag import sql_xyz_exprs
+
+    e = sql_xyz_exprs(kexpr)
+    nrm = f"sqrt(CAST(({e['x0']})*({e['x0']}) + ({e['y0']})*({e['y0']}) + ({e['z0']})*({e['z0']}) AS DOUBLE))"
+    return (
+        f"CAST(({e['x0']}) AS DOUBLE)/{nrm}",
+        f"CAST(({e['y0']}) AS DOUBLE)/{nrm}",
+        f"CAST(({e['z0']}) AS DOUBLE)/{nrm}",
+    )
+
+
+def _edge_cte_sql(name, table, key, key2, idsel, pfx):
+    """DuckDB CTE reproducing _edges_df bit-exactly.
+
+    The unit vectors and the un-normalized second endpoint are pinned in
+    MATERIALIZED sub-CTEs: letting DuckDB inline the full composite
+    expression perturbs the last ulp of the multiply-add (optimizer
+    rewrite of the giant tree), which Spark's codegen (and plain IEEE
+    order) does not."""
+    px, py, pz = _unit_exprs_sql(key)
+    qx, qy, qz = _unit_exprs_sql(key2)
+    # CAST: a bare 0.08 literal is DECIMAL(3,2) in DuckDB and decimal
+    # multiplication rounds differently from IEEE double (1-ulp drift)
+    eps = f"CAST({_EDGE_EPS} AS DOUBLE)"
+    id_alias = idsel.split(" AS ")[-1].strip()
+    return f"""{name} AS MATERIALIZED (
+  WITH _uv AS MATERIALIZED (
+    SELECT {idsel}, {px} AS px, {py} AS py, {pz} AS pz,
+           {qx} AS qx, {qy} AS qy, {qz} AS qz
+    FROM {table}
+  ),
+  _e AS MATERIALIZED (
+    SELECT {id_alias}, px, py, pz,
+           (px + {eps} * qx) AS ex, (py + {eps} * qy) AS ey,
+           (pz + {eps} * qz) AS ez
+    FROM _uv
+  )
+  SELECT {id_alias}, px AS {pfx}0x, py AS {pfx}0y, pz AS {pfx}0z,
+         ex / sqrt(CAST(((ex*ex + ey*ey) + ez*ez) AS DOUBLE)) AS {pfx}1x,
+         ey / sqrt(CAST(((ex*ex + ey*ey) + ez*ez) AS DOUBLE)) AS {pfx}1y,
+         ez / sqrt(CAST(((ex*ex + ey*ey) + ez*ez) AS DOUBLE)) AS {pfx}1z
+  FROM _e
+)"""
+
+
+def _knn_edges_oracle() -> str:
+    """Brute-force closest-edge oracle: cross join of customer query
+    points x orders edges, pinned point-to-arc chord^2, window top-k."""
+    from s2geometry_spark.kernels.measures import point_edge_chord2_sql
+
+    e_cte = _edge_cte_sql(
+        "edg", "orders", "o_orderkey", _EDGE_A_KEY2, "o_orderkey AS eid", "e"
+    )
+    q_cte = oracle.xyz_sql_cte(
+        "customer", _QUERY_KEY, keep_cols="c_custkey AS qid", prefix="q"
+    )
+    d = point_edge_chord2_sql("q.", "e.e0", "e.e1")
+    return f"""WITH {q_cte}, {e_cte}
+SELECT qid, rank, eid, dist_chord2 FROM (
+  SELECT q.qid AS qid, e.eid AS eid, {d} AS dist_chord2,
+         row_number() OVER (
+           PARTITION BY q.qid ORDER BY {d} ASC, e.eid ASC
+         ) AS rank
+  FROM qxyz q CROSS JOIN edg e
+) WHERE rank <= {KNN_K}"""
+
+
 def _edge_crossings_oracle() -> str:
     """Pinned-determinant interior-crossing test over the cross join,
     mirroring predicates.edges_cross_batch(robust=False) exactly."""
-    from s2geometry_spark.kernels.geotag import sql_xyz_exprs
-
-    def unit_exprs(kexpr):
-        e = sql_xyz_exprs(kexpr)
-        nrm = f"sqrt(CAST(({e['x0']})*({e['x0']}) + ({e['y0']})*({e['y0']}) + ({e['z0']})*({e['z0']}) AS DOUBLE))"
-        return (
-            f"CAST(({e['x0']}) AS DOUBLE)/{nrm}",
-            f"CAST(({e['y0']}) AS DOUBLE)/{nrm}",
-            f"CAST(({e['z0']}) AS DOUBLE)/{nrm}",
-        )
-
-    def edge_cte(name, table, key, key2, idsel, pfx):
-        px, py, pz = unit_exprs(key)
-        qx, qy, qz = unit_exprs(key2)
-        # CAST: a bare 0.08 literal is DECIMAL(3,2) in DuckDB and decimal
-        # multiplication rounds differently from IEEE double (1-ulp drift)
-        eps = f"CAST({_EDGE_EPS} AS DOUBLE)"
-        ex = f"({px} + {eps} * {qx})"
-        ey = f"({py} + {eps} * {qy})"
-        ez = f"({pz} + {eps} * {qz})"
-        en = f"sqrt(CAST((({ex}*{ex} + {ey}*{ey}) + {ez}*{ez}) AS DOUBLE))"
-        return (
-            f"{name} AS (SELECT {idsel}, {px} AS {pfx}0x, {py} AS {pfx}0y, {pz} AS {pfx}0z, "
-            f"{ex}/{en} AS {pfx}1x, {ey}/{en} AS {pfx}1y, {ez}/{en} AS {pfx}1z FROM {table})"
-        )
-
-    ea = edge_cte("ea", "orders", "o_orderkey", _EDGE_A_KEY2, "o_orderkey AS eid_a", "a")
-    eb = edge_cte("eb", "customer", "c_custkey", _EDGE_B_KEY2, "c_custkey AS eid_b", "b")
+    ea = _edge_cte_sql("ea", "orders", "o_orderkey", _EDGE_A_KEY2, "o_orderkey AS eid_a", "a")
+    eb = _edge_cte_sql("eb", "customer", "c_custkey", _EDGE_B_KEY2, "c_custkey AS eid_b", "b")
     # n = a0 x a1 (pinned component order), m = b0 x b1
     return f"""WITH {ea}, {eb},
 pr AS (
@@ -696,6 +756,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
     return {
         "hausdorff": hausdorff_sql,
         "edge_crossings": _edge_crossings_oracle(),
+        "knn_edges": _knn_edges_oracle(),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,"
             " count(*) AS n_dups FROM documents GROUP BY 1"

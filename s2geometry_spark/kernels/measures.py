@@ -166,6 +166,96 @@ def distance_to_edge(
     return np.arccos(dots)
 
 
+def point_edge_chord2(
+    X: np.ndarray, A: np.ndarray, B: np.ndarray
+) -> np.ndarray:
+    """Squared chord distance from point X[i] to geodesic segment A[i]B[i],
+    row-wise, with PINNED operation order so a DuckDB oracle evaluating
+    `point_edge_chord2_sql` reproduces every double bit-for-bit.
+
+    Semantics are S2::UpdateMinDistance (s2edge_distances.cc): if the
+    great-circle projection of x falls in the arc interior, the distance
+    is to the circle (sin = |x.n| / |n|, n = a x b unnormalized); else to
+    the nearer endpoint.  Valid for arcs < pi (the operator's contract);
+    a degenerate edge (n ~ 0) falls through to the endpoint branch
+    because the strict interior tests fail.
+    """
+    X = np.asarray(X, np.float64)
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    ax, ay, az = A[:, 0], A[:, 1], A[:, 2]
+    bx, by, bz = B[:, 0], B[:, 1], B[:, 2]
+    xx, xy, xz = X[:, 0], X[:, 1], X[:, 2]
+    # n = a x b (component order pinned)
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    # na = n x a, nb = b x n
+    nax = ny * az - nz * ay
+    nay = nz * ax - nx * az
+    naz = nx * ay - ny * ax
+    nbx = by * nz - bz * ny
+    nby = bz * nx - bx * nz
+    nbz = bx * ny - by * nx
+    d_na = (xx * nax + xy * nay) + xz * naz
+    d_nb = (xx * nbx + xy * nby) + xz * nbz
+    interior = (d_na > 0) & (d_nb > 0)
+    xn = (xx * nx + xy * ny) + xz * nz
+    nn = (nx * nx + ny * ny) + nz * nz
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s2 = (xn * xn) / nn
+        chord2_int = 2.0 - 2.0 * np.sqrt(np.maximum(0.0, 1.0 - s2))
+    da = ((xx - ax) * (xx - ax) + (xy - ay) * (xy - ay)) + (xz - az) * (xz - az)
+    db = ((xx - bx) * (xx - bx) + (xy - by) * (xy - by)) + (xz - bz) * (xz - bz)
+    chord2_end = np.minimum(da, db)
+    return np.where(interior, chord2_int, chord2_end)
+
+
+def point_edge_max_chord2(
+    X: np.ndarray, A: np.ndarray, B: np.ndarray
+) -> np.ndarray:
+    """Squared chord of the MAX distance from X[i] to segment A[i]B[i] —
+    the reference's identity (s2edge_distances.cc UpdateMaxDistance):
+    max d(x, e) = pi - min d(-x, e), i.e. chord2_max = 4 - chord2_min(-x).
+    """
+    return 4.0 - point_edge_chord2(-np.asarray(X, np.float64), A, B)
+
+
+def point_edge_chord2_sql(x: str, a: str, b: str) -> str:
+    """DuckDB expression mirroring point_edge_chord2 exactly; `x`, `a`,
+    `b` are column-name PREFIXES, each expanded to <p>x, <p>y, <p>z."""
+    ax, ay, az = f"{a}x", f"{a}y", f"{a}z"
+    bx, by, bz = f"{b}x", f"{b}y", f"{b}z"
+    xx, xy, xz = f"{x}x", f"{x}y", f"{x}z"
+    nx = f"({ay}*{bz} - {az}*{by})"
+    ny = f"({az}*{bx} - {ax}*{bz})"
+    nz = f"({ax}*{by} - {ay}*{bx})"
+    nax = f"({ny}*{az} - {nz}*{ay})"
+    nay = f"({nz}*{ax} - {nx}*{az})"
+    naz = f"({nx}*{ay} - {ny}*{ax})"
+    nbx = f"({by}*{nz} - {bz}*{ny})"
+    nby = f"({bz}*{nx} - {bx}*{nz})"
+    nbz = f"({bx}*{ny} - {by}*{nx})"
+    d_na = f"(({xx}*{nax} + {xy}*{nay}) + {xz}*{naz})"
+    d_nb = f"(({xx}*{nbx} + {xy}*{nby}) + {xz}*{nbz})"
+    xn = f"(({xx}*{nx} + {xy}*{ny}) + {xz}*{nz})"
+    nn = f"(({nx}*{nx} + {ny}*{ny}) + {nz}*{nz})"
+    s2 = f"(({xn}*{xn}) / {nn})"
+    chord2_int = f"(2.0 - 2.0 * sqrt(greatest(0.0, 1.0 - {s2})))"
+    da = (
+        f"((({xx}-{ax})*({xx}-{ax}) + ({xy}-{ay})*({xy}-{ay}))"
+        f" + ({xz}-{az})*({xz}-{az}))"
+    )
+    db = (
+        f"((({xx}-{bx})*({xx}-{bx}) + ({xy}-{by})*({xy}-{by}))"
+        f" + ({xz}-{bz})*({xz}-{bz}))"
+    )
+    return (
+        f"(CASE WHEN {d_na} > 0 AND {d_nb} > 0 THEN {chord2_int}"
+        f" ELSE least({da}, {db}) END)"
+    )
+
+
 def interpolate(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
     """S2::Interpolate(a, b, t): slerp along the geodesic, t in [0,1]
     (extrapolates outside).  t may be scalar or (n,)."""

@@ -26,6 +26,7 @@ aggregate); no Python UDFs anywhere.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -180,21 +181,40 @@ WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= {tau}
 # ---------- MinHash + LSH (the scale path) ----------
 
 
-SEED_SEP = "\x1f"  # ASCII unit separator: cannot occur in word shingles
+MINHASH_P = 2147483647  # 2^31 - 1 (prime); all mixing stays within int64
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) affine-mixing constants < P, A_i odd."""
+    from ..kernels.geotag import splitmix64
+
+    idx = np.arange(2 * num_hashes, dtype=np.uint64) + np.uint64(0xD1FF)
+    h = (splitmix64(idx) & np.uint64(0x7FFFFFFE)).astype(np.int64)
+    return [
+        (int(h[2 * i] | 1), int(h[2 * i + 1]) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
-    """(doc_id, sig array<long>): sig[i] = min over shingles of the
-    portable md5-h64 of (shingle + SEP + i).  One shuffle (groupBy doc);
-    the seeded-hash family is reproducible in DuckDB (minhash oracle)."""
+    """(doc_id, sig array<long>): sig[i] = min over shingles of the i-th
+    affine mix of ONE portable md5-h64 per shingle:
+    h_i = (((h64 % P) + P) % P * A_i + B_i) % P, P = 2^31 - 1.
+
+    One md5 per shingle (not per seed — 32 md5s per row made this the
+    slowest query in the suite); the integer mixing is exact int64 both
+    engines, so the DuckDB oracle reproduces signatures bit-for-bit.
+    One shuffle (groupBy doc)."""
     sh = shingle_set(docs, n)
-    # wide flat projection (codegen) + partial/final min agg — no per-row
-    # array construction on the exploded shingle table
+    coeffs = _minhash_coeffs(num_hashes)
+    base = (md5_h64(F.col("shingle")) % MINHASH_P + MINHASH_P) % MINHASH_P
     hashed = sh.select(
+        "doc_id", base.alias("_b")
+    ).select(
         "doc_id",
         *[
-            md5_h64(F.concat(F.col("shingle"), F.lit(f"{SEED_SEP}{i}"))).alias(f"h{i}")
-            for i in range(num_hashes)
+            ((F.col("_b") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ],
     )
     agg = hashed.groupBy("doc_id").agg(
@@ -281,8 +301,12 @@ def minhash_lsh_oracle_sql(
     Jaccard refinement) — bit-exact candidates, not a recall bound."""
     rows_per_band = num_hashes // bands
     grams = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
-    seeded = [md5_h64_sql("shingle || chr(31) || '%d'" % i) for i in range(num_hashes)]
-    mins = ", ".join(f"min({seeded[i]}) AS h{i}" for i in range(num_hashes))
+    coeffs = _minhash_coeffs(num_hashes)
+    P = MINHASH_P
+    base = f"((({md5_h64_sql('shingle')}) % {P} + {P}) % {P})"
+    mins = ", ".join(
+        f"min((b * {a} + {b_}) % {P}) AS h{i}" for i, (a, b_) in enumerate(coeffs)
+    )
     band_sel = " UNION ALL ".join(
         "SELECT doc_id, {bi} AS band, {key} AS bucket FROM sig".format(
             bi=bi,
@@ -299,7 +323,8 @@ sh AS (
   SELECT DISTINCT doc_id, {grams} AS shingle
   FROM wrds, UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)
 ),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+shb AS (SELECT doc_id, {base} AS b FROM sh),
+sig AS (SELECT doc_id, {mins} FROM shb GROUP BY doc_id),
 bands AS ({band_sel}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -1,0 +1,355 @@
+"""Closest-edge kNN join: S2ClosestEdgeQuery (s2closest_edge_query.h,
+s2closest_edge_query_base.h:1-200) re-expressed as distributed dataflow.
+
+The reference walks a best-first queue over the shape index's cells,
+lower-bounding each cell's distance and refining with exact
+point-to-edge distances.  The dataflow re-expression mirrors
+operators/knn.py's staged ring expansion, adapted for EDGE geometry:
+
+  stage at level L —
+    * each edge emits mixed-level KEYS from its cap-bound covering
+      (edge_join._edge_coverings_flat): covering cells at level >= L are
+      keyed by their level-L parent; coarser cells are keyed raw.
+    * each query point emits its 3x3 neighbor block at L plus the
+      ancestors of those block cells down to the coarsest edge-covering
+      level (cells intersect iff one contains the other, so a coarse
+      edge cell overlapping the block necessarily IS one of those
+      ancestors — the key join is therefore lossless).
+    * one equi-join on the key -> pair dedup -> exact chord^2 via the
+      pinned point-to-arc kernel (measures.point_edge_chord2) -> window
+      top-k.
+    * a query is CERTIFIED when its k-th distance beats the admissible
+      bound: any edge with NO covering cell touching the block lies
+      entirely outside it, hence >= kMinWidth(L) away (the same bound
+      S2ClosestEdgeQuery's queue pruning uses via S2Cell::GetDistance).
+  uncertified queries escalate to L-3 (64x the area); the final
+  fallback is a brute-force cross join for the (typically empty)
+  remainder.
+
+Scale shape: the edge side is scanned once per stage (keys are a
+mapInPandas projection, no shuffle until the key join); the key join
+shuffles keys + coordinates only; no driver-side collect of either
+table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..kernels import cellid, measures
+from .edge_join import _edge_coverings_flat
+from .knn import _min_outside_chord2, _union_all
+
+E_COLS = ["e0x", "e0y", "e0z", "e1x", "e1y", "e1z"]
+
+
+def _edge_keys_all_levels(edges: DataFrame, min_level: int = 1) -> DataFrame:
+    """(eid, key, lv, is_cov, e0..e1 coords): ONE pass emitting every
+    edge's covering cells AND their ancestors down to ``min_level``.
+
+    Level-agnostic: at any stage level L the candidate match is
+      point block cell b (level L)  ==  edge key at level L
+        (ancestor-or-covering: holds iff some covering cell is inside b,
+         i.e. the edge enters b), or
+      point ancestor key (level l < L)  ==  edge COVERING key at level l
+        (a covering cell coarser than the block necessarily CONTAINS any
+         block cell it touches).
+    Computing this table once and caching it serves every stage — no
+    per-stage edge scan, no separate stats job.
+    """
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "eid": pd.Series(dtype="int64"),
+                        "key": pd.Series(dtype="int64"),
+                        "lv": pd.Series(dtype="int32"),
+                        "is_cov": pd.Series(dtype="bool"),
+                        **{c: pd.Series(dtype="float64") for c in E_COLS},
+                    }
+                )
+                continue
+            A0 = pdf[E_COLS[:3]].to_numpy(np.float64)
+            A1 = pdf[E_COLS[3:]].to_numpy(np.float64)
+            owner, cell = _edge_coverings_flat(A0, A1)
+            lv = cellid.level(cell)
+            own_all = [owner]
+            key_all = [cell]
+            lv_all = [lv]
+            cov_all = [np.ones(len(owner), bool)]
+            for L in np.unique(lv):
+                if L <= min_level:
+                    continue
+                sel = np.flatnonzero(lv == L)
+                sub = cell[sel]
+                for p in range(int(L) - 1, min_level - 1, -1):
+                    own_all.append(owner[sel])
+                    key_all.append(cellid.parent(sub, p))
+                    lv_all.append(np.full(len(sel), p))
+                    cov_all.append(np.zeros(len(sel), bool))
+            own = np.concatenate(own_all)
+            ids = pdf["eid"].to_numpy(np.int64)[own]
+            out = pd.DataFrame(
+                {
+                    "eid": ids,
+                    "key": cellid.to_biased(
+                        np.concatenate(key_all).astype(np.uint64)
+                    ),
+                    "lv": np.concatenate(lv_all).astype(np.int32),
+                    "is_cov": np.concatenate(cov_all),
+                }
+            )
+            for i, c in enumerate(E_COLS):
+                src = A0 if i < 3 else A1
+                out[c] = src[own, i % 3]
+            out = out.sort_values("is_cov", ascending=False).drop_duplicates(
+                subset=["eid", "key"]
+            )
+            yield out
+
+    return edges.select("eid", *E_COLS).mapInPandas(
+        batches,
+        "eid long, key long, lv int, is_cov boolean, "
+        + ", ".join(f"{c} double" for c in E_COLS),
+    )
+
+
+def _auto_start_level(n_edges: int, k: int) -> int:
+    """Largest level whose 3x3 block still expects ~4k edges (certifying
+    most queries in one stage): 9 * n / (6 * 4^L) >= 4k."""
+    import math
+
+    if n_edges <= 0:
+        return 1
+    target = 3.0 * n_edges / (8.0 * max(k, 1))
+    return max(1, min(10, int(math.log(max(target, 4.0), 4.0))))
+
+
+def _point_keys_udf(level: int, anc_min_level: int):
+    """array<long> of join keys for each query point: 3x3 block at
+    ``level`` plus block-cell ancestors down to ``anc_min_level``."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def keys(cell_biased: pd.Series) -> pd.Series:
+        ids = cellid.from_biased(cell_biased.to_numpy(np.int64))
+        own = cellid.parent(ids, level)
+        idx, nbrs = cellid.append_all_neighbors(own, level)
+        blocks: list[set[int]] = [
+            {int(b)} for b in cellid.to_biased(own)
+        ]
+        block_cells: list[list[np.uint64]] = [[c] for c in own]
+        nb = cellid.to_biased(nbrs)
+        for i, b, raw in zip(idx, nb, nbrs):
+            blocks[int(i)].add(int(b))
+            block_cells[int(i)].append(raw)
+        # ancestors of every block cell at each coarser level that coarse
+        # edge-covering cells can live at
+        for lv in range(anc_min_level, level):
+            for i, cells in enumerate(block_cells):
+                par = cellid.to_biased(
+                    cellid.parent(np.asarray(cells, np.uint64), lv)
+                )
+                blocks[i].update(int(p) for p in par)
+        return pd.Series([sorted(s) for s in blocks])
+
+    return keys
+
+
+def _stage(
+    edge_keys_all: DataFrame,
+    queries: DataFrame,
+    level: int,
+    anc_min_level: int,
+    k: int,
+) -> DataFrame:
+    # stage view of the level-agnostic key table: exact-level rows (any
+    # kind) + coarser COVERING rows; cell ids encode their level, so a
+    # single equi-join on key cannot cross levels
+    ek = edge_keys_all.where(
+        (F.col("lv") == level) | (F.col("is_cov") & (F.col("lv") < level))
+    )
+    blk = _point_keys_udf(level, min(anc_min_level, level))
+    q = queries.withColumn("_keys", blk(F.col("q_cell")))
+    q = q.withColumn("key", F.explode("_keys")).drop("_keys")
+    cand = (
+        q.join(ek, "key")
+        .dropDuplicates(["qid", "eid"])
+        .select("qid", "qx", "qy", "qz", "q_cell", "eid", *E_COLS)
+    )
+
+    def refine(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf.assign(dist_chord2=pd.Series(dtype="float64"))[
+                    ["qid", "eid", "dist_chord2"]
+                ]
+                continue
+            X = pdf[["qx", "qy", "qz"]].to_numpy(np.float64)
+            A = pdf[E_COLS[:3]].to_numpy(np.float64)
+            B = pdf[E_COLS[3:]].to_numpy(np.float64)
+            out = pdf[["qid", "eid"]].copy()
+            out["dist_chord2"] = measures.point_edge_chord2(X, A, B)
+            yield out
+
+    scored = cand.mapInPandas(refine, "qid long, eid long, dist_chord2 double")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist_chord2").asc(), F.col("eid").asc()
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    bound = _min_outside_chord2(level)
+    cert = (
+        topk.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("dist_chord2").alias("_dmax"))
+        .withColumn(
+            "certified", (F.col("_n") >= k) & (F.col("_dmax") < F.lit(bound))
+        )
+        .select("qid", "certified")
+    )
+    return topk.join(cert, "qid", "inner")
+
+
+def closest_edges_join(
+    spark: SparkSession,
+    edges: DataFrame,
+    queries: DataFrame,
+    k: int,
+    start_level: int | None = None,
+    num_stages: int = 2,
+) -> DataFrame:
+    """Top-k nearest edges for every query point.
+
+    edges: (eid, e0x..e1z unit endpoints); queries: (qid, qx, qy, qz,
+    q_cell[biased leaf]).  Returns (qid, rank, eid, dist_chord2).
+    start_level=None sizes the first stage from edge density so most
+    queries certify immediately (results are level-independent — the
+    certification bound is admissible at every level).
+    """
+    # the level-agnostic key table is computed ONCE and cached (narrow
+    # numeric rows); every stage filter-joins it, the stats come from one
+    # small agg over it, and the fallback reconstructs edge coords from it
+    # — the edge derivation expressions run exactly one pass.
+    queries = queries.cache()
+    ek_all = _edge_keys_all_levels(edges).cache()
+    row = ek_all.agg(
+        F.min(F.when(F.col("is_cov"), F.col("lv"))).alias("lv"),
+        F.count_distinct("eid").alias("n"),
+    ).collect()[0]
+    anc_min = int(row.lv) if row.lv is not None else 30
+    n_edges = int(row.n or 0)
+    if start_level is None:
+        start_level = _auto_start_level(n_edges, k)
+    remaining = queries
+    prev_cached: list[DataFrame] = []
+    results = []
+    level = start_level
+    for _ in range(num_stages):
+        if level < 1:
+            break
+        staged = _stage(ek_all, remaining, level, anc_min, k).cache()
+        results.append(
+            staged.where(F.col("certified")).select(
+                "qid", "rank", "eid", "dist_chord2"
+            )
+        )
+        certified_q = staged.where(F.col("certified")).select("qid").distinct()
+        remaining = remaining.join(certified_q, "qid", "left_anti").cache()
+        level -= 3
+        empty = remaining.limit(1).count() == 0
+        for df in prev_cached:
+            df.unpersist()
+        prev_cached = [remaining]
+        if empty:
+            return _union_all(results)
+
+    # brute-force fallback for the (typically empty) remainder; edge
+    # coords come from the cached key table (covering rows carry them)
+    edges_cached = ek_all.where("is_cov").select("eid", *E_COLS).dropDuplicates(
+        ["eid"]
+    )
+    cand = remaining.crossJoin(edges_cached)
+
+    def refine(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "qid": pd.Series(dtype="int64"),
+                        "eid": pd.Series(dtype="int64"),
+                        "dist_chord2": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            X = pdf[["qx", "qy", "qz"]].to_numpy(np.float64)
+            A = pdf[E_COLS[:3]].to_numpy(np.float64)
+            B = pdf[E_COLS[3:]].to_numpy(np.float64)
+            out = pdf[["qid", "eid"]].copy()
+            out["dist_chord2"] = measures.point_edge_chord2(X, A, B)
+            yield out
+
+    scored = cand.mapInPandas(refine, "qid long, eid long, dist_chord2 double")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist_chord2").asc(), F.col("eid").asc()
+    )
+    bf = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "eid", "dist_chord2")
+    )
+    results.append(bf)
+    return _union_all(results)
+
+
+def furthest_edges_join(
+    spark: SparkSession,
+    edges: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+) -> DataFrame:
+    """Top-k FURTHEST edges per query (S2FurthestEdgeQuery,
+    s2furthest_edge_query.h).  Max-distance has no useful cell pruning on
+    a single stage (the maximum is near the antipode, where coverings
+    give no bound), so the dataflow form is the scored cross join with a
+    descending window — the reference's own brute-force path for small
+    indexes (s2closest_edge_query_base.h FindClosestEdgesBruteForce).
+    For a large edge table, prune with an antipodal-cap pre-filter before
+    calling this.
+    """
+    cand = queries.crossJoin(edges)
+
+    def refine(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "qid": pd.Series(dtype="int64"),
+                        "eid": pd.Series(dtype="int64"),
+                        "dist_chord2": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            X = pdf[["qx", "qy", "qz"]].to_numpy(np.float64)
+            A = pdf[E_COLS[:3]].to_numpy(np.float64)
+            B = pdf[E_COLS[3:]].to_numpy(np.float64)
+            out = pdf[["qid", "eid"]].copy()
+            out["dist_chord2"] = measures.point_edge_max_chord2(X, A, B)
+            yield out
+
+    scored = cand.mapInPandas(refine, "qid long, eid long, dist_chord2 double")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist_chord2").desc(), F.col("eid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "eid", "dist_chord2")
+    )
