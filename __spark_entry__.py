@@ -288,6 +288,73 @@ def q_tile_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hulls.select("cell_l2", "n_points", "n_inside")
 
 
+# boolean-operation fixtures: pairs of overlapping/nested CONVEX loops
+# (convexity is only needed by the SQL oracle's half-space predicates;
+# the computed boolean RESULTS are general odd-even polygons)
+BOOL_PAIRS = {
+    "zurich_pair": ((47.36, 8.55, 0.30, 16), (47.36, 22.55, 0.30, 16)),
+    "sydney_pair": ((-33.87, 151.20, 0.35, 20), (-30.0, 151.20, 0.25, 16)),
+    "nested_pair": ((0.0, 0.0, 0.3, 20), (0.0, 0.0, 0.1, 8)),
+}
+
+
+@functools.lru_cache(maxsize=4)
+def _bool_index(op: str) -> RegionIndex:
+    """RegionIndex over the RESULT polygons of `op` applied to each
+    fixture pair (computed driver-side by the overlay kernel)."""
+    from s2geometry_spark.kernels import booleanop
+    from s2geometry_spark.kernels.regions import Polygon
+
+    regions = {}
+    for rid, (a_args, b_args) in BOOL_PAIRS.items():
+        a = [Loop.make_regular(*a_args).vertices]
+        b = [Loop.make_regular(*b_args).vertices]
+        res = booleanop.overlay(a, b, op)
+        if res:
+            regions[rid] = Polygon([Loop(v) for v in res])
+    return RegionIndex(regions)
+
+
+def _q_poly_op(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
+    """Classify every orders point against the computed boolean result
+    polygons — the oracle classifies the same points against the INPUT
+    loops (inA AND inB / OR / AND NOT), so the overlay geometry is
+    verified pointwise on the full points table."""
+    pts = _order_points_xyz(spark, sf_dir)
+    return contains_join(spark, pts, _bool_index(op))
+
+
+def q_poly_intersection(spark, sf_dir):
+    """S2BooleanOperation INTERSECTION (s2boolean_operation.h:16-75)."""
+    return _q_poly_op(spark, sf_dir, "intersection")
+
+
+def q_poly_union(spark, sf_dir):
+    """S2BooleanOperation UNION."""
+    return _q_poly_op(spark, sf_dir, "union")
+
+
+def q_poly_difference(spark, sf_dir):
+    """S2BooleanOperation DIFFERENCE (results include holes)."""
+    return _q_poly_op(spark, sf_dir, "difference")
+
+
+def _poly_bool_oracle(op: str) -> str:
+    xyz_cte = oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
+    parts = []
+    for rid, (a_args, b_args) in BOOL_PAIRS.items():
+        in_a = oracle.convex_loop_predicate_sql(Loop.make_regular(*a_args).vertices)
+        in_b = oracle.convex_loop_predicate_sql(Loop.make_regular(*b_args).vertices)
+        if op == "intersection":
+            pred = f"({in_a}) AND ({in_b})"
+        elif op == "union":
+            pred = f"({in_a}) OR ({in_b})"
+        else:
+            pred = f"({in_a}) AND NOT ({in_b})"
+        parts.append(f"SELECT pid, '{rid}' AS poly_id FROM xyz WHERE {pred}")
+    return f"WITH {xyz_cte} " + " UNION ALL ".join(parts)
+
+
 def q_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """within-distance (cap) join: covering-term candidates + pure-SQL
     chord^2 refinement."""
@@ -514,6 +581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_polygon_holes": q_pip_polygon_holes,
         "pip_semi": q_pip_semi,
         "pip_anti": q_pip_anti,
+        "poly_intersection": q_poly_intersection,
+        "poly_union": q_poly_union,
+        "poly_difference": q_poly_difference,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
@@ -757,6 +827,9 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "hausdorff": hausdorff_sql,
         "edge_crossings": _edge_crossings_oracle(),
         "knn_edges": _knn_edges_oracle(),
+        "poly_intersection": _poly_bool_oracle("intersection"),
+        "poly_union": _poly_bool_oracle("union"),
+        "poly_difference": _poly_bool_oracle("difference"),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,"
             " count(*) AS n_dups FROM documents GROUP BY 1"

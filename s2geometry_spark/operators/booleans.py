@@ -1,0 +1,80 @@
+"""Distributed polygon boolean operations (S2BooleanOperation subset,
+s2boolean_operation.h:16-75).
+
+Two dataflow shapes:
+
+* ``pairwise_boolean`` — a table of polygon PAIRS, one overlay per row
+  (the "clip a million regions to their AOIs" pipeline step): perfectly
+  parallel mapInPandas, each pair's overlay computed in-process by the
+  kernels.booleanop walk.  Polygons travel as
+  ``array<array<array<double>>>`` (loops -> vertices -> xyz), Arrow all
+  the way; no driver involvement.
+* entry queries (``__spark_entry__.q_poly_*``) — a SMALL fixture pair
+  set computed driver-side, whose RESULT polygons drive the standard
+  broadcast containment join over the points table; the DuckDB oracle
+  classifies the same points against the INPUT polygons with the convex
+  half-space predicates, so the computed boolean geometry is verified
+  pointwise on every row of the points table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..kernels import booleanop
+
+PAIR_SCHEMA = (
+    "pair_id long, op string, "
+    "a_loops array<array<array<double>>>, b_loops array<array<array<double>>>"
+)
+RESULT_SCHEMA = (
+    "pair_id long, op string, n_loops int, area double, "
+    "result_loops array<array<array<double>>>"
+)
+
+
+def _decode(loops_cell) -> list[np.ndarray]:
+    # Arrow hands nested lists as object arrays of arrays — stack per loop
+    return [
+        np.stack([np.asarray(v, dtype=np.float64) for v in lp])
+        for lp in loops_cell
+    ]
+
+
+def _encode(loops: list[np.ndarray]):
+    return [lp.tolist() for lp in loops]
+
+
+def pairwise_boolean(pairs: DataFrame) -> DataFrame:
+    """One boolean overlay per input row.
+
+    pairs: (pair_id, op in {'intersection','union','difference'},
+    a_loops, b_loops).  Returns (pair_id, op, n_loops, area,
+    result_loops)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                res = booleanop.overlay(
+                    _decode(row.a_loops), _decode(row.b_loops), row.op
+                )
+                out.append(
+                    {
+                        "pair_id": row.pair_id,
+                        "op": row.op,
+                        "n_loops": len(res),
+                        "area": booleanop.polygon_area(res),
+                        "result_loops": _encode(res),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["pair_id", "op", "n_loops", "area", "result_loops"],
+            )
+
+    return pairs.mapInPandas(batches, RESULT_SCHEMA)

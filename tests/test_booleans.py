@@ -1,0 +1,152 @@
+"""Polygon boolean operations (S2BooleanOperation subset): overlay
+kernel property tests (area additivity, pointwise equivalence, nesting)
++ the distributed pairwise operator."""
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernels import booleanop as bo
+from s2geometry_spark.kernels import measures
+from s2geometry_spark.kernels.regions import Loop, Polygon
+
+
+@pytest.fixture(scope="module")
+def sample_points():
+    rng = np.random.RandomState(0)
+    P = rng.randn(20000, 3)
+    return P / np.linalg.norm(P, axis=1)[:, None]
+
+
+A_ARGS = (10, 20, 0.3, 16)
+CASES = {
+    "overlapping": (34.0, 0.3, 16),  # shifted east, crossing boundary
+    "nested": (20.0, 0.1, 12),  # strictly inside A
+    "disjoint": (-140.0, 0.2, 12),
+}
+
+
+def _loops(case):
+    A = Loop.make_regular(*A_ARGS).vertices
+    lng, r, n = CASES[case]
+    B = Loop.make_regular(10, lng, r, n).vertices
+    return A, B
+
+
+@pytest.mark.parametrize("case", list(CASES))
+@pytest.mark.parametrize("op", ["intersection", "union", "difference"])
+def test_overlay_pointwise_equivalence(case, op, sample_points):
+    A, B = _loops(case)
+    res = bo.overlay([A], [B], op)
+    pa, pb = Polygon([Loop(A)]), Polygon([Loop(B)])
+    inA = pa.contains_points(sample_points)
+    inB = pb.contains_points(sample_points)
+    want = {
+        "intersection": inA & inB,
+        "union": inA | inB,
+        "difference": inA & ~inB,
+    }[op]
+    got = (
+        Polygon([Loop(v) for v in res]).contains_points(sample_points)
+        if res
+        else np.zeros(len(sample_points), bool)
+    )
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("case", list(CASES))
+def test_area_additivity(case):
+    A, B = _loops(case)
+    aA, aB = measures.loop_area(A), measures.loop_area(B)
+    aI = bo.polygon_area(bo.overlay([A], [B], "intersection"))
+    aU = bo.polygon_area(bo.overlay([A], [B], "union"))
+    aD = bo.polygon_area(bo.overlay([A], [B], "difference"))
+    assert aI + aU == pytest.approx(aA + aB, abs=1e-12)
+    assert aD == pytest.approx(aA - aI, abs=1e-12)
+
+
+def test_nested_difference_produces_hole():
+    A, B = _loops("nested")
+    res = bo.overlay([A], [B], "difference")
+    assert len(res) == 2
+    assert bo.nesting_depths(res) == [0, 1]
+    # hole loop is the inner ring, small-oriented
+    areas = sorted(measures.loop_area(v) for v in res)
+    assert areas[0] == pytest.approx(measures.loop_area(B), abs=1e-12)
+
+
+def test_nonconvex_star_overlay(sample_points):
+    """Non-convex inputs: an 8-point star x an offset ring."""
+    # star: alternate radii around a center
+    import math
+
+    lat0, lng0 = 5.0, 50.0
+    z = np.array(
+        [
+            math.cos(math.radians(lng0)) * math.cos(math.radians(lat0)),
+            math.sin(math.radians(lng0)) * math.cos(math.radians(lat0)),
+            math.sin(math.radians(lat0)),
+        ]
+    )
+    from s2geometry_spark.kernels import predicates
+
+    x = np.asarray(predicates._ortho(z))
+    y = np.cross(z, x)
+    verts = []
+    for i in range(16):
+        r = 0.35 if i % 2 == 0 else 0.15
+        ang = 2 * math.pi * i / 16
+        d = math.cos(r) * z + math.sin(r) * (math.cos(ang) * x + math.sin(ang) * y)
+        verts.append(d / np.linalg.norm(d))
+    S = np.array(verts)
+    B = Loop.make_regular(5.0, 50.0 + 14.0, 0.22, 14).vertices
+    for op in ["intersection", "union", "difference"]:
+        res = bo.overlay([S], [B], op)
+        ps, pb = Polygon([Loop(S)]), Polygon([Loop(B)])
+        inS = ps.contains_points(sample_points)
+        inB = pb.contains_points(sample_points)
+        want = {
+            "intersection": inS & inB,
+            "union": inS | inB,
+            "difference": inS & ~inB,
+        }[op]
+        got = Polygon([Loop(v) for v in res]).contains_points(sample_points)
+        assert (got == want).all(), op
+
+
+def test_polygon_with_hole_input(sample_points):
+    """A-with-hole intersected with an overlapping disk (odd-even input)."""
+    A, _ = _loops("overlapping")
+    H = Loop.make_regular(10, 20, 0.12, 10).vertices  # hole in A
+    B = Loop.make_regular(10, 34.0, 0.3, 16).vertices
+    res = bo.overlay([A, H], [B], "intersection")
+    pa = Polygon([Loop(A), Loop(H)])
+    pb = Polygon([Loop(B)])
+    want = pa.contains_points(sample_points) & pb.contains_points(sample_points)
+    got = Polygon([Loop(v) for v in res]).contains_points(sample_points)
+    assert (got == want).all()
+
+
+def test_pairwise_boolean_operator(spark):
+    from s2geometry_spark.operators.booleans import pairwise_boolean
+
+    rows = []
+    pid = 0
+    for case in CASES:
+        A, B = _loops(case)
+        for op in ["intersection", "union", "difference"]:
+            rows.append((pid, op, [A.tolist()], [B.tolist()]))
+            pid += 1
+    pairs = spark.createDataFrame(
+        rows,
+        "pair_id long, op string, a_loops array<array<array<double>>>, "
+        "b_loops array<array<array<double>>>",
+    )
+    out = {r.pair_id: r for r in pairwise_boolean(pairs).collect()}
+    assert len(out) == len(rows)
+    for pair_id, op, a_loops, b_loops in rows:
+        want = bo.overlay(
+            [np.array(v) for v in a_loops], [np.array(v) for v in b_loops], op
+        )
+        got = out[pair_id]
+        assert got.n_loops == len(want)
+        assert got.area == pytest.approx(bo.polygon_area(want), abs=1e-14)
