@@ -275,6 +275,78 @@ def q_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+CLOSEST_CELL_K = 2
+
+
+def _closest_cell_fixture() -> list[tuple[str, int]]:
+    return [
+        (rid, int(cid))
+        for rid, ids in _cap_coverings().items()
+        for cid in ids
+    ]
+
+
+def q_closest_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest-cell query (S2ClosestCellQuery): nearest covering cells of
+    the fixture caps per customer point — zero distance inside a cell
+    (4-edge sign test), else min point-to-arc distance over the cell's
+    boundary edges; bit-exact DuckDB oracle from corner literals."""
+    from s2geometry_spark.operators.closest_cell import closest_cells_join
+
+    q = _customer_queries(spark, sf_dir, _QUERY_KEY)
+    return closest_cells_join(q, _closest_cell_fixture(), k=CLOSEST_CELL_K)
+
+
+def _closest_cell_oracle() -> str:
+    from s2geometry_spark.operators.closest_cell import closest_cells_oracle_sql
+
+    q_cte = oracle.xyz_sql_cte(
+        "customer", _QUERY_KEY, keep_cols="c_custkey AS qid", prefix="q"
+    )
+    return closest_cells_oracle_sql(
+        _closest_cell_fixture(), q_cte, k=CLOSEST_CELL_K
+    )
+
+
+CHAIN_FRACTIONS = (0.25, 0.5, 0.75)
+
+
+def q_chain_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain interpolation (S2ChainInterpolationQuery): one polyline per
+    nation through its customers' derived points (ordered by custkey);
+    emit the point at each fraction of total length.  The DuckDB oracle
+    replays the identical sequential length fold + slerp."""
+    from s2geometry_spark.operators.chains import chain_interpolate
+
+    customer = _load(spark, sf_dir, "customer")
+    pts = customer.select(
+        F.col("c_nationkey").cast("long").alias("chain_id"),
+        F.col("c_custkey").alias("seq"),
+        *tiling.triplet_exprs("c_custkey"),
+    )
+    nrm = F.sqrt((F.col("x0") * F.col("x0") + F.col("y0") * F.col("y0") + F.col("z0") * F.col("z0")).cast("double"))
+    pts = pts.select(
+        "chain_id",
+        "seq",
+        (F.col("x0").cast("double") / nrm).alias("x"),
+        (F.col("y0").cast("double") / nrm).alias("y"),
+        (F.col("z0").cast("double") / nrm).alias("z"),
+    )
+    return chain_interpolate(pts, CHAIN_FRACTIONS)
+
+
+def _chain_interpolate_oracle() -> str:
+    from s2geometry_spark.operators.chains import chain_interpolate_oracle_sql
+
+    cte = oracle.xyz_sql_cte(
+        "customer",
+        "c_custkey",
+        keep_cols="CAST(c_nationkey AS BIGINT) AS chain_id, c_custkey AS seq",
+    )
+    table_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM xyz"
+    return chain_interpolate_oracle_sql(table_sql, CHAIN_FRACTIONS)
+
+
 def q_tile_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile convex hull (S2ConvexHullQuery per group).  Oracle form:
     the hull construction is not SQL-expressible, but its defining
@@ -590,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_hulls": q_tile_hulls,
         "edge_crossings": q_edge_crossings,
         "knn_edges": q_knn_edges,
+        "chain_interpolate": q_chain_interpolate,
+        "closest_cell": q_closest_cell,
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
@@ -830,6 +904,8 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "poly_intersection": _poly_bool_oracle("intersection"),
         "poly_union": _poly_bool_oracle("union"),
         "poly_difference": _poly_bool_oracle("difference"),
+        "chain_interpolate": _chain_interpolate_oracle(),
+        "closest_cell": _closest_cell_oracle(),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,"
             " count(*) AS n_dups FROM documents GROUP BY 1"

@@ -1,0 +1,175 @@
+"""Chain interpolation: S2ChainInterpolationQuery
+(s2chain_interpolation_query.h) as distributed dataflow.
+
+The reference query answers "the point at fraction f of a polyline's
+total length".  Dataflow shape: one shuffle groups each chain's
+vertices, then an Arrow-batched kernel walks the chain — per (chain,
+fraction) one output point.
+
+Every float operation is PINNED (sequential left-fold lengths, explicit
+slerp arithmetic) so the DuckDB oracle — which recomputes the identical
+fold with list_reduce/list_transform — matches bit-for-bit.  NumPy's
+pairwise .sum() is deliberately avoided.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _interp_chain(V: np.ndarray, f: float) -> np.ndarray:
+    """Pinned-point at fraction ``f`` of the chain V (n,3).
+
+    Mirrors S2ChainInterpolationQuery::AtFraction semantics; arithmetic
+    is scalar-sequential so the SQL twin reproduces every double."""
+    n = V.shape[0]
+    if n == 1:
+        return V[0]
+    segs = []
+    for i in range(1, n):
+        d = (V[i - 1, 0] * V[i, 0] + V[i - 1, 1] * V[i, 1]) + V[i - 1, 2] * V[i, 2]
+        d = min(1.0, max(-1.0, d))
+        segs.append(math.acos(d))
+    total = 0.0
+    for s in segs:
+        total = total + s
+    if total == 0.0 or f <= 0.0:
+        return V[0]
+    if f >= 1.0:
+        return V[-1]
+    target = f * total
+    acc = 0.0
+    for i, s in enumerate(segs):
+        if acc + s >= target and s > 0.0:
+            t = (target - acc) / s
+            a, b = V[i], V[i + 1]
+            sin_ab = math.sin(s)
+            wa = math.sin((1.0 - t) * s) / sin_ab
+            wb = math.sin(t * s) / sin_ab
+            ox = wa * a[0] + wb * b[0]
+            oy = wa * a[1] + wb * b[1]
+            oz = wa * a[2] + wb * b[2]
+            nrm = math.sqrt((ox * ox + oy * oy) + oz * oz)
+            return np.array([ox / nrm, oy / nrm, oz / nrm])
+        acc = acc + s
+    return V[-1]
+
+
+def chain_interpolate(
+    points: DataFrame,
+    fractions: tuple[float, ...],
+    chain_col: str = "chain_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Per (chain, fraction) interpolated point.
+
+    points: (chain_id, seq, x, y, z) — vertices ordered by ``seq`` within
+    each chain.  Returns (chain_id, fraction, x, y, z).  One shuffle
+    (groupBy chain); chains are processed independently, so skew follows
+    the chain-size distribution (salt long chains upstream if needed).
+    """
+
+    def one_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col)
+        V = pdf[["x", "y", "z"]].to_numpy(np.float64)
+        cid = pdf[chain_col].iloc[0]
+        rows = []
+        for f in fractions:
+            p = _interp_chain(V, f)
+            rows.append(
+                {
+                    chain_col: cid,
+                    "fraction": f,
+                    "x": p[0],
+                    "y": p[1],
+                    "z": p[2],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return points.groupBy(chain_col).applyInPandas(
+        one_chain, f"{chain_col} long, fraction double, x double, y double, z double"
+    )
+
+
+def chain_interpolate_oracle_sql(
+    table_sql: str, fractions: tuple[float, ...]
+) -> str:
+    """DuckDB oracle: the identical sequential fold via list primitives.
+
+    ``table_sql`` must select (chain_id, seq, x, y, z).  Exclusive prefix
+    sums are rebuilt per segment with list_reduce over a slice — O(n^2)
+    adds per chain, exact left-assoc order (a windowed SUM would use a
+    segment tree whose association differs)."""
+    fr_vals = ", ".join("CAST(%.17e AS DOUBLE)" % f for f in fractions)
+    return f"""
+WITH pts AS MATERIALIZED ({table_sql}),
+chains AS (
+  SELECT chain_id,
+         list(x ORDER BY seq) AS xs,
+         list(y ORDER BY seq) AS ys,
+         list(z ORDER BY seq) AS zs,
+         count(*) AS n
+  FROM pts GROUP BY chain_id
+),
+segs AS (
+  SELECT chain_id, xs, ys, zs, n,
+         list_transform(
+           generate_series(2, n),
+           i -> acos(least(greatest(
+                  (xs[i-1]*xs[i] + ys[i-1]*ys[i]) + zs[i-1]*zs[i],
+                  CAST(-1.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)))
+         ) AS sl
+  FROM chains
+),
+tot AS (
+  SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), sl),
+                        (a, b) -> a + b) AS total
+  FROM segs
+),
+tgt AS (
+  SELECT t.*, f.fraction, f.fraction * t.total AS target
+  FROM tot t CROSS JOIN (SELECT unnest([{fr_vals}]) AS fraction) f
+),
+pick AS (
+  SELECT *,
+         list_filter(
+           generate_series(1, n - 1),
+           i -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                              list_slice(sl, 1, i - 1)), (a, b) -> a + b)
+                  + sl[i] >= target
+                AND sl[i] > 0
+         )[1] AS seg_i
+  FROM tgt
+),
+terms AS (
+  SELECT chain_id, fraction, xs, ys, zs, seg_i, sl[seg_i] AS s,
+         (target
+            - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list_slice(sl, 1, seg_i - 1)), (a, b) -> a + b)
+         ) / sl[seg_i] AS t
+  FROM pick
+),
+w AS (
+  SELECT chain_id, fraction, xs, ys, zs, seg_i,
+         sin((CAST(1.0 AS DOUBLE) - t) * s) / sin(s) AS wa,
+         sin(t * s) / sin(s) AS wb
+  FROM terms
+),
+o AS (
+  SELECT chain_id, fraction,
+         wa * xs[seg_i] + wb * xs[seg_i + 1] AS ox,
+         wa * ys[seg_i] + wb * ys[seg_i + 1] AS oy,
+         wa * zs[seg_i] + wb * zs[seg_i + 1] AS oz
+  FROM w
+)
+SELECT chain_id, fraction,
+       ox / sqrt((ox*ox + oy*oy) + oz*oz) AS x,
+       oy / sqrt((ox*ox + oy*oy) + oz*oz) AS y,
+       oz / sqrt((ox*ox + oy*oy) + oz*oz) AS z
+FROM o
+"""
