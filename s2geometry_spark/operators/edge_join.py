@@ -13,12 +13,14 @@ Plan:
   range iff they share a term.  Emitted as FLAT (eid, term_cell,
   is_covering) rows from one mapInPandas pass — no per-row Python.
   candidates — ONE equi-join of the two term tables on (term_cell,
-  is_covering) + pair dedup; edge coordinates are joined back by eid
-  afterwards (the term tables stay narrow).
+  is_covering); the term rows CARRY their edge coordinates, so the join
+  output feeds the crossing kernel in the same stage (no pair-dedup
+  shuffle of the candidate set, no coordinate re-joins).
   refine — vectorized interior-crossing kernel per candidate batch
   (predicates.edges_cross_batch: pinned-order triage determinants with
   the antipodal sign-chain check; robust mode drops uncertain rows to
-  the exact scalar path).
+  the exact scalar path); the post-refinement dedup touches only actual
+  crossing pairs.
 """
 
 from __future__ import annotations
@@ -31,42 +33,77 @@ from pyspark.sql import functions as F
 from ..kernels import cellid, metrics, predicates
 
 MAX_LEVEL = 20
+# ancestor terms are emitted only at every LEVEL_MOD-th level and covering
+# cells snap DOWN to the nearest allowed level (s2region_term_indexer.h
+# level_mod option): halves the O(level) ancestor fan-out per covering
+# cell at the cost of slightly coarser (still lossless) candidates.
+LEVEL_MOD = 2
+
+
+# edges are subdivided 2^SPLIT_ROUNDS times before covering: each
+# sub-arc's cap is 4x smaller per round, so covering cells are ~2 levels
+# finer per round — at the cost of ~4x more (deduped) covering cells per
+# edge, the candidate join shrinks ~16x per round in dense tables.
+SPLIT_ROUNDS = 2
 
 
 def _edge_coverings_flat(
-    A0: np.ndarray, A1: np.ndarray
+    A0: np.ndarray, A1: np.ndarray, split_rounds: int = SPLIT_ROUNDS
 ) -> tuple[np.ndarray, np.ndarray]:
     """(owner_row_idx, covering_cell uint64) flat arrays for a batch."""
     n = A0.shape[0]
-    mid = A0 + A1
-    nrm = np.linalg.norm(mid, axis=1)
-    bad = nrm < 1e-12
-    mid[bad] = A0[bad]
-    nrm[bad] = 1.0
-    mid = mid / nrm[:, None]
-    r2 = ((mid - A0) ** 2).sum(axis=1)
-    radius = 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(r2)))
-    levels = np.array(
-        [metrics.MIN_WIDTH.get_level_for_min_value(float(r)) - 1 for r in radius],
-        dtype=np.int64,
-    )
-    levels = np.minimum(levels, MAX_LEVEL)
+    # subdivide: chain of 2^rounds + 1 points per edge (normalized
+    # midpoints), covering each consecutive sub-arc's cap independently
+    pts = [A0, A1]
+    for _ in range(split_rounds):
+        new_pts = [pts[0]]
+        for i in range(len(pts) - 1):
+            m = pts[i] + pts[i + 1]
+            nrm = np.linalg.norm(m, axis=1)
+            bad = nrm < 1e-12
+            m[bad] = pts[i][bad]
+            nrm[bad] = 1.0
+            new_pts.extend([m / nrm[:, None], pts[i + 1]])
+        pts = new_pts
     owners = []
     cells = []
-    full = levels < 0
-    if full.any():
-        faces = cellid.from_face(np.arange(6))
-        for i in np.flatnonzero(full):
-            owners.append(np.full(6, i))
-            cells.append(faces)
-    leafs = cellid.from_xyz(mid[:, 0], mid[:, 1], mid[:, 2])
-    for lv in np.unique(levels[levels >= 0]):
-        sel = np.flatnonzero(levels == lv)
-        idx, nbrs = cellid.append_vertex_neighbors(leafs[sel], int(lv))
-        owners.append(sel[idx])
-        cells.append(nbrs)
+    for s in range(len(pts) - 1):
+        P0, P1 = pts[s], pts[s + 1]
+        mid = P0 + P1
+        nrm = np.linalg.norm(mid, axis=1)
+        bad = nrm < 1e-12
+        mid[bad] = P0[bad]
+        nrm[bad] = 1.0
+        mid = mid / nrm[:, None]
+        r2 = ((mid - P0) ** 2).sum(axis=1)
+        radius = 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(r2)))
+        levels = np.array(
+            [metrics.MIN_WIDTH.get_level_for_min_value(float(r)) - 1 for r in radius],
+            dtype=np.int64,
+        )
+        levels = np.minimum(levels, MAX_LEVEL)
+        # snap to the LEVEL_MOD grid (downward: coarser always covers)
+        levels = np.where(levels >= 0, levels - (levels % LEVEL_MOD), levels)
+        full = levels < 0
+        if full.any():
+            faces = cellid.from_face(np.arange(6))
+            for i in np.flatnonzero(full):
+                owners.append(np.full(6, i))
+                cells.append(faces)
+        leafs = cellid.from_xyz(mid[:, 0], mid[:, 1], mid[:, 2])
+        for lv in np.unique(levels[levels >= 0]):
+            sel = np.flatnonzero(levels == lv)
+            idx, nbrs = cellid.append_vertex_neighbors(leafs[sel], int(lv))
+            owners.append(sel[idx])
+            cells.append(nbrs)
     owner = np.concatenate(owners) if owners else np.zeros(0, np.int64)
     cell = np.concatenate(cells) if cells else np.zeros(0, np.uint64)
+    # adjacent sub-arcs share vertex-neighbor cells: dedupe (owner, cell)
+    if owner.size:
+        pair = np.stack([owner, cell.view(np.int64)], axis=1)
+        _, uniq = np.unique(pair, axis=0, return_index=True)
+        uniq.sort()
+        owner, cell = owner[uniq], cell[uniq]
     return owner, cell
 
 
@@ -92,7 +129,9 @@ def _terms_flat(owner: np.ndarray, cell: np.ndarray, side: str):
             continue
         sel = np.flatnonzero(lv == L)
         sub = cell[sel]
-        for p in range(int(L) - 1, -1, -1):
+        # ancestors only on the LEVEL_MOD grid (covering cells are snapped
+        # to the same grid, so containment is still detected exactly)
+        for p in range(int(L) - LEVEL_MOD, -1, -LEVEL_MOD):
             par = cellid.to_biased(cellid.parent(sub, p))
             out_owner.append(owner[sel])
             out_cell.append(par)
@@ -105,15 +144,24 @@ def _terms_flat(owner: np.ndarray, cell: np.ndarray, side: str):
 
 
 def _term_table(edges: DataFrame, id_col: str, prefix: str, side: str) -> DataFrame:
+    """Term rows WITH the edge coordinates: widening the term table lets
+    the candidate join feed the crossing kernel directly — no pair dedup
+    shuffle and no coordinate re-joins on the (much larger) candidate
+    set.  Duplicate candidates cost only vectorized flops and are
+    deduped AFTER refinement, where the row count is the (tiny) crossing
+    set."""
     cols = [f"{prefix}{k}{ax}" for k in (0, 1) for ax in "xyz"]
 
     def batches(it):
         for pdf in it:
             if len(pdf) == 0:
                 yield pd.DataFrame(
-                    {id_col: pd.Series(dtype="int64"),
-                     "term_cell": pd.Series(dtype="int64"),
-                     "is_covering": pd.Series(dtype="bool")}
+                    {
+                        id_col: pd.Series(dtype="int64"),
+                        "term_cell": pd.Series(dtype="int64"),
+                        "is_covering": pd.Series(dtype="bool"),
+                        **{c: pd.Series(dtype="float64") for c in cols},
+                    }
                 )
                 continue
             A0 = pdf[cols[:3]].to_numpy(np.float64)
@@ -124,10 +172,17 @@ def _term_table(edges: DataFrame, id_col: str, prefix: str, side: str) -> DataFr
             out = pd.DataFrame(
                 {id_col: ids[o], "term_cell": c.astype(np.int64), "is_covering": f}
             )
-            yield out.drop_duplicates()
+            out = out.drop_duplicates()
+            keep = out.index.to_numpy()
+            for i, cc in enumerate(cols):
+                src = A0 if i < 3 else A1
+                out[cc] = src[o[keep], i % 3]
+            yield out
 
     return edges.select(id_col, *cols).mapInPandas(
-        batches, f"{id_col} long, term_cell long, is_covering boolean"
+        batches,
+        f"{id_col} long, term_cell long, is_covering boolean, "
+        + ", ".join(f"{c} double" for c in cols),
     )
 
 
@@ -141,18 +196,20 @@ def edge_crossing_join(
     """All (eid_a, eid_b) pairs whose edge interiors cross.
 
     edges_a: (eid_a, a0x..a1z); edges_b: (eid_b, b0x..b1z).
+
+    Plan shape: term tables carry their edge coordinates, so the
+    candidate join (broadcast hash join when ``broadcast_b``, shuffle
+    hash join for a big B side) flows STRAIGHT into the fused crossing
+    kernel in the same stage — the only shuffle on the non-broadcast
+    path is the term join itself, and the post-refinement dedup touches
+    only actual crossing pairs (a candidate pair that crosses is still
+    one output row no matter how many terms matched it).
     """
     ta = _term_table(edges_a, "eid_a", "a", "query")
     tb = _term_table(edges_b, "eid_b", "b", "index")
     if broadcast_b:
         tb = F.broadcast(tb)
-    pairs = (
-        ta.join(tb, ["term_cell", "is_covering"])
-        .select("eid_a", "eid_b")
-        .dropDuplicates(["eid_a", "eid_b"])
-    )
-    eb = F.broadcast(edges_b) if broadcast_b else edges_b
-    cand = pairs.join(edges_a, "eid_a").join(eb, "eid_b")
+    cand = ta.join(tb, ["term_cell", "is_covering"])
 
     def refine(it):
         for pdf in it:
@@ -166,6 +223,9 @@ def edge_crossing_join(
             B0 = pdf[["b0x", "b0y", "b0z"]].to_numpy(np.float64)
             B1 = pdf[["b1x", "b1y", "b1z"]].to_numpy(np.float64)
             hit = predicates.edges_cross_batch(A0, A1, B0, B1, robust=robust)
-            yield pdf.loc[hit, ["eid_a", "eid_b"]]
+            out = pdf.loc[hit, ["eid_a", "eid_b"]]
+            yield out.drop_duplicates()
 
-    return cand.mapInPandas(refine, "eid_a long, eid_b long")
+    return cand.mapInPandas(refine, "eid_a long, eid_b long").dropDuplicates(
+        ["eid_a", "eid_b"]
+    )

@@ -76,6 +76,27 @@ def test_edge_crossing_join_vs_bruteforce(spark):
     assert want
 
 
+def test_edge_crossing_join_shuffle_path_identical(spark):
+    """broadcast_b=False (the big-B shuffle-join path) must produce the
+    exact same pair set as the broadcast path and brute force."""
+    rng = np.random.default_rng(29)
+    A0, A1 = random_edges(rng, 50, spread=0.2)
+    B0, B1 = random_edges(rng, 50, spread=0.15)
+    da = to_df(spark, "a", list(range(len(A0))), A0, A1)
+    db = to_df(spark, "b", list(range(len(B0))), B0, B1)
+    shuffled = {
+        (r.eid_a, r.eid_b)
+        for r in edge_crossing_join(spark, da, db, broadcast_b=False).collect()
+    }
+    broadcast = {
+        (r.eid_a, r.eid_b)
+        for r in edge_crossing_join(spark, da, db, broadcast_b=True).collect()
+    }
+    want = brute_pairs(A0, A1, B0, B1)
+    assert shuffled == broadcast == want
+    assert want
+
+
 def test_edge_crossing_join_disjoint_regions(spark):
     rng = np.random.default_rng(23)
     A0, A1 = random_edges(rng, 20, spread=0.05, center=(1, 0, 0))
