@@ -338,6 +338,29 @@ def get_size_ij(lvl) -> np.ndarray:
     return np.int64(1) << (MAX_LEVEL - np.asarray(lvl, np.int64))
 
 
+def corners_xyz(ids: np.ndarray) -> np.ndarray:
+    """(n, 4, 3) normalized corner vertices of each cell, vectorized
+    (S2Cell::GetVertex, s2cell.h:90-100): decode to (face, i, j), snap to
+    the cell's ij base, corners on the si/ti grid in the fixed
+    (lo,lo)->(hi,lo)->(hi,hi)->(lo,hi) perimeter order."""
+    ids = np.asarray(ids, np.uint64)
+    face, i, j, _ = to_face_ij_orientation(ids)
+    size = get_size_ij(level(ids)).astype(np.int64)
+    i0 = (i.astype(np.int64) // size) * size
+    j0 = (j.astype(np.int64) // size) * size
+    si_lo, si_hi = 2 * i0, 2 * (i0 + size)
+    ti_lo, ti_hi = 2 * j0, 2 * (j0 + size)
+    out = np.empty((ids.shape[0], 4, 3), np.float64)
+    for k, (si, ti) in enumerate(
+        [(si_lo, ti_lo), (si_hi, ti_lo), (si_hi, ti_hi), (si_lo, ti_hi)]
+    ):
+        x, y, z = coords.normalize(*coords.face_si_ti_to_xyz(face, si, ti))
+        out[:, k, 0] = x
+        out[:, k, 1] = y
+        out[:, k, 2] = z
+    return out
+
+
 def _from_face_ij_wrap(f: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
     """FromFaceIJWrap (s2cell_id.cc:459-489): project past the face edge."""
     i = np.clip(i, -1, MAX_SIZE)

@@ -57,6 +57,57 @@ def _min_outside_chord2(level: int) -> float:
     return d * d
 
 
+def query_bound_chord2(
+    P: np.ndarray, cells: np.ndarray, level: int
+) -> np.ndarray:
+    """Per-query admissible certification bound, TIGHTER than the
+    constant kMinWidth block bound: any point outside the 3x3 block is at
+    least d(q, boundary of q's own cell) + kMinWidth(level) away — the
+    geodesic to it crosses the own-cell boundary first, then must
+    traverse a full ring cell (each ring crossing >= the level's min
+    width; S2Cell::GetDistance gives the first term exactly via the
+    4-edge distance, s2cell.cc:382-460).
+
+    P: (n,3) query points; cells: uint64 leaf ids.  Returns chord^2.
+    """
+    from ..kernels import measures
+
+    own = cellid.parent(cells, level)
+    corners = cellid.corners_xyz(own)
+    n = P.shape[0]
+    d = None
+    for e in range(4):
+        a = corners[:, e]
+        b = corners[:, (e + 1) % 4]
+        de = measures.point_edge_chord2(P, a, b)
+        d = de if d is None else np.minimum(d, de)
+    ang = 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(d)))
+    total = ang + metrics.MIN_WIDTH.get_value(level)
+    chord = 2.0 * np.sin(0.5 * np.minimum(np.pi, total))
+    return chord * chord
+
+
+def _bound_udf(level: int):
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def bound(
+        cell_biased: pd.Series, qx: pd.Series, qy: pd.Series, qz: pd.Series
+    ) -> pd.Series:
+        ids = cellid.from_biased(cell_biased.to_numpy(np.int64))
+        P = np.stack(
+            [
+                qx.to_numpy(np.float64),
+                qy.to_numpy(np.float64),
+                qz.to_numpy(np.float64),
+            ],
+            axis=1,
+        )
+        return pd.Series(query_bound_chord2(P, ids, level))
+
+    return bound
+
+
 def _stage(
     points_with_cell: DataFrame,
     queries: DataFrame,
@@ -174,15 +225,22 @@ def _stage(
         .where(F.col("rank") <= k)
         .select(qid, "qx", "qy", "qz", "q_cell", pid, "dist_chord2", "rank")
     )
-    bound = _min_outside_chord2(level)
+    # per-query bound (own-cell boundary distance + ring width) certifies
+    # strictly more queries at stage 1 than the constant kMinWidth bound
+    bnd = _bound_udf(level)
     cert = (
         topk.groupBy(qid)
         .agg(
             F.count(F.lit(1)).alias("_n"),
             F.max("dist_chord2").alias("_dmax"),
+            F.first("q_cell").alias("_qc"),
+            F.first("qx").alias("_qx"),
+            F.first("qy").alias("_qy"),
+            F.first("qz").alias("_qz"),
         )
+        .withColumn("_bound", bnd(F.col("_qc"), F.col("_qx"), F.col("_qy"), F.col("_qz")))
         .withColumn(
-            "certified", (F.col("_n") >= k) & (F.col("_dmax") < F.lit(bound))
+            "certified", (F.col("_n") >= k) & (F.col("_dmax") < F.col("_bound"))
         )
         .select(qid, "certified")
     )

@@ -48,20 +48,46 @@ from .knn import _min_outside_chord2, _union_all
 E_COLS = ["e0x", "e0y", "e0z", "e1x", "e1y", "e1z"]
 
 
-def _edge_keys_all_levels(edges: DataFrame, min_level: int = 1) -> DataFrame:
-    """(eid, key, lv, is_cov, e0..e1 coords): ONE pass emitting every
-    edge's covering cells AND their ancestors down to ``min_level``.
+def _edge_stats(edges: DataFrame) -> tuple[int, int]:
+    """(coarsest covering level, edge count) in one small agg job over the
+    (cached) edge table."""
 
-    Level-agnostic: at any stage level L the candidate match is
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"lv": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+                )
+                continue
+            A0 = pdf[E_COLS[:3]].to_numpy(np.float64)
+            A1 = pdf[E_COLS[3:]].to_numpy(np.float64)
+            _, cell = _edge_coverings_flat(A0, A1)
+            lv = cellid.level(cell)
+            yield pd.DataFrame(
+                {"lv": [int(lv.min()) if lv.size else 30], "n": [len(pdf)]}
+            )
+
+    per_part = edges.select(*E_COLS).mapInPandas(batches, "lv long, n long")
+    row = per_part.agg(F.min("lv").alias("lv"), F.sum("n").alias("n")).collect()[0]
+    return (int(row.lv) if row.lv is not None else 30, int(row.n or 0))
+
+
+def _edge_keys_for_levels(edges: DataFrame, stage_levels: list[int]) -> DataFrame:
+    """(eid, key, lv, is_cov, e0..e1 coords): ONE pass emitting every
+    edge's covering cells plus ancestors at the given STAGE levels only
+    (ancestors at other levels can never match a point key, so emitting
+    them — as an all-levels table would — just inflates the cached table
+    ~8x).
+
+    Match structure at stage level L:
       point block cell b (level L)  ==  edge key at level L
-        (ancestor-or-covering: holds iff some covering cell is inside b,
-         i.e. the edge enters b), or
+        (ancestor-at-L of a deeper covering cell, or a covering cell at
+         exactly L: holds iff some covering cell is inside b), or
       point ancestor key (level l < L)  ==  edge COVERING key at level l
         (a covering cell coarser than the block necessarily CONTAINS any
          block cell it touches).
-    Computing this table once and caching it serves every stage — no
-    per-stage edge scan, no separate stats job.
     """
+    stage_levels = sorted(set(stage_levels))
 
     def batches(it):
         for pdf in it:
@@ -84,16 +110,14 @@ def _edge_keys_all_levels(edges: DataFrame, min_level: int = 1) -> DataFrame:
             key_all = [cell]
             lv_all = [lv]
             cov_all = [np.ones(len(owner), bool)]
-            for L in np.unique(lv):
-                if L <= min_level:
+            for p in stage_levels:
+                sel = np.flatnonzero(lv > p)
+                if sel.size == 0:
                     continue
-                sel = np.flatnonzero(lv == L)
-                sub = cell[sel]
-                for p in range(int(L) - 1, min_level - 1, -1):
-                    own_all.append(owner[sel])
-                    key_all.append(cellid.parent(sub, p))
-                    lv_all.append(np.full(len(sel), p))
-                    cov_all.append(np.zeros(len(sel), bool))
+                own_all.append(owner[sel])
+                key_all.append(cellid.parent(cell[sel], p))
+                lv_all.append(np.full(sel.size, p))
+                cov_all.append(np.zeros(sel.size, bool))
             own = np.concatenate(own_all)
             ids = pdf["eid"].to_numpy(np.int64)[own]
             out = pd.DataFrame(
@@ -168,6 +192,7 @@ def _stage(
     level: int,
     anc_min_level: int,
     k: int,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     # stage view of the level-agnostic key table: exact-level rows (any
     # kind) + coarser COVERING rows; cell ids encode their level, so a
@@ -178,27 +203,43 @@ def _stage(
     blk = _point_keys_udf(level, min(anc_min_level, level))
     q = queries.withColumn("_keys", blk(F.col("q_cell")))
     q = q.withColumn("key", F.explode("_keys")).drop("_keys")
-    cand = (
-        q.join(ek, "key")
-        .dropDuplicates(["qid", "eid"])
-        .select("qid", "qx", "qy", "qz", "q_cell", "eid", *E_COLS)
+    # query keys are the small side by contract: broadcasting them makes
+    # the candidate join map-side over the edge-key partitions, and the
+    # fused refine kernel consumes it in the SAME stage; only the narrow
+    # (qid, eid, dist) rows reach a shuffle (dedup + top-k window)
+    if broadcast_queries:
+        q = F.broadcast(q)
+    cand = q.join(ek, "key").select(
+        "qid", "qx", "qy", "qz", "q_cell", "eid", *E_COLS
     )
 
-    def refine(it):
+    def refine_keep_q(it):
         for pdf in it:
             if len(pdf) == 0:
-                yield pdf.assign(dist_chord2=pd.Series(dtype="float64"))[
-                    ["qid", "eid", "dist_chord2"]
-                ]
+                yield pd.DataFrame(
+                    {
+                        "qid": pd.Series(dtype="int64"),
+                        "q_cell": pd.Series(dtype="int64"),
+                        "qx": pd.Series(dtype="float64"),
+                        "qy": pd.Series(dtype="float64"),
+                        "qz": pd.Series(dtype="float64"),
+                        "eid": pd.Series(dtype="int64"),
+                        "dist_chord2": pd.Series(dtype="float64"),
+                    }
+                )
                 continue
             X = pdf[["qx", "qy", "qz"]].to_numpy(np.float64)
             A = pdf[E_COLS[:3]].to_numpy(np.float64)
             B = pdf[E_COLS[3:]].to_numpy(np.float64)
-            out = pdf[["qid", "eid"]].copy()
+            out = pdf[["qid", "q_cell", "qx", "qy", "qz", "eid"]].copy()
             out["dist_chord2"] = measures.point_edge_chord2(X, A, B)
             yield out
 
-    scored = cand.mapInPandas(refine, "qid long, eid long, dist_chord2 double")
+    scored = cand.mapInPandas(
+        refine_keep_q,
+        "qid long, q_cell long, qx double, qy double, qz double, "
+        "eid long, dist_chord2 double",
+    ).dropDuplicates(["qid", "eid"])
     w = Window.partitionBy("qid").orderBy(
         F.col("dist_chord2").asc(), F.col("eid").asc()
     )
@@ -206,16 +247,33 @@ def _stage(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
-    bound = _min_outside_chord2(level)
+    # per-query bound (own-cell boundary distance + ring width): an edge
+    # with no covering cell in the block lies entirely outside it, so the
+    # same point-bound argument applies (see knn.query_bound_chord2)
+    from .knn import _bound_udf
+
+    bnd = _bound_udf(level)
     cert = (
         topk.groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("_n"), F.max("dist_chord2").alias("_dmax"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("dist_chord2").alias("_dmax"),
+            F.first("q_cell").alias("_qc"),
+            F.first("qx").alias("_qx"),
+            F.first("qy").alias("_qy"),
+            F.first("qz").alias("_qz"),
+        )
         .withColumn(
-            "certified", (F.col("_n") >= k) & (F.col("_dmax") < F.lit(bound))
+            "_bound", bnd(F.col("_qc"), F.col("_qx"), F.col("_qy"), F.col("_qz"))
+        )
+        .withColumn(
+            "certified", (F.col("_n") >= k) & (F.col("_dmax") < F.col("_bound"))
         )
         .select("qid", "certified")
     )
-    return topk.join(cert, "qid", "inner")
+    return topk.select("qid", "rank", "eid", "dist_chord2").join(
+        cert, "qid", "inner"
+    )
 
 
 def closest_edges_join(
@@ -234,20 +292,19 @@ def closest_edges_join(
     queries certify immediately (results are level-independent — the
     certification bound is admissible at every level).
     """
-    # the level-agnostic key table is computed ONCE and cached (narrow
-    # numeric rows); every stage filter-joins it, the stats come from one
-    # small agg over it, and the fallback reconstructs edge coords from it
-    # — the edge derivation expressions run exactly one pass.
+    # edges are cached once (the derivation expressions run one pass);
+    # stats size the stage levels, then the key table — covering cells
+    # plus ancestors at exactly the stage levels — is computed once and
+    # cached, serving every stage and the fallback.
     queries = queries.cache()
-    ek_all = _edge_keys_all_levels(edges).cache()
-    row = ek_all.agg(
-        F.min(F.when(F.col("is_cov"), F.col("lv"))).alias("lv"),
-        F.count_distinct("eid").alias("n"),
-    ).collect()[0]
-    anc_min = int(row.lv) if row.lv is not None else 30
-    n_edges = int(row.n or 0)
+    edges = edges.cache()
+    anc_min, n_edges = _edge_stats(edges)
     if start_level is None:
         start_level = _auto_start_level(n_edges, k)
+    stage_levels = [
+        start_level - 3 * s for s in range(num_stages) if start_level - 3 * s >= 1
+    ]
+    ek_all = _edge_keys_for_levels(edges, stage_levels).cache()
     remaining = queries
     prev_cached: list[DataFrame] = []
     results = []
