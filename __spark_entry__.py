@@ -275,6 +275,175 @@ def q_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_CHAIN_B_MOD = 40  # orders chains: chain_id = o_orderkey % 40
+_CHAIN_EPS = 0.25  # chain vertices live in a ~eps-radius blob per chain
+_CHAIN_JITTER = 0.05  # per-vertex jitter inside the 16-key sub-blob
+_CHAIN_A_BASE = "c_nationkey*7907+11"
+_CHAIN_B_BASE = "(o_orderkey%40)*6949+401"
+
+
+def _chain_points_df(spark, sf_dir, table, chain_expr, base_key, seq_key, seq_col):
+    """Chain vertices = unit(base + eps*unit(triplet(group)) +
+    jitter*unit(triplet(seq))) — a three-scale walk: per-chain blob base,
+    sub-blob shared by 16 consecutive keys, per-vertex jitter.  LOCALIZED
+    chains with SHORT edges (a global random scatter makes every edge a
+    near-great-circle and every chain pair cross).
+
+    Computed in ONE Arrow pass with the NumPy geotag kernels — which are
+    bit-identical to the SQL triplet derivation the oracle uses (the
+    equivalent Catalyst expression tree costs seconds of janino compile
+    per job for zero benefit)."""
+    import numpy as np
+    import pandas as pd
+
+    from s2geometry_spark.kernels.geotag import int_triplet_from_key, xyz_from_triplet
+
+    t = _load(spark, sf_dir, table)
+    base = t.select(
+        F.expr(chain_expr).cast("long").alias("chain_id"),
+        F.expr(base_key).cast("long").alias("_bk"),
+        F.col(seq_col).alias("seq"),
+    )
+
+    def batches(it):
+        for pdf in it:
+            k = pdf["seq"].to_numpy(np.int64)
+            bk = pdf["_bk"].to_numpy(np.int64)
+            px, py, pz = xyz_from_triplet(*int_triplet_from_key(bk))
+            gx, gy, gz = xyz_from_triplet(*int_triplet_from_key(k - (k % 16)))
+            qx, qy, qz = xyz_from_triplet(*int_triplet_from_key(k))
+            ex = px + _CHAIN_EPS * gx + _CHAIN_JITTER * qx
+            ey = py + _CHAIN_EPS * gy + _CHAIN_JITTER * qy
+            ez = pz + _CHAIN_EPS * gz + _CHAIN_JITTER * qz
+            en = np.sqrt((ex * ex + ey * ey) + ez * ez)
+            yield pd.DataFrame(
+                {
+                    "chain_id": pdf["chain_id"],
+                    "seq": pdf["seq"],
+                    "x": ex / en,
+                    "y": ey / en,
+                    "z": ez / en,
+                }
+            )
+
+    return base.mapInPandas(
+        batches, "chain_id long, seq long, x double, y double, z double"
+    )
+
+
+def q_polyline_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline intersects join (S2Polyline::Intersects): per-nation
+    customer polylines x per-(key mod 40) orders polylines, each chain a
+    localized walk inside its blob; distinct crossing chain pairs via the
+    edge-crossing term join (robust=False so the oracle's pinned sign
+    arithmetic is bit-identical)."""
+    from s2geometry_spark.operators.polylines import polyline_crossing_join
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", "c_nationkey", _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    cb = _chain_points_df(
+        spark, sf_dir, "orders", f"o_orderkey % {_CHAIN_B_MOD}", _CHAIN_B_BASE,
+        "o_orderkey", "o_orderkey",
+    )
+    return polyline_crossing_join(spark, ca, cb, robust=False, broadcast_b=False)
+
+
+def _polyline_crossings_oracle() -> str:
+    """Edges from lag windows over the identical derived points, the same
+    pinned sign-chain crossing test as the edge_crossings oracle,
+    distinct chain pairs."""
+    def chain_cte(name, table, chain_expr, base_key, seq_key):
+        px, py, pz = _unit_exprs_sql(base_key)
+        gx, gy, gz = _unit_exprs_sql(f"({seq_key}) - (({seq_key}) % 16)")
+        qx, qy, qz = _unit_exprs_sql(seq_key)
+        eps = f"CAST({_CHAIN_EPS} AS DOUBLE)"
+        jit = f"CAST({_CHAIN_JITTER} AS DOUBLE)"
+        return f"""{name} AS MATERIALIZED (
+  WITH _uv AS MATERIALIZED (
+    SELECT CAST({chain_expr} AS BIGINT) AS chain_id, {seq_key} AS seq,
+           {px} AS px, {py} AS py, {pz} AS pz,
+           {gx} AS gx, {gy} AS gy, {gz} AS gz,
+           {qx} AS qx, {qy} AS qy, {qz} AS qz
+    FROM {table}
+  ),
+  _e AS MATERIALIZED (
+    SELECT chain_id, seq,
+           (px + {eps} * gx + {jit} * qx) AS ex,
+           (py + {eps} * gy + {jit} * qy) AS ey,
+           (pz + {eps} * gz + {jit} * qz) AS ez
+    FROM _uv
+  )
+  SELECT chain_id, seq,
+         ex / sqrt(CAST(((ex*ex + ey*ey) + ez*ez) AS DOUBLE)) AS x,
+         ey / sqrt(CAST(((ex*ex + ey*ey) + ez*ez) AS DOUBLE)) AS y,
+         ez / sqrt(CAST(((ex*ex + ey*ey) + ez*ez) AS DOUBLE)) AS z
+  FROM _e
+)"""
+
+    a_cte = chain_cte("axyz", "customer", "c_nationkey", _CHAIN_A_BASE, "c_custkey")
+    b_cte = chain_cte(
+        "bxyz", "orders", f"o_orderkey % {_CHAIN_B_MOD}", _CHAIN_B_BASE, "o_orderkey"
+    )
+
+    def edges(src, pfx):
+        return f"""(
+  SELECT chain_id, lag(x) OVER w AS {pfx}0x, lag(y) OVER w AS {pfx}0y,
+         lag(z) OVER w AS {pfx}0z, x AS {pfx}1x, y AS {pfx}1y, z AS {pfx}1z
+  FROM {src} WINDOW w AS (PARTITION BY chain_id ORDER BY seq)
+) WHERE {pfx}0x IS NOT NULL"""
+
+    return f"""WITH {a_cte}, {b_cte},
+ea AS (SELECT chain_id AS chain_a, * EXCLUDE (chain_id) FROM {edges('axyz', 'a')}),
+eb AS (SELECT chain_id AS chain_b, * EXCLUDE (chain_id) FROM {edges('bxyz', 'b')}),
+pr AS (
+  SELECT chain_a, chain_b,
+    (a0y*a1z - a0z*a1y) AS nx, (a0z*a1x - a0x*a1z) AS ny, (a0x*a1y - a0y*a1x) AS nz,
+    (b0y*b1z - b0z*b1y) AS mx, (b0z*b1x - b0x*b1z) AS my, (b0x*b1y - b0y*b1x) AS mz,
+    a0x, a0y, a0z, a1x, a1y, a1z, b0x, b0y, b0z, b1x, b1y, b1z
+  FROM ea CROSS JOIN eb
+),
+dt AS (
+  SELECT chain_a, chain_b,
+    (nx*b0x + ny*b0y) + nz*b0z AS db0, (nx*b1x + ny*b1y) + nz*b1z AS db1,
+    (mx*a0x + my*a0y) + mz*a0z AS da0, (mx*a1x + my*a1y) + mz*a1z AS da1
+  FROM pr
+),
+sg0 AS (
+  SELECT chain_a, chain_b,
+    CASE WHEN abs(db0) <= 1e-15 THEN 0 ELSE sign(db0) END AS db0s,
+    CASE WHEN abs(db1) <= 1e-15 THEN 0 ELSE sign(db1) END AS db1s,
+    CASE WHEN abs(da0) <= 1e-15 THEN 0 ELSE sign(da0) END AS da0s,
+    CASE WHEN abs(da1) <= 1e-15 THEN 0 ELSE sign(da1) END AS da1s
+  FROM dt
+)
+SELECT DISTINCT chain_a, chain_b FROM sg0
+WHERE db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s"""
+
+
+SNAP_LEVEL = 12
+
+
+def q_builder_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Builder snap subset (S2CellIdSnapFunction): snap every orders
+    point to its level-12 cell center and merge coincident vertices —
+    (snap_cell, keeper_id, n_merged).  Oracle: the snap-cell assignment
+    is pure parent(leaf, 12), so DuckDB recomputes the identical
+    grouping from the leaf encoder CTE."""
+    from s2geometry_spark.operators.builder_ops import snap_dedup
+
+    pts = _order_points_xyz(spark, sf_dir)
+    return snap_dedup(pts, SNAP_LEVEL)
+
+
+def _builder_snap_oracle() -> str:
+    p = oracle.parent_sql_expr("cell_leaf", SNAP_LEVEL)
+    return _leaf_sql(
+        f"SELECT {p} AS snap_cell, min(pid) AS keeper_id, "
+        "count(*) AS n_merged FROM leaf GROUP BY 1"
+    )
+
+
 CLOSEST_CELL_K = 2
 
 
@@ -664,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_edges": q_knn_edges,
         "chain_interpolate": q_chain_interpolate,
         "closest_cell": q_closest_cell,
+        "builder_snap": q_builder_snap,
+        "polyline_crossings": q_polyline_crossings,
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
@@ -906,6 +1077,8 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "poly_difference": _poly_bool_oracle("difference"),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
+        "builder_snap": _builder_snap_oracle(),
+        "polyline_crossings": _polyline_crossings_oracle(),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,"
             " count(*) AS n_dups FROM documents GROUP BY 1"

@@ -1,0 +1,88 @@
+"""S2Builder snap subset: snapping semantics, degeneracy cleanup, and
+the distributed snapping operators."""
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernels import builder, cellid
+from s2geometry_spark.kernels.regions import Loop
+
+
+def _rand_points(n, seed=0):
+    rng = np.random.RandomState(seed)
+    P = rng.randn(n, 3)
+    return P / np.linalg.norm(P, axis=1)[:, None]
+
+
+def test_snap_is_idempotent():
+    P = _rand_points(500)
+    S1 = builder.snap_to_cell_centers(P, 10)
+    S2 = builder.snap_to_cell_centers(S1, 10)
+    assert np.array_equal(S1, S2)
+
+
+def test_snap_cells_are_level_ancestors():
+    P = _rand_points(200)
+    cells = builder.snap_cells(P, 8)
+    leafs = cellid.from_xyz(P[:, 0], P[:, 1], P[:, 2])
+    assert np.array_equal(cells, cellid.parent(leafs, 8))
+    assert (cellid.level(cells) == 8).all()
+
+
+def test_snap_error_within_half_diagonal():
+    from s2geometry_spark.kernels import metrics
+
+    P = _rand_points(1000, seed=3)
+    S = builder.snap_to_cell_centers(P, 10)
+    chord = np.linalg.norm(P - S, axis=1)
+    ang = 2.0 * np.arcsin(np.minimum(1.0, 0.5 * chord))
+    # S2CellIdSnapFunction::snap_radius: <= half the max cell diagonal
+    assert ang.max() <= 0.5 * metrics.MAX_DIAG.get_value(10) + 1e-15
+
+
+def test_simplify_and_degenerate_loop_drop():
+    # three nearby points collapse to one cell center at a coarse level
+    lo = Loop.make_regular(10, 20, 1e-6, 8).vertices  # tiny ring
+    assert builder.build_loops([lo], 5) == []
+    big = Loop.make_regular(10, 20, 0.3, 12).vertices
+    out = builder.build_loops([big], 10)
+    assert len(out) == 1
+    v = out[0]
+    assert np.unique(v, axis=0).shape[0] == v.shape[0] >= 3
+    # polyline: duplicate-collapse
+    chain = np.repeat(big[:4], 3, axis=0)
+    pl = builder.build_polyline(chain, 10)
+    assert pl.shape[0] >= 2
+    assert (np.any(pl[1:] != pl[:-1], axis=1)).all()
+
+
+def test_snap_dedup_operator(spark):
+    from s2geometry_spark.operators.builder_ops import snap_dedup
+
+    P = _rand_points(300, seed=7)
+    df = spark.createDataFrame(
+        [(i, float(p[0]), float(p[1]), float(p[2])) for i, p in enumerate(P)],
+        "pid long, x double, y double, z double",
+    )
+    out = {r.snap_cell: (r.keeper_id, r.n_merged) for r in snap_dedup(df, 3).collect()}
+    cells = cellid.to_biased(builder.snap_cells(P, 3))
+    want = {}
+    for i, c in enumerate(cells.tolist()):
+        k, n = want.get(c, (i, 0))
+        want[c] = (min(k, i), n + 1)
+    assert out == want
+    assert sum(n for _, n in out.values()) == 300
+
+
+def test_snap_chains_operator(spark):
+    from s2geometry_spark.operators.builder_ops import snap_chains
+
+    big = Loop.make_regular(10, 20, 0.3, 24).vertices
+    rows = [(0, s, *map(float, big[s])) for s in range(24)]
+    df = spark.createDataFrame(
+        rows, "chain_id long, seq long, x double, y double, z double"
+    )
+    out = sorted(snap_chains(df, 6).collect(), key=lambda r: r.seq)
+    want = builder.build_polyline(big, 6)
+    got = np.array([[r.sx, r.sy, r.sz] for r in out])
+    assert np.array_equal(got, want)

@@ -1,0 +1,117 @@
+"""Polyline predicates + clipping: crossing join vs brute force, clip
+pieces verified by dense sampling."""
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernels import measures, predicates
+from s2geometry_spark.kernels.regions import Loop, Polygon
+from s2geometry_spark.operators.polylines import (
+    clip_to_polygon,
+    polyline_clip_join,
+    polyline_crossing_join,
+)
+
+
+def _pt(lat, lng):
+    la, ln = math.radians(lat), math.radians(lng)
+    return np.array(
+        [math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln), math.sin(la)]
+    )
+
+
+def _chain_rows(cid, pts):
+    return [(cid, s, float(p[0]), float(p[1]), float(p[2])) for s, p in enumerate(pts)]
+
+
+def _walk(rng, n, start, step=0.05):
+    pts = [start / np.linalg.norm(start)]
+    for _ in range(n - 1):
+        d = rng.randn(3)
+        p = pts[-1] + step * d
+        pts.append(p / np.linalg.norm(p))
+    return np.stack(pts)
+
+
+def test_polyline_crossing_join_vs_bruteforce(spark):
+    rng = np.random.RandomState(17)
+    # all walks start around the same hot spot so chains actually cross
+    A = {i: _walk(rng, 12, _pt(10, 20) + 0.05 * rng.randn(3), step=0.08) for i in range(6)}
+    B = {i: _walk(rng, 12, _pt(10, 20) + 0.05 * rng.randn(3), step=0.08) for i in range(6)}
+    da = spark.createDataFrame(
+        [r for cid, pts in A.items() for r in _chain_rows(cid, pts)],
+        "chain_id long, seq long, x double, y double, z double",
+    )
+    db = spark.createDataFrame(
+        [r for cid, pts in B.items() for r in _chain_rows(cid, pts)],
+        "chain_id long, seq long, x double, y double, z double",
+    )
+    got = {
+        (r.chain_a, r.chain_b)
+        for r in polyline_crossing_join(spark, da, db).collect()
+    }
+    want = set()
+    for ca, pa in A.items():
+        for cb, pb in B.items():
+            hit = False
+            for i in range(pa.shape[0] - 1):
+                for j in range(pb.shape[0] - 1):
+                    if predicates.crossing_sign(pa[i], pa[i + 1], pb[j], pb[j + 1]) > 0:
+                        hit = True
+            if hit:
+                want.add((ca, cb))
+    assert got == want
+    assert want  # random walks this long do cross
+
+
+def test_clip_to_polygon_sampling():
+    """Every clipped piece lies inside; the kept arc-length fraction
+    matches dense per-edge sampling of the original chain."""
+    poly = Polygon([Loop.make_regular(10, 20, 0.35, 24)])
+    rng = np.random.RandomState(3)
+    V = _walk(rng, 30, _pt(10, 14), step=0.08)
+    pieces = clip_to_polygon(V, poly)
+    assert pieces  # the walk enters the cap region
+    # all piece midpoints inside
+    for p in pieces:
+        mids = p[:-1] + p[1:]
+        mids /= np.linalg.norm(mids, axis=1)[:, None]
+        assert poly.contains_points(mids).all()
+    # length conservation vs dense sampling
+    total_in = sum(measures.polyline_length(p) for p in pieces)
+    ts = np.linspace(0, 1, 200, endpoint=False)
+    sampled = 0.0
+    for i in range(V.shape[0] - 1):
+        seg = np.array(
+            [measures.interpolate(V[i], V[i + 1], t + 0.5 / 200)[0] for t in ts]
+        )
+        inside = poly.contains_points(seg)
+        seglen = measures.polyline_length(np.stack([V[i], V[i + 1]]))
+        sampled += seglen * inside.mean()
+    assert total_in == pytest.approx(sampled, rel=0.02)
+
+
+def test_polyline_clip_join(spark):
+    poly = Polygon([Loop.make_regular(10, 20, 0.35, 24)])
+    rng = np.random.RandomState(9)
+    chains = {i: _walk(rng, 20, _pt(10, 16), step=0.07) for i in range(4)}
+    df = spark.createDataFrame(
+        [r for cid, pts in chains.items() for r in _chain_rows(cid, pts)],
+        "chain_id long, seq long, x double, y double, z double",
+    )
+    rows = polyline_clip_join(df, poly).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.chain_id, r.piece), []).append((r.seq, r.x, r.y, r.z))
+    for cid, V in chains.items():
+        want = clip_to_polygon(V, poly)
+        got_pieces = [
+            np.array([[x, y, z] for _, x, y, z in sorted(v)])
+            for (c, _), v in sorted(by_key.items())
+            if c == cid
+        ]
+        assert len(got_pieces) == len(want)
+        for g, w in zip(got_pieces, want):
+            assert np.array_equal(g, w)
