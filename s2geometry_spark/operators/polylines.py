@@ -134,6 +134,51 @@ def clip_to_polygon(V: np.ndarray, poly: Polygon) -> list[np.ndarray]:
     return [np.stack(p) for p in pieces if len(p) >= 2]
 
 
+def buffer_chains(
+    chains: DataFrame,
+    radius: float,
+    num_vertices: int = 24,
+    chain_col: str = "chain_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Buffered region per chain (S2BufferOperation approximation,
+    kernels.bufferop): one groupBy(chain) applyInPandas pass emitting the
+    buffered polygon's loops as vertex rows (chain_id, loop, seq, x, y,
+    z) plus the signed polygon area on each row."""
+    from ..kernels import bufferop
+    from ..kernels.booleanop import polygon_area
+
+    def one_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col)
+        V = pdf[["x", "y", "z"]].to_numpy(np.float64)
+        cid = pdf[chain_col].iloc[0]
+        loops = bufferop.buffer_polyline(V, radius, num_vertices)
+        area = polygon_area(loops)
+        rows = []
+        for li, lp in enumerate(loops):
+            for si in range(lp.shape[0]):
+                rows.append(
+                    {
+                        chain_col: cid,
+                        "loop": li,
+                        seq_col: si,
+                        "x": lp[si, 0],
+                        "y": lp[si, 1],
+                        "z": lp[si, 2],
+                        "area": area,
+                    }
+                )
+        return pd.DataFrame(
+            rows, columns=[chain_col, "loop", seq_col, "x", "y", "z", "area"]
+        )
+
+    return chains.groupBy(chain_col).applyInPandas(
+        one_chain,
+        f"{chain_col} long, loop long, {seq_col} long, "
+        "x double, y double, z double, area double",
+    )
+
+
 def polyline_clip_join(
     chains: DataFrame,
     poly: Polygon,
