@@ -210,7 +210,51 @@ _EDGE_EPS = 0.02  # second endpoint = normalize(p0 + eps*q): short edges
 def _edges_df(spark, sf_dir, table, key, key2, id_col, prefix):
     """Edges with endpoint0 = unit(triplet(key)) and endpoint1 =
     unit(p0 + eps * unit(triplet(key2))) — short geodesics (~eps rad),
-    every arithmetic step pinned so the oracle reproduces it exactly."""
+    computed in ONE Arrow pass with the NumPy geotag kernels (bit-exact
+    with the oracle's SQL derivation; the Catalyst expression tree paid
+    seconds of janino compile per job)."""
+    import numpy as np
+    import pandas as pd
+
+    from s2geometry_spark.kernels.geotag import int_triplet_from_key, xyz_from_triplet
+
+    t = _load(spark, sf_dir, table)
+    base = t.select(
+        F.expr(key).cast("long").alias("_k1"),
+        F.expr(key2).cast("long").alias("_k2"),
+        F.expr(key).alias(id_col),
+    )
+    eps = _EDGE_EPS
+
+    def batches(it):
+        for pdf in it:
+            k1 = pdf["_k1"].to_numpy(np.int64)
+            k2 = pdf["_k2"].to_numpy(np.int64)
+            px, py, pz = xyz_from_triplet(*int_triplet_from_key(k1))
+            qx, qy, qz = xyz_from_triplet(*int_triplet_from_key(k2))
+            ex = px + eps * qx
+            ey = py + eps * qy
+            ez = pz + eps * qz
+            en = np.sqrt((ex * ex + ey * ey) + ez * ez)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    f"{prefix}0x": px, f"{prefix}0y": py, f"{prefix}0z": pz,
+                    f"{prefix}1x": ex / en, f"{prefix}1y": ey / en,
+                    f"{prefix}1z": ez / en,
+                }
+            )
+
+    return base.mapInPandas(
+        batches,
+        f"{id_col} long, {prefix}0x double, {prefix}0y double, {prefix}0z double, "
+        f"{prefix}1x double, {prefix}1y double, {prefix}1z double",
+    )
+
+
+def _edges_df_sql_exprs(spark, sf_dir, table, key, key2, id_col, prefix):
+    """Catalyst-expression variant of _edges_df (kept for plan parity
+    tests; same doubles, slower first-job compile)."""
     from s2geometry_spark.kernels.geotag import sql_xyz_exprs
 
     t = _load(spark, sf_dir, table)
@@ -275,11 +319,23 @@ def q_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-_CHAIN_B_MOD = 40  # orders chains: chain_id = o_orderkey % 40
+# chains are KEY-RANGE blocks (chain_id = key div N), so chain size stays
+# BOUNDED as sf grows and the chain count scales with the data — a fixed
+# modulus would grow every blob's edge density linearly with sf and the
+# crossing-candidate volume quadratically (observed: 241 s at sf0.1)
+_CHAIN_A_DIV = 60
+_CHAIN_B_DIV = 375
 _CHAIN_EPS = 0.25  # chain vertices live in a ~eps-radius blob per chain
 _CHAIN_JITTER = 0.05  # per-vertex jitter inside the 16-key sub-blob
-_CHAIN_A_BASE = "c_nationkey*7907+11"
-_CHAIN_B_BASE = "(o_orderkey%40)*6949+401"
+_CHAIN_A_EXPR = f"(c_custkey - (c_custkey % {_CHAIN_A_DIV})) div {_CHAIN_A_DIV}"
+_CHAIN_B_EXPR = f"(o_orderkey - (o_orderkey % {_CHAIN_B_DIV})) div {_CHAIN_B_DIV}"
+# DuckDB spells integer division //; values are identical
+_CHAIN_A_EXPR_SQL = f"(c_custkey - (c_custkey % {_CHAIN_A_DIV})) // {_CHAIN_A_DIV}"
+_CHAIN_B_EXPR_SQL = f"(o_orderkey - (o_orderkey % {_CHAIN_B_DIV})) // {_CHAIN_B_DIV}"
+_CHAIN_A_BASE = f"({_CHAIN_A_EXPR})*7907+11"
+_CHAIN_B_BASE = f"({_CHAIN_B_EXPR})*6949+401"
+_CHAIN_A_BASE_SQL = f"({_CHAIN_A_EXPR_SQL})*7907+11"
+_CHAIN_B_BASE_SQL = f"({_CHAIN_B_EXPR_SQL})*6949+401"
 
 
 def _chain_points_df(spark, sf_dir, table, chain_expr, base_key, seq_key, seq_col):
@@ -340,10 +396,10 @@ def q_polyline_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators.polylines import polyline_crossing_join
 
     ca = _chain_points_df(
-        spark, sf_dir, "customer", "c_nationkey", _CHAIN_A_BASE, "c_custkey", "c_custkey"
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
     )
     cb = _chain_points_df(
-        spark, sf_dir, "orders", f"o_orderkey % {_CHAIN_B_MOD}", _CHAIN_B_BASE,
+        spark, sf_dir, "orders", _CHAIN_B_EXPR, _CHAIN_B_BASE,
         "o_orderkey", "o_orderkey",
     )
     return polyline_crossing_join(spark, ca, cb, robust=False, broadcast_b=False)
@@ -381,9 +437,9 @@ def _polyline_crossings_oracle() -> str:
   FROM _e
 )"""
 
-    a_cte = chain_cte("axyz", "customer", "c_nationkey", _CHAIN_A_BASE, "c_custkey")
+    a_cte = chain_cte("axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey")
     b_cte = chain_cte(
-        "bxyz", "orders", f"o_orderkey % {_CHAIN_B_MOD}", _CHAIN_B_BASE, "o_orderkey"
+        "bxyz", "orders", _CHAIN_B_EXPR_SQL, _CHAIN_B_BASE_SQL, "o_orderkey"
     )
 
     def edges(src, pfx):

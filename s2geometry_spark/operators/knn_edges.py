@@ -309,7 +309,7 @@ def closest_edges_join(
     prev_cached: list[DataFrame] = []
     results = []
     level = start_level
-    for _ in range(num_stages):
+    for stage_i in range(num_stages):
         if level < 1:
             break
         staged = _stage(ek_all, remaining, level, anc_min, k).cache()
@@ -321,6 +321,11 @@ def closest_edges_join(
         certified_q = staged.where(F.col("certified")).select("qid").distinct()
         remaining = remaining.join(certified_q, "qid", "left_anti").cache()
         level -= 3
+        # after the LAST stage the fallback plan handles whatever remains
+        # lazily (usually nothing) — no driver action needed; mid-cascade,
+        # the empty check short-circuits the next stage's shuffles
+        if stage_i == num_stages - 1:
+            break
         empty = remaining.limit(1).count() == 0
         for df in prev_cached:
             df.unpersist()
