@@ -49,27 +49,33 @@ E_COLS = ["e0x", "e0y", "e0z", "e1x", "e1y", "e1z"]
 
 
 def _edge_stats(edges: DataFrame) -> tuple[int, int]:
-    """(coarsest covering level, edge count) in one small agg job over the
-    (cached) edge table."""
+    """(coarsest covering level, edge count) from ONE pure-JVM agg.
 
-    def batches(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {"lv": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
-                )
-                continue
-            A0 = pdf[E_COLS[:3]].to_numpy(np.float64)
-            A1 = pdf[E_COLS[3:]].to_numpy(np.float64)
-            _, cell = _edge_coverings_flat(A0, A1)
-            lv = cellid.level(cell)
-            yield pd.DataFrame(
-                {"lv": [int(lv.min()) if lv.size else 30], "n": [len(pdf)]}
-            )
-
-    per_part = edges.select(*E_COLS).mapInPandas(batches, "lv long, n long")
-    row = per_part.agg(F.min("lv").alias("lv"), F.sum("n").alias("n")).collect()[0]
-    return (int(row.lv) if row.lv is not None else 30, int(row.n or 0))
+    The adaptive covering level is a monotone function of edge LENGTH
+    alone (sub-arc cap radius -> kMinWidth level, location-independent),
+    so the exact minimum level across the table equals the level of a
+    synthetic edge with the table's maximum endpoint chord — computed
+    driver-side through the identical covering kernel on one row.  This
+    replaces a full Python covering pass (seconds at sf0.1) with a
+    codegen max/count."""
+    d2 = (
+        (F.col("e0x") - F.col("e1x")) * (F.col("e0x") - F.col("e1x"))
+        + (F.col("e0y") - F.col("e1y")) * (F.col("e0y") - F.col("e1y"))
+        + (F.col("e0z") - F.col("e1z")) * (F.col("e0z") - F.col("e1z"))
+    )
+    row = edges.agg(F.max(d2).alias("d2"), F.count(F.lit(1)).alias("n")).collect()[0]
+    n = int(row.n or 0)
+    if n == 0 or row.d2 is None:
+        return 30, n
+    # synthetic equatorial edge of the max length through the real kernel;
+    # stretched by 1e-9 so a float boundary can only make anc_min COARSER
+    # (extra point ancestor levels are harmless; finer would lose matches)
+    half = min(1.0, 0.5 * float(np.sqrt(row.d2)))
+    ang = min(np.pi, 2.0 * float(np.arcsin(half)) * (1.0 + 1e-9))
+    a = np.array([[1.0, 0.0, 0.0]])
+    b = np.array([[np.cos(ang), np.sin(ang), 0.0]])
+    _, cell = _edge_coverings_flat(a, b)
+    return int(cellid.level(cell).min()), n
 
 
 def _edge_keys_for_levels(edges: DataFrame, stage_levels: list[int]) -> DataFrame:
@@ -228,6 +234,11 @@ def _stage(
                     }
                 )
                 continue
+            # a pair appears once per shared key; an edge's keys are
+            # adjacent in the join output, so a per-batch dedup removes
+            # most duplicates before the kernel (the global dropDuplicates
+            # downstream guarantees the rest)
+            pdf = pdf.drop_duplicates(subset=["qid", "eid"])
             X = pdf[["qx", "qy", "qz"]].to_numpy(np.float64)
             A = pdf[E_COLS[:3]].to_numpy(np.float64)
             B = pdf[E_COLS[3:]].to_numpy(np.float64)
