@@ -477,6 +477,48 @@ SELECT DISTINCT chain_a, chain_b FROM sg0
 WHERE db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s"""
 
 
+# winding fixture: two overlapping CCW rings + one CW (negative) ring,
+# so windings -?/0/1/2 all occur; reference = south pole (winding 0)
+_WINDING_REF = (0.0, 0.0, -1.0)
+
+
+@functools.lru_cache(maxsize=1)
+def _winding_loops():
+    import numpy as np
+
+    A = Loop.make_regular(10, 20, 0.3, 16).vertices
+    B = Loop.make_regular(10, 26, 0.3, 16).vertices
+    C = Loop.make_regular(10, 23, 0.1, 12).vertices[::-1].copy()  # CW
+    return [A, B, C]
+
+
+def q_winding_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winding-number query (S2WindingOperation semantics): the signed
+    winding of the fixture loop set around every orders point, via
+    signed path crossings from the south-pole reference; the oracle
+    recomputes the identical pinned determinant sum."""
+    import numpy as np
+
+    from s2geometry_spark.operators.booleans import winding_join
+
+    pts = _order_points_xyz(spark, sf_dir)
+    return winding_join(
+        pts, _winding_loops(), np.asarray(_WINDING_REF), ref_winding=0
+    )
+
+
+def _winding_oracle() -> str:
+    import numpy as np
+
+    from s2geometry_spark.kernels.winding import winding_sql
+
+    xyz_cte = oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
+    expr = winding_sql(
+        _winding_loops(), np.asarray(_WINDING_REF), 0, "x", "y", "z"
+    )
+    return f"WITH {xyz_cte} SELECT pid, {expr} AS winding FROM xyz"
+
+
 SNAP_LEVEL = 12
 
 
@@ -890,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_interpolate": q_chain_interpolate,
         "closest_cell": q_closest_cell,
         "builder_snap": q_builder_snap,
+        "winding_number": q_winding_number,
         "polyline_crossings": q_polyline_crossings,
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
@@ -1134,6 +1177,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),
+        "winding_number": _winding_oracle(),
         "polyline_crossings": _polyline_crossings_oracle(),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,"

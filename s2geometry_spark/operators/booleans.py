@@ -49,6 +49,45 @@ def _encode(loops: list[np.ndarray]):
     return [lp.tolist() for lp in loops]
 
 
+def winding_join(
+    points: DataFrame,
+    loops: list[np.ndarray],
+    ref: np.ndarray,
+    ref_winding: int = 0,
+    point_id: str = "pid",
+    xyz: tuple[str, str, str] = ("x", "y", "z"),
+) -> DataFrame:
+    """(pid, winding): S2WindingOperation semantics pointwise — the
+    winding number of the (broadcast-scale) loop set around every point,
+    via signed path crossings from the reference point (kernels.winding).
+    One Arrow-batched pass, no shuffle."""
+    from ..kernels.winding import winding_numbers
+
+    x, y, z = xyz
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        point_id: pd.Series(dtype="int64"),
+                        "winding": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            P = pdf[[x, y, z]].to_numpy(np.float64)
+            yield pd.DataFrame(
+                {
+                    point_id: pdf[point_id],
+                    "winding": winding_numbers(loops, ref, ref_winding, P),
+                }
+            )
+
+    return points.select(point_id, x, y, z).mapInPandas(
+        batches, f"{point_id} long, winding long"
+    )
+
+
 def pairwise_boolean(pairs: DataFrame) -> DataFrame:
     """One boolean overlay per input row.
 

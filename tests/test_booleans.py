@@ -150,3 +150,42 @@ def test_pairwise_boolean_operator(spark):
         got = out[pair_id]
         assert got.n_loops == len(want)
         assert got.area == pytest.approx(bo.polygon_area(want), abs=1e-14)
+
+
+def test_winding_numbers_match_containment(sample_points):
+    """Winding via signed path crossings equals the sum of signed loop
+    containments (CCW +1, CW -1) on generic points."""
+    import numpy as np
+
+    from s2geometry_spark.kernels import winding
+
+    A = Loop.make_regular(10, 20, 0.3, 16).vertices
+    B = Loop.make_regular(10, 26, 0.3, 16).vertices
+    C = Loop.make_regular(10, 23, 0.1, 12).vertices[::-1].copy()  # CW
+    ref = np.array([0.0, 0.0, -1.0])
+    w = winding.winding_numbers([A, B, C], ref, 0, sample_points)
+    want = (
+        Polygon([Loop(A)]).contains_points(sample_points).astype(int)
+        + Polygon([Loop(B)]).contains_points(sample_points).astype(int)
+        - Polygon([Loop(C[::-1].copy())]).contains_points(sample_points).astype(int)
+    )
+    assert (w == want).all()
+    assert set(w.tolist()) >= {0, 1, 2}
+
+
+def test_winding_join_operator(spark, sample_points):
+    import numpy as np
+
+    from s2geometry_spark.kernels import winding
+    from s2geometry_spark.operators.booleans import winding_join
+
+    loops = [Loop.make_regular(10, 20, 0.3, 12).vertices]
+    ref = np.array([0.0, 0.0, -1.0])
+    P = sample_points[:500]
+    df = spark.createDataFrame(
+        [(i, float(p[0]), float(p[1]), float(p[2])) for i, p in enumerate(P)],
+        "pid long, x double, y double, z double",
+    )
+    got = {r.pid: r.winding for r in winding_join(df, loops, ref).collect()}
+    want = winding.winding_numbers(loops, ref, 0, P)
+    assert got == {i: int(w) for i, w in enumerate(want)}
