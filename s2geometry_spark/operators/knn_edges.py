@@ -244,6 +244,12 @@ def _stage(
             B = pdf[E_COLS[3:]].to_numpy(np.float64)
             out = pdf[["qid", "q_cell", "qx", "qy", "qz", "eid"]].copy()
             out["dist_chord2"] = measures.point_edge_chord2(X, A, B)
+            # PARTIAL top-k per batch: the global top-k of per-batch
+            # top-ks equals the global top-k (monotone), so only k rows
+            # per (batch, qid) reach the dedup + window shuffles
+            out = out.sort_values(["dist_chord2", "eid"]).groupby(
+                "qid", sort=False
+            ).head(k)
             yield out
 
     scored = cand.mapInPandas(
