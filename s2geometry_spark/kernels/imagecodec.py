@@ -177,6 +177,35 @@ except ImportError:
     HAVE_PIL = False
 
 
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (h, w, 3) -> (out_h, out_w, 3) — real
+    implementation (index arithmetic only, no external imaging libs);
+    deterministic, so resized outputs are oracle-able by recomputation."""
+    p = np.asarray(pixels)
+    h, w = p.shape[0], p.shape[1]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return p[yi[:, None], xi[None, :]]
+
+
+def frame_sample_indices(n_frames: int, every: int) -> np.ndarray:
+    """Deterministic frame sampling for a video-like payload: frames
+    0, every, 2*every, ... (the plumbing contract; a real container
+    demuxer slots in behind decode_video below)."""
+    return np.arange(0, max(n_frames, 0), max(every, 1), dtype=np.int64)
+
+
+def decode_video(buf: bytes) -> np.ndarray:  # pragma: no cover - stub
+    """STUB: real video decode needs a demuxer/codec library that is not
+    in this container.  The Spark-side plumbing (binary column, schema,
+    Arrow batching, frame-sample fan-out) is real and tested against the
+    deterministic fake in sources/ (gen_video_frames)."""
+    raise NotImplementedError(
+        "video decode requires an external codec library; use the "
+        "deterministic fake (sources.images.gen_video_frames) in tests"
+    )
+
+
 def decode_real(buf: bytes, fmt: str) -> np.ndarray:  # pragma: no cover
     """Where libjpeg/libpng decode plugs in; stubbed without PIL."""
     if not HAVE_PIL:

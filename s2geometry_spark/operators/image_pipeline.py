@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     DoubleType,
     LongType,
@@ -232,6 +233,78 @@ def fused_tile_audit(images: DataFrame, level: int) -> DataFrame:
         F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_violations"),
         F.sum("n_px").alias("total_px"),
         F.avg("mean_luma").alias("avg_luma"),
+    )
+
+
+# ---------- multimodal: resize / video frame-sample (brief §multimodal) ----------
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("thumb", BinaryType(), False),
+        StructField("tw", LongType(), False),
+        StructField("th", LongType(), False),
+        StructField("mean_luma", DoubleType(), False),
+    ]
+)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode raw thumbnails: one
+    Arrow-batched pass over the binary column (the standard multimodal
+    decode/transform plumbing; swap kernels.imagecodec.decode for a real
+    codec without touching the dataflow)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, thumbs, lumas = [], [], []
+            for row in pdf.itertuples(index=False):
+                px, _ = imagecodec.decode(bytes(row.bytes))
+                t = imagecodec.resize_nearest(px, out_w, out_h)
+                p = t.astype(np.float64)
+                luma = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+                ids.append(row.image_id)
+                thumbs.append(t.tobytes())
+                lumas.append(float(luma.mean()))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "thumb": thumbs,
+                    "tw": np.full(len(ids), out_w, dtype=np.int64),
+                    "th": np.full(len(ids), out_h, dtype=np.int64),
+                    "mean_luma": lumas,
+                }
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(batches, THUMB_SCHEMA)
+
+
+def sample_video_frames(videos: DataFrame, every: int) -> DataFrame:
+    """Frame-sample a video table: one output row per sampled frame with
+    per-frame luma — (video_id, frame_idx, mean_luma).  The frame buffer
+    is reinterpreted from the opaque binary column by (w, h, n_frames)
+    metadata; a real demuxer slots in at kernels.imagecodec.decode_video
+    without changing this dataflow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids, fidx, lumas = [], [], []
+            for row in pdf.itertuples(index=False):
+                frames = np.frombuffer(bytes(row.bytes), dtype=np.uint8).reshape(
+                    int(row.n_frames), int(row.h), int(row.w), 3
+                )
+                for f in imagecodec.frame_sample_indices(int(row.n_frames), every):
+                    p = frames[int(f)].astype(np.float64)
+                    luma = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+                    vids.append(row.video_id)
+                    fidx.append(int(f))
+                    lumas.append(float(luma.mean()))
+            yield pd.DataFrame(
+                {"video_id": vids, "frame_idx": fidx, "mean_luma": lumas}
+            )
+
+    return videos.select("video_id", "bytes", "w", "h", "n_frames").mapInPandas(
+        batches, "video_id string, frame_idx long, mean_luma double"
     )
 
 

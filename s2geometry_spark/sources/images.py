@@ -119,3 +119,54 @@ def source_pixels(idx: int) -> np.ndarray:
     w = 8 + int(h64 % np.uint64(17))
     h = 8 + int((h64 >> np.uint64(8)) % np.uint64(17))
     return imagecodec.gen_pixels(idx, w, h)
+
+
+# ---------- deterministic fake video payloads (multimodal plumbing) ----------
+
+VIDEOS_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("w", IntegerType(), False),
+        StructField("h", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("fps", IntegerType(), False),
+    ]
+)
+
+
+def gen_video_frames(idx: int, w: int, h: int, n_frames: int) -> np.ndarray:
+    """(n_frames, h, w, 3) deterministic fake frames — frame f is the
+    image generator seeded by (idx, f), standing in for a real decoder
+    (kernels.imagecodec.decode_video is the stubbed real-codec slot)."""
+    return np.stack(
+        [imagecodec.gen_pixels(idx * 1_000_003 + f, w, h) for f in range(n_frames)]
+    )
+
+
+def make_video_row(idx: int) -> dict:
+    h64 = splitmix64(np.asarray([idx ^ 0x71DE0], np.uint64))[0]
+    w = 8 + int(h64 % np.uint64(9))
+    h = 8 + int((h64 >> np.uint64(8)) % np.uint64(9))
+    n_frames = 8 + int((h64 >> np.uint64(16)) % np.uint64(25))
+    frames = gen_video_frames(idx, w, h, n_frames)
+    return {
+        "video_id": f"vid{idx:012d}",
+        "bytes": frames.tobytes(),  # opaque binary, like a real container
+        "w": w,
+        "h": h,
+        "n_frames": n_frames,
+        "fps": 24,
+    }
+
+
+def videos_df(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
+    num_partitions = num_partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_video_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=VIDEOS_SCHEMA.fieldNames())
+
+    rng = spark.range(0, n, numPartitions=min(num_partitions, max(1, n)))
+    return rng.mapInPandas(gen, VIDEOS_SCHEMA)
