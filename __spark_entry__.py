@@ -477,6 +477,91 @@ SELECT DISTINCT chain_a, chain_b FROM sg0
 WHERE db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s"""
 
 
+RASTER_LEVEL = 5
+
+
+def q_raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector (north rule axis): the occupied level-5 cells of
+    the orders points inside the fixture caps form a raster; its traced
+    boundary polygon (kernels.raster) then classifies ALL points via the
+    standard containment join.  The oracle classifies the same points by
+    cell MEMBERSHIP in the independently recomputed occupied set — green
+    iff the traced polygon is pointwise identical to the raster."""
+    import numpy as np
+
+    from s2geometry_spark.kernels import cellid as ci
+    from s2geometry_spark.kernels import raster
+    from s2geometry_spark.kernels.regions import Loop, Polygon
+
+    pts = _order_points_xyz(spark, sf_dir)
+    cap = _caps()["zurich"]
+    cx, cy, cz = (float(c) for c in cap.center)
+    in_cap = s2f.chord2_expr(
+        F.col("x"), F.col("y"), F.col("z"), F.lit(cx), F.lit(cy), F.lit(cz)
+    ) <= F.lit(float(cap.radius2))
+    occ_rows = (
+        pts.where(in_cap)
+        .select(s2f.parent_expr("cell", RASTER_LEVEL).alias("c"))
+        .distinct()
+        .collect()
+    )
+    occ = ci.from_biased(np.array([r.c for r in occ_rows], np.int64))
+    loops = raster.vectorize_cells(occ)
+    region = Polygon([Loop(v) for v in loops])
+
+    # classify each point's level-5 CELL CENTER against the traced
+    # polygon: centers are strictly interior to their cells while the
+    # polygon boundary runs exactly along cell edges, so the comparison
+    # is boundary-proof (50+ derived points sit EXACTLY on cell edges,
+    # where raw-point parity vs the encoder's rounding is undefined)
+    import pandas as pd
+
+    def centers(it):
+        for pdf in it:
+            cl5 = ci.parent(
+                ci.from_biased(pdf["cell"].to_numpy(np.int64)), RASTER_LEVEL
+            )
+            x, y, z = ci.to_point(cl5)
+            leafs = ci.from_xyz(x, y, z)
+            yield pd.DataFrame(
+                {
+                    "pid": pdf["pid"],
+                    "x": x,
+                    "y": y,
+                    "z": z,
+                    "cell": ci.to_biased(leafs),
+                }
+            )
+
+    probes = pts.select("pid", "cell").mapInPandas(
+        centers, "pid long, x double, y double, z double, cell long"
+    )
+    out = contains_join(spark, probes, RegionIndex({"raster": region}))
+    return out.select("pid")
+
+
+def _raster_vectorize_oracle() -> str:
+    def cap_pred_qual(cap, x, y, z):
+        cx, cy, cz = (float(c) for c in cap.center)
+        return (
+            f"((({x} - {cx!r})*({x} - {cx!r}) + ({y} - {cy!r})*({y} - {cy!r}))"
+            f" + ({z} - {cz!r})*({z} - {cz!r}) <= {float(cap.radius2)!r})"
+        )
+
+    cap_pred = cap_pred_qual(_caps()["zurich"], "q.x", "q.y", "q.z")
+    p5 = oracle.parent_sql_expr("cell_leaf", RASTER_LEVEL)
+    leaf_cte = oracle.leaf_cell_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
+    xyz_cte = oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid", prefix="c")
+    return f"""WITH {leaf_cte}, {xyz_cte},
+lf AS (SELECT pid, {p5} AS c5 FROM leaf),
+occ AS (
+  SELECT DISTINCT lf.c5 AS c5
+  FROM lf JOIN (SELECT pid, x, y, z FROM cxyz) q USING (pid)
+  WHERE {cap_pred}
+)
+SELECT pid FROM lf WHERE c5 IN (SELECT c5 FROM occ)"""
+
+
 # winding fixture: two overlapping CCW rings + one CW (negative) ring,
 # so windings -?/0/1/2 all occur; reference = south pole (winding 0)
 _WINDING_REF = (0.0, 0.0, -1.0)
@@ -933,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_cell": q_closest_cell,
         "builder_snap": q_builder_snap,
         "winding_number": q_winding_number,
+        "raster_vectorize": q_raster_vectorize,
         "polyline_crossings": q_polyline_crossings,
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
@@ -1178,6 +1264,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),
         "winding_number": _winding_oracle(),
+        "raster_vectorize": _raster_vectorize_oracle(),
         "polyline_crossings": _polyline_crossings_oracle(),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,"
