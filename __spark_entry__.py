@@ -536,7 +536,10 @@ def q_raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = pts.select("pid", "cell").mapInPandas(
         centers, "pid long, x double, y double, z double, cell long"
     )
-    out = contains_join(spark, probes, RegionIndex({"raster": region}))
+    # the raster IS the polygon's exact covering — skip the coverer (the
+    # many-loop scattered polygon makes it slow for zero benefit)
+    idx = RegionIndex({"raster": region}, coverings={"raster": occ})
+    out = contains_join(spark, probes, idx)
     return out.select("pid")
 
 

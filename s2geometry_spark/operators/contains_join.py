@@ -53,7 +53,11 @@ class RegionIndex:
         max_level: int = DEFAULT_MAX_LEVEL,
         level_mod: int = DEFAULT_LEVEL_MOD,
         max_cells: int = DEFAULT_MAX_CELLS,
+        coverings: dict[str, np.ndarray] | None = None,
     ):
+        """``coverings`` may supply a precomputed covering per region
+        (must COVER the region, e.g. a cell raster the region was traced
+        from); regions without one are covered by the RegionCoverer."""
         self.regions = regions
         self.min_level = min_level
         self.max_level = max_level
@@ -66,8 +70,14 @@ class RegionIndex:
         )
         self.true_max_level = opts.true_max_level()
         coverer = RegionCoverer(opts)
+        pre = coverings or {}
         self.coverings: dict[str, np.ndarray] = {
-            rid: coverer.get_covering(region) for rid, region in regions.items()
+            rid: (
+                np.sort(np.asarray(pre[rid], np.uint64))
+                if rid in pre
+                else coverer.get_covering(region)
+            )
+            for rid, region in regions.items()
         }
         self.terms: list[tuple[int, bool, str]] = []  # (biased_cell, is_covering, rid)
         for rid, covering in self.coverings.items():
