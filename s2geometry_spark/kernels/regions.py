@@ -822,3 +822,61 @@ class Polygon:
 
     def get_cell_union_bound(self) -> list[int]:
         return self.bound.get_cap_bound().get_cell_union_bound()
+
+
+class RegionUnion:
+    """S2RegionUnion (s2region_union.h): the union of member regions —
+    composed predicates, usable anywhere an S2Region-shaped object is
+    (RegionCoverer, RegionIndex)."""
+
+    def __init__(self, regions: list):
+        self.regions = regions
+
+    def contains_point(self, p) -> bool:
+        return any(r.contains_point(p) for r in self.regions)
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        out = np.zeros(np.atleast_2d(pts).shape[0], bool)
+        for r in self.regions:
+            out |= np.asarray(r.contains_points(pts), bool)
+        return out
+
+    def contains_cell(self, cell: Cell) -> bool:
+        # sufficient (not necessary) test, like the reference's
+        return any(r.contains_cell(cell) for r in self.regions)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return any(r.may_intersect_cell(cell) for r in self.regions)
+
+    def get_cell_union_bound(self) -> list[int]:
+        out: list[int] = []
+        for r in self.regions:
+            out.extend(r.get_cell_union_bound())
+        return out
+
+
+class RegionIntersection:
+    """S2RegionIntersection (s2region_intersection.h): the intersection
+    of member regions."""
+
+    def __init__(self, regions: list):
+        self.regions = regions
+
+    def contains_point(self, p) -> bool:
+        return all(r.contains_point(p) for r in self.regions)
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        out = np.ones(np.atleast_2d(pts).shape[0], bool)
+        for r in self.regions:
+            out &= np.asarray(r.contains_points(pts), bool)
+        return out
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return all(r.contains_cell(cell) for r in self.regions)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        # conservative: the true intersection may still be empty
+        return all(r.may_intersect_cell(cell) for r in self.regions)
+
+    def get_cell_union_bound(self) -> list[int]:
+        return self.regions[0].get_cell_union_bound() if self.regions else []
