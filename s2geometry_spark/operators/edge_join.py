@@ -77,10 +77,7 @@ def _edge_coverings_flat(
         mid = mid / nrm[:, None]
         r2 = ((mid - P0) ** 2).sum(axis=1)
         radius = 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(r2)))
-        levels = np.array(
-            [metrics.MIN_WIDTH.get_level_for_min_value(float(r)) - 1 for r in radius],
-            dtype=np.int64,
-        )
+        levels = metrics.MIN_WIDTH.get_level_for_min_value_vec(radius) - 1
         levels = np.minimum(levels, MAX_LEVEL)
         # snap to the LEVEL_MOD grid (downward: coarser always covers)
         levels = np.where(levels >= 0, levels - (levels % LEVEL_MOD), levels)

@@ -126,16 +126,17 @@ def _edge_keys_for_levels(edges: DataFrame, stage_levels: list[int]) -> DataFram
                 cov_all.append(np.zeros(sel.size, bool))
             own = np.concatenate(own_all)
             ids = pdf["eid"].to_numpy(np.int64)[own]
+            keys_u = np.concatenate(key_all).astype(np.uint64)
             out = pd.DataFrame(
                 {
                     "eid": ids,
-                    "key": cellid.to_biased(
-                        np.concatenate(key_all).astype(np.uint64)
-                    ),
+                    "key": cellid.to_biased(keys_u),
                     "lv": np.concatenate(lv_all).astype(np.int32),
                     "is_cov": np.concatenate(cov_all),
                 }
             )
+            for sl in stage_levels:
+                out[f"g_{sl}"] = _mixed_group(keys_u, max(sl - 2, 0))
             for i, c in enumerate(E_COLS):
                 src = A0 if i < 3 else A1
                 out[c] = src[own, i % 3]
@@ -144,9 +145,10 @@ def _edge_keys_for_levels(edges: DataFrame, stage_levels: list[int]) -> DataFram
             )
             yield out
 
+    g_cols = ", ".join(f"g_{sl} long" for sl in stage_levels)
     return edges.select("eid", *E_COLS).mapInPandas(
         batches,
-        "eid long, key long, lv int, is_cov boolean, "
+        f"eid long, key long, lv int, is_cov boolean, {g_cols}, "
         + ", ".join(f"{c} double" for c in E_COLS),
     )
 
@@ -162,34 +164,53 @@ def _auto_start_level(n_edges: int, k: int) -> int:
     return max(1, min(10, int(math.log(max(target, 4.0), 4.0))))
 
 
-def _point_keys_udf(level: int, anc_min_level: int):
-    """array<long> of join keys for each query point: 3x3 block at
-    ``level`` plus block-cell ancestors down to ``anc_min_level``."""
+def _point_keys_udf(level: int, anc_min_level: int, group_level: int):
+    """array<struct<key, g>> per query point: 3x3 block at ``level`` plus
+    block-cell ancestors down to ``anc_min_level``, each with its
+    mixed-level cogroup key."""
+    from pyspark.sql.types import StructField, StructType
 
-    @pandas_udf(ArrayType(LongType()))
+    out_type = ArrayType(
+        StructType(
+            [StructField("key", LongType()), StructField("g", LongType())]
+        )
+    )
+
+    @pandas_udf(out_type)
     def keys(cell_biased: pd.Series) -> pd.Series:
         ids = cellid.from_biased(cell_biased.to_numpy(np.int64))
         own = cellid.parent(ids, level)
         idx, nbrs = cellid.append_all_neighbors(own, level)
-        blocks: list[set[int]] = [
-            {int(b)} for b in cellid.to_biased(own)
-        ]
         block_cells: list[list[np.uint64]] = [[c] for c in own]
-        nb = cellid.to_biased(nbrs)
-        for i, b, raw in zip(idx, nb, nbrs):
-            blocks[int(i)].add(int(b))
+        for i, raw in zip(idx, nbrs):
             block_cells[int(i)].append(raw)
-        # ancestors of every block cell at each coarser level that coarse
-        # edge-covering cells can live at
-        for lv in range(anc_min_level, level):
-            for i, cells in enumerate(block_cells):
-                par = cellid.to_biased(
-                    cellid.parent(np.asarray(cells, np.uint64), lv)
-                )
-                blocks[i].update(int(p) for p in par)
-        return pd.Series([sorted(s) for s in blocks])
+        out = []
+        for cells in block_cells:
+            arr = np.asarray(cells, np.uint64)
+            all_keys = [arr]
+            for lv in range(anc_min_level, level):
+                all_keys.append(cellid.parent(arr, lv))
+            ks = np.unique(np.concatenate(all_keys))
+            kb = cellid.to_biased(ks)
+            gb = _mixed_group(ks, group_level)
+            out.append(
+                [{"key": int(a), "g": int(b)} for a, b in zip(kb, gb)]
+            )
+        return pd.Series(out)
 
     return keys
+
+
+def _mixed_group(keys_u64: np.ndarray, group_level: int) -> np.ndarray:
+    """Cogroup key (biased) for MIXED-LEVEL cell keys: fine keys group
+    under their group-level parent, keys at/above the group level group
+    as themselves — both sides compute the same value for a matching
+    key, so exact-key matches always co-locate."""
+    lv = cellid.level(keys_u64)
+    g = np.where(
+        lv <= group_level, keys_u64, cellid.parent(keys_u64, group_level)
+    )
+    return cellid.to_biased(g.astype(np.uint64))
 
 
 def _stage(
@@ -198,65 +219,96 @@ def _stage(
     level: int,
     anc_min_level: int,
     k: int,
-    broadcast_queries: bool = True,
 ) -> DataFrame:
     # stage view of the level-agnostic key table: exact-level rows (any
-    # kind) + coarser COVERING rows; cell ids encode their level, so a
-    # single equi-join on key cannot cross levels
+    # kind) + coarser COVERING rows; cell ids encode their level, so an
+    # exact key match cannot cross levels
     ek = edge_keys_all.where(
         (F.col("lv") == level) | (F.col("is_cov") & (F.col("lv") < level))
-    )
-    blk = _point_keys_udf(level, min(anc_min_level, level))
+    ).withColumn("g", F.col(f"g_{level}"))
+    # COGROUP on a coarse prefix instead of joining: the join would ship
+    # every query's coordinates once PER CANDIDATE EDGE through Arrow
+    # (~119 copies per query at sf0.1); cogrouping ships each side's rows
+    # once, exact-key matching and the distance kernel run in-group, and
+    # only per-(group, qid) top-k rows reach the dedup + window shuffles.
+    gl = max(level - 2, 0)
+    blk = _point_keys_udf(level, min(anc_min_level, level), gl)
     q = queries.withColumn("_keys", blk(F.col("q_cell")))
-    q = q.withColumn("key", F.explode("_keys")).drop("_keys")
-    # query keys are the small side by contract: broadcasting them makes
-    # the candidate join map-side over the edge-key partitions, and the
-    # fused refine kernel consumes it in the SAME stage; only the narrow
-    # (qid, eid, dist) rows reach a shuffle (dedup + top-k window)
-    if broadcast_queries:
-        q = F.broadcast(q)
-    cand = q.join(ek, "key").select(
-        "qid", "qx", "qy", "qz", "q_cell", "eid", *E_COLS
+    q = (
+        q.withColumn("_kg", F.explode("_keys"))
+        .drop("_keys")
+        .select("*", "_kg.key", "_kg.g")
+        .drop("_kg")
     )
 
-    def refine_keep_q(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {
-                        "qid": pd.Series(dtype="int64"),
-                        "q_cell": pd.Series(dtype="int64"),
-                        "qx": pd.Series(dtype="float64"),
-                        "qy": pd.Series(dtype="float64"),
-                        "qz": pd.Series(dtype="float64"),
-                        "eid": pd.Series(dtype="int64"),
-                        "dist_chord2": pd.Series(dtype="float64"),
-                    }
-                )
+    def group_topk(key, qdf: pd.DataFrame, edf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype="int64"),
+                "q_cell": pd.Series(dtype="int64"),
+                "qx": pd.Series(dtype="float64"),
+                "qy": pd.Series(dtype="float64"),
+                "qz": pd.Series(dtype="float64"),
+                "eid": pd.Series(dtype="int64"),
+                "dist_chord2": pd.Series(dtype="float64"),
+            }
+        )
+        if len(qdf) == 0 or len(edf) == 0:
+            return empty
+        e_key = edf["key"].to_numpy(np.int64)
+        order_e = np.argsort(e_key, kind="stable")
+        e_key_s = e_key[order_e]
+        A = edf[E_COLS[:3]].to_numpy(np.float64)[order_e]
+        B = edf[E_COLS[3:]].to_numpy(np.float64)[order_e]
+        e_ids = edf["eid"].to_numpy(np.int64)[order_e]
+        q_key = qdf["key"].to_numpy(np.int64)
+        Q = qdf[["qx", "qy", "qz"]].to_numpy(np.float64)
+        q_ids = qdf["qid"].to_numpy(np.int64)
+        q_cells = qdf["q_cell"].to_numpy(np.int64)
+        ii_all, jj_all = [], []
+        for kk in np.unique(q_key):
+            lo = np.searchsorted(e_key_s, kk, "left")
+            hi = np.searchsorted(e_key_s, kk, "right")
+            if lo == hi:
                 continue
-            # a pair appears once per shared key; an edge's keys are
-            # adjacent in the join output, so a per-batch dedup removes
-            # most duplicates before the kernel (the global dropDuplicates
-            # downstream guarantees the rest)
-            pdf = pdf.drop_duplicates(subset=["qid", "eid"])
-            X = pdf[["qx", "qy", "qz"]].to_numpy(np.float64)
-            A = pdf[E_COLS[:3]].to_numpy(np.float64)
-            B = pdf[E_COLS[3:]].to_numpy(np.float64)
-            out = pdf[["qid", "q_cell", "qx", "qy", "qz", "eid"]].copy()
-            out["dist_chord2"] = measures.point_edge_chord2(X, A, B)
-            # PARTIAL top-k per batch: the global top-k of per-batch
-            # top-ks equals the global top-k (monotone), so only k rows
-            # per (batch, qid) reach the dedup + window shuffles
-            out = out.sort_values(["dist_chord2", "eid"]).groupby(
-                "qid", sort=False
-            ).head(k)
-            yield out
+            qm = np.flatnonzero(q_key == kk)
+            em = np.arange(lo, hi)
+            ii_all.append(np.repeat(qm, em.size))
+            jj_all.append(np.tile(em, qm.size))
+        if not ii_all:
+            return empty
+        ii = np.concatenate(ii_all)
+        jj = np.concatenate(jj_all)
+        d = measures.point_edge_chord2(Q[ii], A[jj], B[jj])
+        out = pd.DataFrame(
+            {
+                "qid": q_ids[ii],
+                "q_cell": q_cells[ii],
+                "qx": Q[ii, 0],
+                "qy": Q[ii, 1],
+                "qz": Q[ii, 2],
+                "eid": e_ids[jj],
+                "dist_chord2": d,
+            }
+        )
+        # in-group dedup (a pair can match on several keys) + partial
+        # top-k: the global top-k of per-group top-ks equals the global
+        # top-k (monotone), so only k rows per (group, qid) shuffle on
+        out = out.drop_duplicates(subset=["qid", "eid"])
+        return out.sort_values(["dist_chord2", "eid"]).groupby(
+            "qid", sort=False
+        ).head(k)
 
-    scored = cand.mapInPandas(
-        refine_keep_q,
-        "qid long, q_cell long, qx double, qy double, qz double, "
-        "eid long, dist_chord2 double",
-    ).dropDuplicates(["qid", "eid"])
+    scored = (
+        q.groupBy("g")
+        .cogroup(ek.groupBy("g"))
+        .applyInPandas(
+            group_topk,
+            "qid long, q_cell long, qx double, qy double, qz double, "
+            "eid long, dist_chord2 double",
+        )
+        .dropDuplicates(["qid", "eid"])
+    )
     w = Window.partitionBy("qid").orderBy(
         F.col("dist_chord2").asc(), F.col("eid").asc()
     )
