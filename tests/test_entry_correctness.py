@@ -45,3 +45,27 @@ def test_rows_only_queries_run(spark, entry_mod):
             continue
         df = fn(spark, SF_TEST)
         assert df.count() >= 0
+
+
+def test_numpy_edge_derivation_matches_catalyst(spark, entry_mod):
+    """_edges_df (Arrow/NumPy geotag kernels) must stay bitwise-identical
+    to the Catalyst expression derivation it replaced (which the SQL
+    oracles mirror)."""
+    a = (
+        entry_mod._edges_df(
+            spark, SF_TEST, "orders", "o_orderkey", entry_mod._EDGE_A_KEY2, "eid", "e"
+        )
+        .toPandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    b = (
+        entry_mod._edges_df_sql_exprs(
+            spark, SF_TEST, "orders", "o_orderkey", entry_mod._EDGE_A_KEY2, "eid", "e"
+        )
+        .toPandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    for c in ["e0x", "e0y", "e0z", "e1x", "e1y", "e1z"]:
+        assert (a[c].values == b[c].values).all(), c
