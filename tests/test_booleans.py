@@ -189,3 +189,43 @@ def test_winding_join_operator(spark, sample_points):
     got = {r.pid: r.winding for r in winding_join(df, loops, ref).collect()}
     want = winding.winding_numbers(loops, ref, 0, P)
     assert got == {i: int(w) for i, w in enumerate(want)}
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_overlay_random_pair_sweep(seed, sample_points):
+    """Seeded sweep: random loop pairs (varied centers, radii, vertex
+    counts, orientations) — every op must match pointwise set algebra."""
+    rng = np.random.RandomState(1000 + seed)
+    def rand_loop():
+        lat = rng.uniform(-55, 55)
+        lng = rng.uniform(-170, 170)
+        r = rng.uniform(0.08, 0.5)
+        n = rng.randint(6, 24)
+        v = Loop.make_regular(lat, lng, r, n).vertices
+        return v[::-1].copy() if rng.rand() < 0.3 else v  # orientation-agnostic
+    A = rand_loop()
+    # bias B toward overlap half the time
+    if rng.rand() < 0.5:
+        ca = A.mean(axis=0); ca /= np.linalg.norm(ca)
+        import math
+        lat = math.degrees(math.asin(max(-1, min(1, ca[2])))) + rng.uniform(-8, 8)
+        lng = math.degrees(math.atan2(ca[1], ca[0])) + rng.uniform(-8, 8)
+        B = Loop.make_regular(lat, lng, rng.uniform(0.08, 0.4), rng.randint(6, 20)).vertices
+    else:
+        B = rand_loop()
+    pa = Polygon([Loop(bo._normalize_small([A])[0])])
+    pb = Polygon([Loop(bo._normalize_small([B])[0])])
+    inA = pa.contains_points(sample_points)
+    inB = pb.contains_points(sample_points)
+    for op, want in [
+        ("intersection", inA & inB),
+        ("union", inA | inB),
+        ("difference", inA & ~inB),
+    ]:
+        res = bo.overlay([A], [B], op)
+        got = (
+            Polygon([Loop(v) for v in res]).contains_points(sample_points)
+            if res
+            else np.zeros(len(sample_points), bool)
+        )
+        assert (got == want).all(), (seed, op)
