@@ -782,6 +782,104 @@ def _poly_bool_oracle(op: str) -> str:
     return f"WITH {xyz_cte} " + " UNION ALL ".join(parts)
 
 
+# shared-boundary boolean fixtures (S2Builder graph subset,
+# s2builder_graph.cc DegenerateEdges/SiblingPairs; touching cases of
+# s2boolean_operation_test.cc): pairs with EXACT shared geometry —
+# bitwise-shared vertices and whole shared edges.  All loops are convex
+# so the oracle classifies points against the INPUTS with half-space
+# predicates; all boundary planes are generic (no table point lies
+# exactly on them — unlike the equator/meridians, where the key-derived
+# points include exact z=0 / y=0 / x=y rows).
+SHARED_BOOL_OPS = ("intersection", "union", "difference")
+
+
+@functools.lru_cache(maxsize=1)
+def _shared_pair_fixtures():
+    import numpy as np
+
+    def ll(lat, lng):
+        la, lo = np.radians(lat), np.radians(lng)
+        return np.array(
+            [np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo), np.sin(la)]
+        )
+
+    hx = [
+        ll(20 + 8 * np.sin(a), 30 + 8 * np.cos(a))
+        for a in np.linspace(0, 2 * np.pi, 7)[:-1]
+    ]
+    hexagon = np.stack(hx)
+    # pivot away from the equator: lat-0 edges lie ON the z=0 great
+    # circle, where the key-derived tables contain exact z=0 points
+    # whose strict-oracle vs robust-engine boundary classifications
+    # differ (the generic-plane rule above)
+    pvt = ll(40.0, 50.0)
+    return {
+        # adjacent halves sharing the chord edge (opposite interiors)
+        "split_hex": (
+            [np.stack([hx[0], hx[1], hx[2], hx[3]])],
+            [np.stack([hx[3], hx[4], hx[5], hx[0]])],
+        ),
+        # identical polygons — every edge shared, same interior side
+        "identical": ([hexagon], [hexagon.copy()]),
+        # B shares a 3-edge boundary chain of A (same interior side)
+        "sub_chain": ([hexagon], [np.stack([hx[0], hx[1], hx[2], hx[3]])]),
+        # single shared vertex (diagonal touch)
+        "vertex_touch": (
+            [np.stack([pvt, ll(40, 45), ll(45, 45), ll(45, 50)])],
+            [np.stack([pvt, ll(35, 50), ll(35, 55), ll(40, 55)])],
+        ),
+    }
+
+
+@functools.lru_cache(maxsize=1)
+def _shared_bool_index() -> RegionIndex:
+    """RegionIndex over the overlay results of every (pair, op) — one
+    region per non-empty result, id '<pair>|<op>'."""
+    from s2geometry_spark.kernels import booleanop
+    from s2geometry_spark.kernels.regions import Polygon
+
+    regions = {}
+    for rid, (a, b) in _shared_pair_fixtures().items():
+        for op in SHARED_BOOL_OPS:
+            res = booleanop.overlay(a, b, op)
+            if res:
+                regions[f"{rid}|{op}"] = Polygon([Loop(v) for v in res])
+    return RegionIndex(regions)
+
+
+def q_poly_boolean_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean overlays of polygon pairs with EXACT shared boundaries
+    (shared edges, shared boundary chains, identical inputs, shared
+    vertices) — the degenerate configurations the reference routes
+    through the S2Builder graph (s2builder_graph.cc duplicate/sibling
+    edge merging).  Every (pair, op) result polygon classifies the full
+    orders point table; the oracle classifies the same points against
+    the INPUT loops with independent half-space set algebra."""
+    pts = _order_points_xyz(spark, sf_dir)
+    return contains_join(spark, pts, _shared_bool_index())
+
+
+def _poly_boolean_shared_oracle() -> str:
+    from s2geometry_spark.kernels import booleanop
+
+    xyz_cte = oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
+    parts = []
+    for rid, (a, b) in _shared_pair_fixtures().items():
+        in_a = oracle.convex_loop_predicate_sql(booleanop._normalize_small(a)[0])
+        in_b = oracle.convex_loop_predicate_sql(booleanop._normalize_small(b)[0])
+        for op in SHARED_BOOL_OPS:
+            if op == "intersection":
+                pred = f"({in_a}) AND ({in_b})"
+            elif op == "union":
+                pred = f"({in_a}) OR ({in_b})"
+            else:
+                pred = f"({in_a}) AND NOT ({in_b})"
+            parts.append(
+                f"SELECT pid, '{rid}|{op}' AS poly_id FROM xyz WHERE {pred}"
+            )
+    return f"WITH {xyz_cte} " + " UNION ALL ".join(parts)
+
+
 def q_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """within-distance (cap) join: covering-term candidates + pure-SQL
     chord^2 refinement."""
@@ -1011,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_intersection": q_poly_intersection,
         "poly_union": q_poly_union,
         "poly_difference": q_poly_difference,
+        "poly_boolean_shared": q_poly_boolean_shared,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
@@ -1263,6 +1362,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "poly_intersection": _poly_bool_oracle("intersection"),
         "poly_union": _poly_bool_oracle("union"),
         "poly_difference": _poly_bool_oracle("difference"),
+        "poly_boolean_shared": _poly_boolean_shared_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),

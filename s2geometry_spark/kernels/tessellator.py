@@ -41,7 +41,16 @@ class PlateCarree:
         )
 
     def interpolate(self, t: float, a, b):
-        return (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))
+        # straight segment in projected space; take the short way in lng
+        # (degrees) so geodesics crossing the +/-180 seam converge instead
+        # of sweeping the long way through lng ~ 0 (same wrap Mercator
+        # applies in radians)
+        dx = b[0] - a[0]
+        if dx > 180.0:
+            dx -= 360.0
+        elif dx < -180.0:
+            dx += 360.0
+        return (a[0] + t * dx, a[1] + t * (b[1] - a[1]))
 
 
 class Mercator:

@@ -71,7 +71,20 @@ def chain_interpolate(
     each chain.  Returns (chain_id, fraction, x, y, z).  One shuffle
     (groupBy chain); chains are processed independently, so skew follows
     the chain-size distribution (salt long chains upstream if needed).
+
+    Fractions must be strictly interior (0 < f < 1): at the boundary the
+    engine returns the raw endpoint vertex while the SQL oracle always
+    renormalizes its slerp (one-ulp drift) and yields NULLs for
+    single-vertex chains — asserting here keeps engine/oracle parity a
+    theorem instead of a coincidence of the pinned fraction set.
     """
+    for f in fractions:
+        if not (0.0 < f < 1.0):
+            raise ValueError(
+                f"chain_interpolate: fraction {f} is not strictly interior "
+                "(0 < f < 1); endpoint fractions have engine/oracle "
+                "parity gaps — select the endpoint vertex directly instead"
+            )
 
     def one_chain(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq_col)

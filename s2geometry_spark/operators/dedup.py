@@ -119,8 +119,14 @@ def ngram_jaccard_join(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFra
     Jaccard = shared / (|A| + |B| - shared).  Output (doc_a, doc_b,
     jaccard).  Division is double/double in one pinned expression so the
     DuckDB oracle matches bit-for-bit.
+
+    The shingle table feeds four legs (sizes, df2, and both sides of the
+    self-join), so it is persisted for the plan's lifetime — same
+    recompute-elimination as minhash_lsh_pairs.
     """
-    sh = shingle_set(docs, n)
+    from pyspark import StorageLevel
+
+    sh = shingle_set(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # EXACT pruning: a shingle appearing in exactly one document can never
     # contribute to a shared count, so drop df==1 shingles before the
@@ -196,7 +202,12 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sig array<long>): sig[i] = min over shingles of the i-th
     affine mix of ONE portable md5-h64 per shingle:
     h_i = (((h64 % P) + P) % P * A_i + B_i) % P, P = 2^31 - 1.
@@ -204,8 +215,13 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> Dat
     One md5 per shingle (not per seed — 32 md5s per row made this the
     slowest query in the suite); the integer mixing is exact int64 both
     engines, so the DuckDB oracle reproduces signatures bit-for-bit.
-    One shuffle (groupBy doc)."""
-    sh = shingle_set(docs, n)
+    One shuffle (groupBy doc).
+
+    ``shingles`` lets a caller that already materialized the (doc_id,
+    shingle) table (e.g. minhash_lsh_pairs, which also needs it for the
+    exact-Jaccard refinement) pass it in so the md5-heavy explode runs
+    once, not once per consumer."""
+    sh = shingles if shingles is not None else shingle_set(docs, n)
     coeffs = _minhash_coeffs(num_hashes)
     base = (md5_h64(F.col("shingle")) % MINHASH_P + MINHASH_P) % MINHASH_P
     hashed = sh.select(
@@ -239,9 +255,23 @@ def minhash_lsh_pairs(
     docs, robust to shingle skew).  Refinement recomputes EXACT Jaccard
     on the candidates only, so precision is 1.0 and only recall is
     probabilistic (P[miss] = (1 - tau^r)^bands).
+
+    The narrow (doc_id, shingle) table and the signature table are
+    PERSISTED for the plan's lifetime: the self-join reads signatures
+    twice and the refinement reads shingles three times (sa/sb/sizes),
+    and without the persist Spark re-runs the md5-heavy explode for
+    every leg (~6 scans of the same derivation; the round-2 plan audit
+    measured this as the dominant cost of the whole query).  Both are a
+    few narrow columns — tiny relative to the documents scan — and fall
+    out of block-manager memory LRU-style under pressure.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n)
+    sh = shingle_set(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(docs, num_hashes, n, shingles=sh).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # bucket key = the band's raw minhash values joined into one string —
     # no hash-collision false candidates, and the DuckDB oracle builds the
     # identical key (a hashed bucket would be fine at scale; raw keys keep
@@ -267,8 +297,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact refinement restricted to candidates
-    sh = shingle_set(docs, n)
+    # exact refinement restricted to candidates (reads the persisted sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -29,6 +29,10 @@ from pyspark.sql.types import ArrayType, LongType
 from .. import functions as s2f
 from ..kernels import cellid, metrics
 
+# Hard cap on queries allowed into the brute-force fallback: beyond this
+# the `remaining x points` cross join is a scale cliff, not a remainder.
+MAX_BRUTE_FORCE_QUERIES = 10_000
+
 
 def _neighbor_block_udf(level: int):
     """cells of the 3x3 block (self + AppendAllNeighbors) at ``level`` for
@@ -297,7 +301,23 @@ def knn_join(
         if empty:
             return _union_all(results)
 
-    # brute-force fallback for the (typically empty) remainder
+    # brute-force fallback for the (typically empty) remainder — LOUDLY
+    # capped: `remaining x points` is the one plan here that does not
+    # survive a 100x scale-up, so refuse to build it for more than a
+    # trickle of queries instead of silently cross-joining the fact table
+    # (same contract as ann.cosine_topk_bruteforce's MAX_QUERIES).
+    n_remaining = remaining.limit(MAX_BRUTE_FORCE_QUERIES + 1).count()
+    if n_remaining > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"knn_join: >{MAX_BRUTE_FORCE_QUERIES} queries "
+            f"(>= {n_remaining}) left uncertified after {num_stages} "
+            "stages; a cross join against the full points table at this "
+            "volume is a scale cliff. Increase num_stages or lower "
+            "start_level so the staged cascade certifies them."
+        )
+    if n_remaining == 0:
+        # usual case — drop the fallback subtree from the final plan
+        return _union_all(results)
     bf = remaining.crossJoin(points)
     dist = s2f.chord2_expr(
         F.col("qx"), F.col("qy"), F.col("qz"), F.col("px"), F.col("py"), F.col("pz")

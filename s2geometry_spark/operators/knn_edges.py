@@ -104,6 +104,10 @@ def _edge_keys_for_levels(edges: DataFrame, stage_levels: list[int]) -> DataFram
                         "key": pd.Series(dtype="int64"),
                         "lv": pd.Series(dtype="int32"),
                         "is_cov": pd.Series(dtype="bool"),
+                        **{
+                            f"g_{sl}": pd.Series(dtype="int64")
+                            for sl in stage_levels
+                        },
                         **{c: pd.Series(dtype="float64") for c in E_COLS},
                     }
                 )
@@ -403,7 +407,23 @@ def closest_edges_join(
             return _union_all(results)
 
     # brute-force fallback for the (typically empty) remainder; edge
-    # coords come from the cached key table (covering rows carry them)
+    # coords come from the cached key table (covering rows carry them).
+    # Loudly capped like knn.knn_join: an uncapped remainder x edges cross
+    # join is the one non-scalable plan in this operator.
+    from .knn import MAX_BRUTE_FORCE_QUERIES
+
+    n_remaining = remaining.limit(MAX_BRUTE_FORCE_QUERIES + 1).count()
+    if n_remaining > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"closest_edges_join: >{MAX_BRUTE_FORCE_QUERIES} queries "
+            f"(>= {n_remaining}) left uncertified after {num_stages} "
+            "stages; increase num_stages or lower start_level instead of "
+            "cross-joining the edge table."
+        )
+    if n_remaining == 0:
+        # usual case: everything certified — drop the fallback subtree
+        # (crossJoin + mapInPandas + window) from the final plan entirely
+        return _union_all(results)
     edges_cached = ek_all.where("is_cov").select("eid", *E_COLS).dropDuplicates(
         ["eid"]
     )

@@ -60,21 +60,41 @@ def streaming_tile_totals(
     )
 
 
-def streaming_first_seen(stream: DataFrame, key_col: str) -> DataFrame:
-    """Emit only the FIRST occurrence of each key across the whole
-    stream (state = one marker per key)."""
+def streaming_first_seen(
+    stream: DataFrame, key_col: str, ttl_minutes: float | None = 60.0
+) -> DataFrame:
+    """Emit only the FIRST occurrence of each key across the stream
+    (state = one marker per key).
+
+    ``ttl_minutes`` bounds the state: a key idle for that long has its
+    marker EXPIRED (ProcessingTimeTimeout), so state size tracks the
+    distinct keys of the trailing window instead of the whole stream —
+    the standard bounded-memory trade for infinite-stream dedup (a
+    duplicate arriving after the TTL is re-emitted).  Each sighting
+    refreshes the timer (sliding TTL).  Pass ``None`` for exact
+    whole-stream dedup with unbounded state.
+    """
+    use_ttl = ttl_minutes is not None
+    ttl_ms = int(ttl_minutes * 60_000) if use_ttl else 0
 
     def update(
         key, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if use_ttl and state.hasTimedOut:
+            state.remove()
+            return
         n = 0
         for pdf in pdfs:
             n += len(pdf)
         if n == 0:
             return
         if state.exists:
+            if use_ttl:
+                state.setTimeoutDuration(ttl_ms)
             return
         state.update((True,))
+        if use_ttl:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"key": [key[0]], "n_first_batch": [n]})
 
     return (
@@ -85,6 +105,10 @@ def streaming_first_seen(stream: DataFrame, key_col: str) -> DataFrame:
             outputStructType="key string, n_first_batch long",
             stateStructType="seen boolean",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_ttl
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -229,3 +229,122 @@ def test_overlay_random_pair_sweep(seed, sample_points):
             else np.zeros(len(sample_points), bool)
         )
         assert (got == want).all(), (seed, op)
+
+
+# ---------- exact shared-boundary degeneracies (S2Builder graph subset) ----------
+
+
+def _ll(lat, lng):
+    la, lo = np.radians(lat), np.radians(lng)
+    return np.array(
+        [np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo), np.sin(la)]
+    )
+
+
+def _eqp(theta_deg):
+    t = np.radians(theta_deg)
+    return np.array([np.cos(t), np.sin(t), 0.0])
+
+
+def _hex_verts():
+    return [
+        _ll(20 + 8 * np.sin(a), 30 + 8 * np.cos(a))
+        for a in np.linspace(0, 2 * np.pi, 7)[:-1]
+    ]
+
+
+def _touching_pairs():
+    """Fixture pairs with EXACT shared geometry (bitwise vertices /
+    exactly-collinear edges), mirroring s2boolean_operation_test.cc's
+    touching-polygon cases."""
+    hx = _hex_verts()
+    H = np.stack(hx)
+    P = _ll(0.0, 50.0)
+    return {
+        # full shared edge, opposite interiors (adjacent halves)
+        "split_hex": (
+            np.stack([hx[0], hx[1], hx[2], hx[3]]),
+            np.stack([hx[3], hx[4], hx[5], hx[0]]),
+        ),
+        # identical polygons (every edge shared, same interior side)
+        "identical": (H, H.copy()),
+        # B shares a 3-edge boundary chain of A, same interior side
+        "sub_chain": (H, np.stack([hx[0], hx[1], hx[2], hx[3]])),
+        # single shared vertex (diagonal touch)
+        "vertex_touch": (
+            np.stack([P, _ll(0, 45), _ll(5, 45), _ll(5, 50)]),
+            np.stack([P, _ll(-5, 50), _ll(-5, 55), _ll(0, 55)]),
+        ),
+        # B's equator edge is a strict sub-segment of A's (T-junctions,
+        # partial collinear overlap, opposite interiors)
+        "equator_T": (
+            np.stack([_eqp(0), _eqp(10), _ll(6, 8), _ll(6, 2)]),
+            np.stack([_eqp(6), _eqp(4), _ll(-5, 4.5), _ll(-5, 5.5)]),
+        ),
+        # B's equator edge extends beyond A's on one side (overlap [4,10],
+        # B sticks out to 14)
+        "equator_overhang": (
+            np.stack([_eqp(0), _eqp(10), _ll(6, 8), _ll(6, 2)]),
+            np.stack([_eqp(14), _eqp(4), _ll(-5, 5), _ll(-5, 13)]),
+        ),
+    }
+
+
+@pytest.mark.parametrize("name", list(_touching_pairs()))
+@pytest.mark.parametrize("op", ["intersection", "union", "difference"])
+def test_overlay_shared_boundary_pointwise(name, op, sample_points):
+    A, B = _touching_pairs()[name]
+    res = bo.overlay([A], [B], op)
+    pa = Polygon([Loop(v) for v in bo._normalize_small([A])])
+    pb = Polygon([Loop(v) for v in bo._normalize_small([B])])
+    inA = pa.contains_points(sample_points)
+    inB = pb.contains_points(sample_points)
+    want = {
+        "intersection": inA & inB,
+        "union": inA | inB,
+        "difference": inA & ~inB,
+    }[op]
+    got = (
+        Polygon([Loop(v) for v in res]).contains_points(sample_points)
+        if res
+        else np.zeros(len(sample_points), bool)
+    )
+    assert (got == want).all(), (name, op, int((got != want).sum()))
+
+
+@pytest.mark.parametrize("op", ["intersection", "union", "difference"])
+def test_overlay_shared_boundary_areas(op):
+    """Closed-form area checks for the exactly-shared configurations."""
+    pairs = _touching_pairs()
+
+    def small(v):
+        a = measures.loop_area(v)
+        return a if a < 2 * np.pi else 4 * np.pi - a
+
+    for name, (A, B) in pairs.items():
+        aA, aB = small(A), small(B)
+        res = bo.overlay([A], [B], op)
+        area = bo.polygon_area(res)
+        if name in ("split_hex",):
+            want = {"intersection": 0.0, "union": aA + aB, "difference": aA}[op]
+        elif name == "identical":
+            want = {"intersection": aA, "union": aA, "difference": 0.0}[op]
+        elif name == "sub_chain":
+            want = {"intersection": aB, "union": aA, "difference": aA - aB}[op]
+        elif name in ("vertex_touch", "equator_T"):
+            want = {"intersection": 0.0, "union": aA + aB, "difference": aA}[op]
+        else:  # equator_overhang: still interior-disjoint (opposite sides)
+            want = {"intersection": 0.0, "union": aA + aB, "difference": aA}[op]
+        assert area == pytest.approx(want, abs=1e-12), (name, op)
+
+
+def test_vertex_touch_union_is_two_simple_loops():
+    """The clockwise-first continuation must split a vertex-touching
+    union into two simple loops, not a figure-eight."""
+    pairs = _touching_pairs()
+    A, B = pairs["vertex_touch"]
+    res = bo.overlay([A], [B], "union")
+    assert len(res) == 2
+    for v in res:
+        keys = {p.tobytes() for p in v}
+        assert len(keys) == len(v)  # no repeated vertex inside one loop

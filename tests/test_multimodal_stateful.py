@@ -162,3 +162,99 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 120  # 100 + 20 new, duplicates suppressed
     assert got.select("key").distinct().count() == 120
+
+
+def test_streaming_first_seen_ttl_bounds_state(spark, tmp_path):
+    """With a TTL, an idle key's marker is expired and REMOVED, so (a)
+    state stays bounded by the trailing window's distinct keys and (b) a
+    duplicate arriving after expiry is re-emitted — the documented
+    bounded-memory trade."""
+    import time
+
+    from s2geometry_spark.streaming.stateful import streaming_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "image_id string, fmt string"
+
+    def write_batch(tag, ids):
+        df = spark.createDataFrame([(f"k{i}", "raw") for i in ids], schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / tag))
+        for i, f in enumerate(sorted((tmp_path / tag).glob("part-*.parquet"))):
+            shutil.copy(f, src / f"{tag}-{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_first_seen(stream, "image_id", ttl_minutes=0.0005)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b0", range(50))
+    run_once()
+    assert spark.read.parquet(out).count() == 50
+    # batch of DIFFERENT keys after the 30 ms TTL: the idle b0 markers
+    # time out during this batch and are removed
+    time.sleep(1.5)
+    write_batch("b1", range(100, 120))
+    run_once()
+    assert spark.read.parquet(out).count() == 70
+    # replay the b0 keys: markers are gone -> re-emitted
+    time.sleep(1.5)
+    write_batch("b2", range(50))
+    run_once()
+    assert spark.read.parquet(out).count() == 120
+
+
+def test_streaming_first_seen_no_ttl_unbounded(spark, tmp_path):
+    """ttl_minutes=None keeps whole-stream exact dedup (markers never
+    expire) regardless of wall-clock gaps."""
+    import time
+
+    from s2geometry_spark.streaming.stateful import streaming_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "image_id string, fmt string"
+
+    def write_batch(tag, ids):
+        df = spark.createDataFrame([(f"k{i}", "raw") for i in ids], schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / tag))
+        for i, f in enumerate(sorted((tmp_path / tag).glob("part-*.parquet"))):
+            shutil.copy(f, src / f"{tag}-{i}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_first_seen(stream, "image_id", ttl_minutes=None)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b0", range(30))
+    run_once()
+    time.sleep(1.0)
+    write_batch("b1", range(30))  # exact replay after a gap
+    run_once()
+    assert spark.read.parquet(out).count() == 30
