@@ -405,17 +405,16 @@ def q_polyline_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polyline_crossing_join(spark, ca, cb, robust=False, broadcast_b=False)
 
 
-def _polyline_crossings_oracle() -> str:
-    """Edges from lag windows over the identical derived points, the same
-    pinned sign-chain crossing test as the edge_crossings oracle,
-    distinct chain pairs."""
-    def chain_cte(name, table, chain_expr, base_key, seq_key):
-        px, py, pz = _unit_exprs_sql(base_key)
-        gx, gy, gz = _unit_exprs_sql(f"({seq_key}) - (({seq_key}) % 16)")
-        qx, qy, qz = _unit_exprs_sql(seq_key)
-        eps = f"CAST({_CHAIN_EPS} AS DOUBLE)"
-        jit = f"CAST({_CHAIN_JITTER} AS DOUBLE)"
-        return f"""{name} AS MATERIALIZED (
+def _chain_cte_sql(name, table, chain_expr, base_key, seq_key):
+    """DuckDB CTE deriving the same chain fixture points as
+    _chain_points_df (bitwise: the SQL triplet derivation equals the
+    NumPy geotag kernels)."""
+    px, py, pz = _unit_exprs_sql(base_key)
+    gx, gy, gz = _unit_exprs_sql(f"({seq_key}) - (({seq_key}) % 16)")
+    qx, qy, qz = _unit_exprs_sql(seq_key)
+    eps = f"CAST({_CHAIN_EPS} AS DOUBLE)"
+    jit = f"CAST({_CHAIN_JITTER} AS DOUBLE)"
+    return f"""{name} AS MATERIALIZED (
   WITH _uv AS MATERIALIZED (
     SELECT CAST({chain_expr} AS BIGINT) AS chain_id, {seq_key} AS seq,
            {px} AS px, {py} AS py, {pz} AS pz,
@@ -437,8 +436,12 @@ def _polyline_crossings_oracle() -> str:
   FROM _e
 )"""
 
-    a_cte = chain_cte("axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey")
-    b_cte = chain_cte(
+def _polyline_crossings_oracle() -> str:
+    """Edges from lag windows over the identical derived points, the same
+    pinned sign-chain crossing test as the edge_crossings oracle,
+    distinct chain pairs."""
+    a_cte = _chain_cte_sql("axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey")
+    b_cte = _chain_cte_sql(
         "bxyz", "orders", _CHAIN_B_EXPR_SQL, _CHAIN_B_BASE_SQL, "o_orderkey"
     )
 
@@ -475,6 +478,36 @@ sg0 AS (
 )
 SELECT DISTINCT chain_a, chain_b FROM sg0
 WHERE db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s"""
+
+
+# tolerance for the simplification query: ~2 deg keeps roughly half of
+# the jittered fixture vertices — both branches of every wedge decision
+# are exercised thousands of times
+SIMPLIFY_TOL = 0.03490658503988659  # math.radians(2.0)
+
+
+def q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline simplification (S2Polyline::SubsampleVertices,
+    s2polyline.cc:645): tolerance-guaranteed greedy vertex subsampling
+    of the customer chain fixtures.  Output is INTEGER-only (chain_id,
+    kept seq, n_in, n_kept), so the oracle compare is pure decision
+    parity — the DuckDB side replays the identical wedge walk."""
+    from s2geometry_spark.operators.simplify import simplify_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    return simplify_chains(ca, SIMPLIFY_TOL)
+
+
+def _polyline_simplify_oracle() -> str:
+    from s2geometry_spark.operators.simplify import subsample_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    table_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    return subsample_oracle_sql(table_sql, SIMPLIFY_TOL)
 
 
 RASTER_LEVEL = 5
@@ -1110,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_union": q_poly_union,
         "poly_difference": q_poly_difference,
         "poly_boolean_shared": q_poly_boolean_shared,
+        "polyline_simplify": q_polyline_simplify,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
@@ -1363,6 +1397,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "poly_union": _poly_bool_oracle("union"),
         "poly_difference": _poly_bool_oracle("difference"),
         "poly_boolean_shared": _poly_boolean_shared_oracle(),
+        "polyline_simplify": _polyline_simplify_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),
