@@ -38,9 +38,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
-
 from ..kernels import cellid, measures
 from .edge_join import _edge_coverings_flat
 from .knn import _min_outside_chord2, _union_all
@@ -140,7 +137,7 @@ def _edge_keys_for_levels(edges: DataFrame, stage_levels: list[int]) -> DataFram
                 }
             )
             for sl in stage_levels:
-                out[f"g_{sl}"] = _mixed_group(keys_u, max(sl - 2, 0))
+                out[f"g_{sl}"] = _mixed_group(keys_u, max(sl - 4, 0))
             for i, c in enumerate(E_COLS):
                 src = A0 if i < 3 else A1
                 out[c] = src[own, i % 3]
@@ -168,41 +165,51 @@ def _auto_start_level(n_edges: int, k: int) -> int:
     return max(1, min(10, int(math.log(max(target, 4.0), 4.0))))
 
 
-def _point_keys_udf(level: int, anc_min_level: int, group_level: int):
-    """array<struct<key, g>> per query point: 3x3 block at ``level`` plus
-    block-cell ancestors down to ``anc_min_level``, each with its
-    mixed-level cogroup key."""
-    from pyspark.sql.types import StructField, StructType
+def _point_keys_flat(level: int, anc_min_level: int, group_level: int):
+    """mapInPandas generator: one output row per (query, key) — the 3x3
+    block at ``level`` plus block-cell ancestors down to
+    ``anc_min_level``, each with its mixed-level cogroup key.  Fully
+    vectorized (a per-query Python loop building array<struct> rows for
+    a later explode cost ~4.6 s at sf0.1 — a third of the whole stage)."""
 
-    out_type = ArrayType(
-        StructType(
-            [StructField("key", LongType()), StructField("g", LongType())]
-        )
-    )
+    q_cols = ["qid", "qx", "qy", "qz", "q_cell"]
 
-    @pandas_udf(out_type)
-    def keys(cell_biased: pd.Series) -> pd.Series:
-        ids = cellid.from_biased(cell_biased.to_numpy(np.int64))
-        own = cellid.parent(ids, level)
-        idx, nbrs = cellid.append_all_neighbors(own, level)
-        block_cells: list[list[np.uint64]] = [[c] for c in own]
-        for i, raw in zip(idx, nbrs):
-            block_cells[int(i)].append(raw)
-        out = []
-        for cells in block_cells:
-            arr = np.asarray(cells, np.uint64)
-            all_keys = [arr]
+    def batches(it):
+        for pdf in it:
+            pdf = pdf[q_cols]
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["key"] = pd.Series(dtype="int64")
+                out["g"] = pd.Series(dtype="int64")
+                yield out
+                continue
+            ids = cellid.from_biased(pdf["q_cell"].to_numpy(np.int64))
+            n = len(ids)
+            own = cellid.parent(ids, level)
+            idx, nbrs = cellid.append_all_neighbors(own, level)
+            # flat (query row, block cell) pairs: self + neighbors
+            qi = np.concatenate([np.arange(n, dtype=np.int64), idx.astype(np.int64)])
+            bc = np.concatenate([own, nbrs]).astype(np.uint64)
+            # ancestors of every block cell at each coarser stage level
+            all_qi = [qi]
+            all_keys = [bc]
             for lv in range(anc_min_level, level):
-                all_keys.append(cellid.parent(arr, lv))
-            ks = np.unique(np.concatenate(all_keys))
-            kb = cellid.to_biased(ks)
-            gb = _mixed_group(ks, group_level)
-            out.append(
-                [{"key": int(a), "g": int(b)} for a, b in zip(kb, gb)]
-            )
-        return pd.Series(out)
+                all_qi.append(qi)
+                all_keys.append(cellid.parent(bc, lv))
+            fqi = np.concatenate(all_qi)
+            fkeys = np.concatenate(all_keys)
+            # per-query dedup of keys without a Python loop: unique on
+            # the (query, key) composite
+            comp = np.stack([fqi, fkeys.view(np.int64)], axis=1)
+            uq = np.unique(comp, axis=0)
+            rqi = uq[:, 0]
+            rkeys = uq[:, 1].view(np.uint64)
+            out = pdf.iloc[rqi].reset_index(drop=True)
+            out["key"] = cellid.to_biased(rkeys)
+            out["g"] = _mixed_group(rkeys, group_level)
+            yield out
 
-    return keys
+    return batches
 
 
 def _mixed_group(keys_u64: np.ndarray, group_level: int) -> np.ndarray:
@@ -235,14 +242,16 @@ def _stage(
     # (~119 copies per query at sf0.1); cogrouping ships each side's rows
     # once, exact-key matching and the distance kernel run in-group, and
     # only per-(group, qid) top-k rows reach the dedup + window shuffles.
-    gl = max(level - 2, 0)
-    blk = _point_keys_udf(level, min(anc_min_level, level), gl)
-    q = queries.withColumn("_keys", blk(F.col("q_cell")))
-    q = (
-        q.withColumn("_kg", F.explode("_keys"))
-        .drop("_keys")
-        .select("*", "_kg.key", "_kg.g")
-        .drop("_kg")
+    # group two levels coarser than before (level-4): the pair volume is
+    # unchanged (pairs still require an exact key match inside the
+    # group), but ~16x fewer cogroup groups means ~16x less per-group
+    # Python/pandas overhead — measured as the dominant stage cost at
+    # sf0.1 (6k groups x ~2 ms)
+    gl = max(level - 4, 0)
+    q = queries.mapInPandas(
+        _point_keys_flat(level, min(anc_min_level, level), gl),
+        "qid long, qx double, qy double, qz double, q_cell long, "
+        "key long, g long",
     )
 
     def group_topk(key, qdf: pd.DataFrame, edf: pd.DataFrame):
@@ -269,20 +278,18 @@ def _stage(
         Q = qdf[["qx", "qy", "qz"]].to_numpy(np.float64)
         q_ids = qdf["qid"].to_numpy(np.int64)
         q_cells = qdf["q_cell"].to_numpy(np.int64)
-        ii_all, jj_all = [], []
-        for kk in np.unique(q_key):
-            lo = np.searchsorted(e_key_s, kk, "left")
-            hi = np.searchsorted(e_key_s, kk, "right")
-            if lo == hi:
-                continue
-            qm = np.flatnonzero(q_key == kk)
-            em = np.arange(lo, hi)
-            ii_all.append(np.repeat(qm, em.size))
-            jj_all.append(np.tile(em, qm.size))
-        if not ii_all:
+        # vectorized per-key range join: each query row matches the
+        # contiguous e_key_s run of its key (no per-key Python loop)
+        lo = np.searchsorted(e_key_s, q_key, "left")
+        hi = np.searchsorted(e_key_s, q_key, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
             return empty
-        ii = np.concatenate(ii_all)
-        jj = np.concatenate(jj_all)
+        ii = np.repeat(np.arange(len(q_key)), cnt)
+        starts = np.zeros(len(q_key), np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        jj = np.arange(total, dtype=np.int64) - starts[ii] + lo[ii]
         d = measures.point_edge_chord2(Q[ii], A[jj], B[jj])
         out = pd.DataFrame(
             {
