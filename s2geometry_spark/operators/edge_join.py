@@ -140,7 +140,14 @@ def _terms_flat(owner: np.ndarray, cell: np.ndarray, side: str):
     )
 
 
-def _term_table(edges: DataFrame, id_col: str, prefix: str, side: str) -> DataFrame:
+def _term_table(
+    edges: DataFrame,
+    id_col: str,
+    prefix: str,
+    side: str,
+    split_rounds: int = SPLIT_ROUNDS,
+    group_level: int | None = None,
+) -> DataFrame:
     """Term rows WITH the edge coordinates: widening the term table lets
     the candidate join feed the crossing kernel directly — no pair dedup
     shuffle and no coordinate re-joins on the (much larger) candidate
@@ -148,11 +155,12 @@ def _term_table(edges: DataFrame, id_col: str, prefix: str, side: str) -> DataFr
     deduped AFTER refinement, where the row count is the (tiny) crossing
     set."""
     cols = [f"{prefix}{k}{ax}" for k in (0, 1) for ax in "xyz"]
+    g_schema = ", g long" if group_level is not None else ""
 
     def batches(it):
         for pdf in it:
             if len(pdf) == 0:
-                yield pd.DataFrame(
+                out = pd.DataFrame(
                     {
                         id_col: pd.Series(dtype="int64"),
                         "term_cell": pd.Series(dtype="int64"),
@@ -160,10 +168,13 @@ def _term_table(edges: DataFrame, id_col: str, prefix: str, side: str) -> DataFr
                         **{c: pd.Series(dtype="float64") for c in cols},
                     }
                 )
+                if group_level is not None:
+                    out["g"] = pd.Series(dtype="int64")
+                yield out
                 continue
             A0 = pdf[cols[:3]].to_numpy(np.float64)
             A1 = pdf[cols[3:]].to_numpy(np.float64)
-            owner, cell = _edge_coverings_flat(A0, A1)
+            owner, cell = _edge_coverings_flat(A0, A1, split_rounds)
             o, c, f = _terms_flat(owner, cell, side)
             ids = pdf[id_col].to_numpy(np.int64)
             out = pd.DataFrame(
@@ -174,12 +185,20 @@ def _term_table(edges: DataFrame, id_col: str, prefix: str, side: str) -> DataFr
             for i, cc in enumerate(cols):
                 src = A0 if i < 3 else A1
                 out[cc] = src[o[keep], i % 3]
+            if group_level is not None:
+                from .knn_edges import _mixed_group
+
+                out["g"] = _mixed_group(
+                    cellid.from_biased(out["term_cell"].to_numpy(np.int64)),
+                    group_level,
+                )
             yield out
 
     return edges.select(id_col, *cols).mapInPandas(
         batches,
         f"{id_col} long, term_cell long, is_covering boolean, "
-        + ", ".join(f"{c} double" for c in cols),
+        + ", ".join(f"{c} double" for c in cols)
+        + g_schema,
     )
 
 
@@ -189,6 +208,7 @@ def edge_crossing_join(
     edges_b: DataFrame,
     robust: bool = True,
     broadcast_b: bool = False,
+    split_rounds: int = SPLIT_ROUNDS,
 ) -> DataFrame:
     """All (eid_a, eid_b) pairs whose edge interiors cross.
 
@@ -202,8 +222,8 @@ def edge_crossing_join(
     only actual crossing pairs (a candidate pair that crosses is still
     one output row no matter how many terms matched it).
     """
-    ta = _term_table(edges_a, "eid_a", "a", "query")
-    tb = _term_table(edges_b, "eid_b", "b", "index")
+    ta = _term_table(edges_a, "eid_a", "a", "query", split_rounds)
+    tb = _term_table(edges_b, "eid_b", "b", "index", split_rounds)
     if broadcast_b:
         tb = F.broadcast(tb)
     cand = ta.join(tb, ["term_cell", "is_covering"])
@@ -225,4 +245,83 @@ def edge_crossing_join(
 
     return cand.mapInPandas(refine, "eid_a long, eid_b long").dropDuplicates(
         ["eid_a", "eid_b"]
+    )
+
+
+def edge_crossing_join_cogrouped(
+    spark: SparkSession,
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    robust: bool = True,
+    split_rounds: int = SPLIT_ROUNDS,
+    group_level: int = 4,
+    pair_shift: int = 0,
+) -> DataFrame:
+    """edge_crossing_join without MATERIALIZING the candidate join.
+
+    The two term tables are COGROUPED on a coarse cell prefix
+    (knn_edges._mixed_group) instead of equi-joined: each side's term
+    rows cross the Arrow boundary ONCE per group, the exact
+    (term_cell, is_covering) match runs as a vectorized searchsorted
+    range join in-group, and the crossing kernel + pair dedup run on the
+    matches before anything is shuffled.  For dense inputs this removes
+    the dominant cost of the join form — at sf0.1 chain fixtures the
+    materialized candidate set is 27M rows x 14 columns (~3 GB through
+    Arrow) for 422k true crossings.
+
+    ``pair_shift`` right-shifts both edge ids before the in-batch dedup:
+    chains_to_edges embeds the chain id in bits 32+, so pair_shift=32
+    makes this emit DISTINCT CHAIN PAIRS directly — the post-cogroup
+    dedup then touches ~5k rows instead of 422k edge crossings.
+    """
+    ta = _term_table(edges_a, "eid_a", "a", "query", split_rounds, group_level)
+    tb = _term_table(edges_b, "eid_b", "b", "index", split_rounds, group_level)
+
+    def group_cross(key, adf: pd.DataFrame, bdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {"eid_a": pd.Series(dtype="int64"), "eid_b": pd.Series(dtype="int64")}
+        )
+        if len(adf) == 0 or len(bdf) == 0:
+            return empty
+        # composite exact-match key: (cell bits << 1) | is_covering
+        kb = (
+            bdf["term_cell"].to_numpy(np.int64).view(np.uint64) << np.uint64(1)
+        ) | bdf["is_covering"].to_numpy(bool).astype(np.uint64)
+        order = np.argsort(kb, kind="stable")
+        kb_s = kb[order]
+        B0 = bdf[["b0x", "b0y", "b0z"]].to_numpy(np.float64)[order]
+        B1 = bdf[["b1x", "b1y", "b1z"]].to_numpy(np.float64)[order]
+        b_ids = bdf["eid_b"].to_numpy(np.int64)[order]
+        ka = (
+            adf["term_cell"].to_numpy(np.int64).view(np.uint64) << np.uint64(1)
+        ) | adf["is_covering"].to_numpy(bool).astype(np.uint64)
+        lo = np.searchsorted(kb_s, ka, "left")
+        hi = np.searchsorted(kb_s, ka, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        ii = np.repeat(np.arange(len(ka)), cnt)
+        starts = np.zeros(len(ka), np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        jj = np.arange(total, dtype=np.int64) - starts[ii] + lo[ii]
+        A0 = adf[["a0x", "a0y", "a0z"]].to_numpy(np.float64)
+        A1 = adf[["a1x", "a1y", "a1z"]].to_numpy(np.float64)
+        a_ids = adf["eid_a"].to_numpy(np.int64)
+        hit = predicates.edges_cross_batch(
+            A0[ii], A1[ii], B0[jj], B1[jj], robust=robust
+        )
+        out = pd.DataFrame(
+            {
+                "eid_a": a_ids[ii[hit]] >> pair_shift,
+                "eid_b": b_ids[jj[hit]] >> pair_shift,
+            }
+        )
+        return out.drop_duplicates()
+
+    return (
+        ta.groupBy("g")
+        .cogroup(tb.groupBy("g"))
+        .applyInPandas(group_cross, "eid_a long, eid_b long")
+        .dropDuplicates(["eid_a", "eid_b"])
     )

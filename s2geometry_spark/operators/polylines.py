@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..kernels import predicates
 from ..kernels.booleanop import edge_intersection
 from ..kernels.regions import Polygon
-from .edge_join import edge_crossing_join
+from .edge_join import edge_crossing_join_cogrouped
 
 
 def chains_to_edges(
@@ -64,23 +64,30 @@ def polyline_crossing_join(
 ) -> DataFrame:
     """Distinct (chain_a, chain_b) pairs whose polylines cross
     (transversal interior crossing — S2Polyline::Intersects' generic
-    position case)."""
+    position case).
+
+    Uses the COGROUPED crossing join (edge_join.edge_crossing_join_
+    cogrouped) with pair_shift=32: each side's term rows ship once per
+    coarse cell group, and the in-group kernel dedups straight to chain
+    pairs — at sf0.1 this replaces a 27M-row materialized candidate join
+    plus a 422k-row edge-pair dedup with ~2.7M cogrouped term rows and a
+    ~5k-row chain-pair dedup."""
     ea = chains_to_edges(chains_a, prefix="a")
     eb = chains_to_edges(chains_b, prefix="b")
-    pairs = edge_crossing_join(
+    pairs = edge_crossing_join_cogrouped(
         spark,
         ea.drop("chain_a"),
         eb.drop("chain_b"),
         robust=robust,
-        broadcast_b=broadcast_b,
+        # swept at sf0.1: one extra subdivision round (~3x fewer
+        # in-group pairs on long chain edges) beats the default
+        split_rounds=3,
+        group_level=4,
+        pair_shift=32,
     )
-    # map edge ids back to chains (the id embeds the chain in bits 32+)
-    return (
-        pairs.select(
-            F.shiftright("eid_a", 32).alias("chain_a"),
-            F.shiftright("eid_b", 32).alias("chain_b"),
-        )
-        .dropDuplicates(["chain_a", "chain_b"])
+    # the id embeds the chain in bits 32+; pair_shift already applied
+    return pairs.select(
+        F.col("eid_a").alias("chain_a"), F.col("eid_b").alias("chain_b")
     )
 
 
