@@ -30,7 +30,7 @@ MAGIC = b"S2I"
 _HDR = struct.Struct("<3sBHH")
 FMT_CODES = {"raw": 0, "rle": 1, "qnt": 2}
 FMT_NAMES = {v: k for k, v in FMT_CODES.items()}
-LOSSLESS = {"raw", "rle"}
+LOSSLESS = {"raw", "rle", "png"}
 PSNR_MIN_DB = 40.0
 
 
@@ -68,6 +68,8 @@ def _rle_decode(payload: bytes, n: int) -> np.ndarray:
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     """pixels: (h, w, 3) uint8 -> format bytes."""
+    if fmt == "png":
+        return encode_png(pixels)
     h, w, _ = pixels.shape
     hdr = _HDR.pack(MAGIC, FMT_CODES[fmt], w, h)
     flat = pixels.reshape(-1)
@@ -82,6 +84,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 
 def decode(buf: bytes) -> tuple[np.ndarray, str]:
     """format bytes -> ((h, w, 3) uint8 pixels, fmt name)."""
+    if buf[:8] == PNG_SIG:
+        return decode_png(buf), "png"
     magic, code, w, h = _HDR.unpack_from(buf)
     if magic != MAGIC:
         raise ValueError("bad magic — not an S2I image")
@@ -99,6 +103,125 @@ def decode(buf: bytes) -> tuple[np.ndarray, str]:
     else:  # pragma: no cover
         raise NotImplementedError(fmt)
     return flat.reshape(h, w, 3), fmt
+
+
+# ---------- PNG (pure stdlib: zlib + struct) ----------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal REAL PNG writer: 8-bit truecolor (color type 2), filter 0
+    scanlines, one zlib IDAT.  Readable by any PNG decoder."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # filter byte 0 (None) before every scanline
+    raw = np.empty((h, 1 + w * 3), np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Real PNG reader for 8-bit truecolor / truecolor+alpha (alpha
+    dropped), non-interlaced: parses chunks, verifies CRCs, inflates
+    IDAT, reverses all five scanline filters (None/Sub/Up/Average/
+    Paeth, PNG spec 9.2)."""
+    import zlib
+
+    if buf[:8] != PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    w = h = None
+    channels = 3
+    idat = bytearray()
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported"
+                )
+            channels = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = 1 + w * channels
+    raw = raw.reshape(h, stride)
+    bpp = channels
+    out = np.zeros((h, w * channels), np.uint8)
+    prev = np.zeros(w * channels, np.int64)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub (sequential in x)
+            cur = line.copy()
+            for i in range(bpp, cur.size):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(cur.size):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(cur.size):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (cur[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, channels)
+    return px[:, :, :3].copy() if channels == 4 else px
 
 
 # ---------- metrics ----------

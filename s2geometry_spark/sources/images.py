@@ -46,7 +46,7 @@ IMAGES_SCHEMA = StructType(
     ]
 )
 
-FMTS = ("raw", "rle", "qnt")
+FMTS = ("raw", "rle", "qnt", "png")
 _WORDS = (
     "harbor mountain sunset forest bridge market temple desert river tower "
     "glacier meadow island canyon lighthouse orchard plaza reef valley dune"
