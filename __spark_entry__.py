@@ -513,6 +513,76 @@ def _polyline_simplify_oracle() -> str:
     return subsample_oracle_sql(table_sql, SIMPLIFY_TOL)
 
 
+# medoid groups of 5 chains: 10 exact DP alignments per group, both
+# tie-break branches exercised across groups
+_ALIGN_GROUP = 5
+
+
+def q_polyline_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline vertex alignment (GetExactVertexAlignment,
+    s2polyline_alignment.cc:294): dynamic-timewarp optimal alignment
+    cost + warp-path length for each (even, odd) customer-chain pair.
+    The DuckDB oracle replays the identical DP one anti-diagonal per
+    recursion step, then walks the path back with the reference
+    tie-break — costs AND path lengths are bit-exact."""
+    from s2geometry_spark.operators.alignment import align_chain_pairs
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    ids = ca.select("chain_id").distinct()
+    pairs = (
+        ids.where(F.col("chain_id") % 2 == 0)
+        .select(F.col("chain_id").alias("chain_a"))
+        .join(
+            ids.select(F.col("chain_id").alias("chain_b")),
+            F.col("chain_b") == F.col("chain_a") + 1,
+        )
+    )
+    return align_chain_pairs(spark, ca, pairs, mode="exact")
+
+
+def _polyline_alignment_oracle() -> str:
+    from s2geometry_spark.operators.alignment import alignment_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    verts_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    pairs_sql = """SELECT a.chain_id AS chain_a, b.chain_id AS chain_b
+  FROM (SELECT DISTINCT chain_id FROM verts) a
+  JOIN (SELECT DISTINCT chain_id FROM verts) b
+    ON b.chain_id = a.chain_id + 1 AND a.chain_id % 2 = 0"""
+    return alignment_oracle_sql(verts_sql, pairs_sql)
+
+
+def q_polyline_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid polyline per group (GetMedoidPolyline,
+    s2polyline_alignment.cc:352): customer chains grouped 5-at-a-time;
+    the chain minimizing summed exact DTW cost to its groupmates wins
+    (ties -> lowest id).  Totals fold partner-sorted/left-associated on
+    both sides, so the compare is bit-exact."""
+    from s2geometry_spark.operators.alignment import medoid_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    ca = ca.withColumn(
+        "group_id", F.expr(f"chain_id div {_ALIGN_GROUP}").cast("long")
+    )
+    return medoid_chains(spark, ca)
+
+
+def _polyline_medoid_oracle() -> str:
+    from s2geometry_spark.operators.alignment import medoid_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    verts_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    return medoid_oracle_sql(verts_sql, f"chain_id // {_ALIGN_GROUP}")
+
+
 RASTER_LEVEL = 5
 
 
@@ -1147,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_difference": q_poly_difference,
         "poly_boolean_shared": q_poly_boolean_shared,
         "polyline_simplify": q_polyline_simplify,
+        "polyline_alignment": q_polyline_alignment,
+        "polyline_medoid": q_polyline_medoid,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
@@ -1401,6 +1473,8 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "poly_difference": _poly_bool_oracle("difference"),
         "poly_boolean_shared": _poly_boolean_shared_oracle(),
         "polyline_simplify": _polyline_simplify_oracle(),
+        "polyline_alignment": _polyline_alignment_oracle(),
+        "polyline_medoid": _polyline_medoid_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),
