@@ -583,6 +583,139 @@ def _polyline_medoid_oracle() -> str:
     return medoid_oracle_sql(verts_sql, f"chain_id // {_ALIGN_GROUP}")
 
 
+# --- boundary-model clip fixtures (S2BooleanOperation polygon/polyline
+# models, s2boolean_operation.h:160-230).  Convex CCW clip loop; scatter
+# chains (vertex = unit(triplet(key)), long edges that genuinely cross
+# the loop) plus literal "rider" chains with exact shared geometry:
+# boundary rides in both directions, vertex touches from inside and
+# outside, an interior chord, a mixed ride-and-exit, a zigzag, and an
+# endpoint landing on a loop vertex (differentiates the polyline
+# models).  All riders are embedded as literals in BOTH the engine DF
+# and the oracle VALUES, so structural detection is bitwise.
+CLIP_LOOP_ARGS = (17.0, 31.0, 0.6, 12)
+_CLIP_DIV = 20
+_RIDER_BASE = 10_000_000
+
+
+@functools.lru_cache(maxsize=1)
+def _clip_loop():
+    from s2geometry_spark.kernels.regions import Loop
+
+    return Loop.make_regular(*CLIP_LOOP_ARGS)
+
+
+@functools.lru_cache(maxsize=1)
+def _clip_rider_chains() -> dict[int, "np.ndarray"]:
+    import math
+
+    import numpy as np
+
+    from s2geometry_spark.kernels import predicates
+
+    lat, lng, radius, nvert = CLIP_LOOP_ARGS
+    L = _clip_loop().vertices
+    latr, lngr = math.radians(lat), math.radians(lng)
+    z = np.array(
+        [
+            math.cos(lngr) * math.cos(latr),
+            math.sin(lngr) * math.cos(latr),
+            math.sin(latr),
+        ]
+    )
+    x = np.asarray(predicates._ortho(z))
+    y = np.cross(z, x)
+
+    def pt(t, ang):
+        d = math.cos(t) * z + math.sin(t) * (math.cos(ang) * x + math.sin(ang) * y)
+        return d / np.linalg.norm(d)
+
+    A = [2 * math.pi * i / nvert for i in range(nvert)]
+    riders = {
+        0: np.stack([L[0], L[1], L[2], L[3]]),          # boundary ride, loop order
+        1: np.stack([L[7], L[6], L[5]]),                # boundary ride, reversed
+        2: np.stack([pt(0.95, A[4] - 0.2), L[4], pt(0.95, A[4] + 0.2)]),  # touch from outside
+        3: np.stack([pt(0.25, A[8] - 0.2), L[8], pt(0.25, A[8] + 0.2)]),  # touch from inside
+        4: np.stack([L[9], L[11]]),                     # interior chord
+        5: np.stack([
+            pt(1.1, A[0] - 0.5), pt(0.25, A[0] + 0.15), L[1], L[2], pt(1.1, A[2] + 0.5),
+        ]),                                             # enter, ride, exit
+        6: np.stack([pt(0.3, 0.5), pt(1.0, 1.0), pt(0.35, 2.0), pt(1.2, 2.6)]),  # zigzag
+        7: np.stack([pt(0.95, A[10] - 0.3), L[10]]),    # END vertex on the loop
+    }
+    return {_RIDER_BASE + k: v for k, v in riders.items()}
+
+
+def _clip_chains_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter chains over customer keys + literal riders: (chain_id,
+    seq, x, y, z).  Scatter vertices are unit(triplet(key)) via the
+    NumPy geotag kernels — bitwise equal to _unit_exprs_sql."""
+    import numpy as np
+    import pandas as pd
+
+    from s2geometry_spark.kernels.geotag import int_triplet_from_key, xyz_from_triplet
+
+    base = _load(spark, sf_dir, "customer").select(
+        F.expr(f"c_custkey div {_CLIP_DIV}").cast("long").alias("chain_id"),
+        F.col("c_custkey").cast("long").alias("seq"),
+    )
+
+    def batches(it):
+        for pdf in it:
+            k = pdf["seq"].to_numpy(np.int64)
+            vx, vy, vz = xyz_from_triplet(*int_triplet_from_key(k))
+            yield pd.DataFrame(
+                {
+                    "chain_id": pdf["chain_id"],
+                    "seq": pdf["seq"],
+                    "x": vx,
+                    "y": vy,
+                    "z": vz,
+                }
+            )
+
+    scatter = base.mapInPandas(
+        batches, "chain_id long, seq long, x double, y double, z double"
+    )
+    rider_rows = [
+        (cid, s, float(V[s, 0]), float(V[s, 1]), float(V[s, 2]))
+        for cid, V in _clip_rider_chains().items()
+        for s in range(V.shape[0])
+    ]
+    riders = spark.createDataFrame(
+        rider_rows, "chain_id long, seq long, x double, y double, z double"
+    )
+    return scatter.unionByName(riders)
+
+
+def q_polyline_clip_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline x polygon intersection under every (PolygonModel,
+    PolylineModel) combination (s2boolean_operation.h:160-230):
+    per-chain piece/vertex/degenerate-point counts from the
+    boundary-model clip kernel.  The oracle replays the counts with the
+    anchored-alternation recipe — no intersection coordinate is ever
+    computed SQL-side (see clip_models_oracle_sql)."""
+    from s2geometry_spark.operators.polylines import polyline_clip_model_counts
+
+    return polyline_clip_model_counts(_clip_chains_df(spark, sf_dir), _clip_loop())
+
+
+def _polyline_clip_models_oracle() -> str:
+    from s2geometry_spark.operators.polylines import clip_models_oracle_sql
+
+    ux, uy, uz = _unit_exprs_sql("c_custkey")
+    rider_rows = ", ".join(
+        f"({cid}, {s}, CAST({float(V[s, 0])!r} AS DOUBLE), "
+        f"CAST({float(V[s, 1])!r} AS DOUBLE), CAST({float(V[s, 2])!r} AS DOUBLE))"
+        for cid, V in _clip_rider_chains().items()
+        for s in range(V.shape[0])
+    )
+    verts_sql = f"""SELECT c_custkey // {_CLIP_DIV} AS chain_id, c_custkey AS seq,
+         {ux} AS x, {uy} AS y, {uz} AS z FROM customer
+  UNION ALL
+  SELECT * FROM (VALUES {rider_rows}) AS rid(chain_id, seq, x, y, z)"""
+    return clip_models_oracle_sql(verts_sql, _clip_loop().vertices)
+
+
 RASTER_LEVEL = 5
 
 
@@ -1219,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_simplify": q_polyline_simplify,
         "polyline_alignment": q_polyline_alignment,
         "polyline_medoid": q_polyline_medoid,
+        "polyline_clip_models": q_polyline_clip_models,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
@@ -1475,6 +1609,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "polyline_simplify": _polyline_simplify_oracle(),
         "polyline_alignment": _polyline_alignment_oracle(),
         "polyline_medoid": _polyline_medoid_oracle(),
+        "polyline_clip_models": _polyline_clip_models_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),

@@ -221,3 +221,214 @@ def polyline_clip_join(
         f"{chain_col} long, piece long, {seq_col} long, "
         "x double, y double, z double",
     )
+
+
+def polyline_clip_model_counts(
+    chains: DataFrame,
+    loop,
+    chain_col: str = "chain_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Boundary-model-aware clip counts (S2BooleanOperation
+    PolygonModel/PolylineModel, s2boolean_operation.h:160-230): for every
+    chain and every (pg_model, pl_model) combination, the piece/vertex/
+    degenerate-point counts of chain INTERSECTION loop under that model
+    (kernels.clipmodels.clip_chain_models).  ``loop`` must be a convex
+    CCW Loop; one groupBy(chain) applyInPandas pass, loop in closure."""
+    from ..kernels.clipmodels import POLYGON_MODELS, POLYLINE_MODELS, clip_chain_models
+
+    L = np.asarray(loop.vertices, np.float64)
+    oi = bool(loop.origin_inside)
+
+    def one_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col)
+        V = pdf[["x", "y", "z"]].to_numpy(np.float64)
+        cid = pdf[chain_col].iloc[0]
+        res = clip_chain_models(V, L, oi)
+        rows = [
+            (pg, pl, cid, *res[pg][pl])
+            for pg in POLYGON_MODELS
+            for pl in POLYLINE_MODELS
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "pg_model", "pl_model", chain_col,
+                "n_pieces", "n_vertices", "n_points",
+            ],
+        )
+
+    return chains.groupBy(chain_col).applyInPandas(
+        one_chain,
+        f"pg_model string, pl_model string, {chain_col} long, "
+        "n_pieces long, n_vertices long, n_points long",
+    )
+
+
+def _convex_pred_sql(verts: np.ndarray, cx: str, cy: str, cz: str) -> str:
+    """Strict-interior predicate of a CCW convex loop for arbitrary
+    column names (oracle.convex_loop_predicate_sql pinned x/y/z)."""
+    m = verts.shape[0]
+    terms = []
+    for i in range(m):
+        c = np.cross(verts[i], verts[(i + 1) % m])
+        terms.append(
+            f"({float(c[0])!r}*{cx} + {float(c[1])!r}*{cy} + {float(c[2])!r}*{cz} > 0)"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def clip_models_oracle_sql(verts_sql: str, loop_vertices: np.ndarray) -> str:
+    """DuckDB replay of polyline_clip_model_counts WITHOUT computing a
+    single intersection coordinate.
+
+    Because the loop is geodesically convex and every chain edge
+    subtends < pi, a chain edge's sub-arc in/out flags ALTERNATE along
+    the edge; anchored at an off-boundary endpoint's containment flag,
+    per-edge kept counts and first/last flags follow from the crossing
+    count alone:
+
+        kept = (c + 1 + anchor_flag) // 2       (ones of an alternating
+        first/last = parity-flips of the anchor   0/1 string)
+
+    and within an edge every kept sub-arc is an isolated run, so global
+    piece count = sum(kept) - (adjacent-edge merges where last=1 meets
+    first=1).  Boundary rides / interior chords / vertex touches are
+    detected STRUCTURALLY by exact-coordinate joins against the loop
+    vertex list (the engine does the same), and crossing counts use the
+    identical pinned 1e-15-band sign chain as edges_cross_batch
+    (robust=False), so every count is bit-comparable."""
+    L = np.asarray(loop_vertices, np.float64)
+    n = L.shape[0]
+    # bare decimal literals are DECIMAL in DuckDB (scale-38 overflow in
+    # the pinned products) — pin every loop coordinate to DOUBLE
+    loopv_rows = ", ".join(
+        f"({i}, CAST({float(L[i, 0])!r} AS DOUBLE), "
+        f"CAST({float(L[i, 1])!r} AS DOUBLE), CAST({float(L[i, 2])!r} AS DOUBLE))"
+        for i in range(n)
+    )
+    in0 = _convex_pred_sql(L, "a0x", "a0y", "a0z")
+    in1 = _convex_pred_sql(L, "a1x", "a1y", "a1z")
+    return f"""WITH verts AS MATERIALIZED ({verts_sql}),
+loopv(li, lx, ly, lz) AS (VALUES {loopv_rows}),
+vv AS MATERIALIZED (
+  SELECT v.chain_id, v.x, v.y, v.z, l.li,
+         row_number() OVER (PARTITION BY v.chain_id ORDER BY v.seq) - 1 AS k
+  FROM verts v LEFT JOIN loopv l ON v.x = l.lx AND v.y = l.ly AND v.z = l.lz
+),
+nv AS MATERIALIZED (SELECT chain_id, count(*) AS n FROM vv GROUP BY chain_id),
+edges AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT chain_id, k - 1 AS e,
+           lag(x) OVER w AS a0x, lag(y) OVER w AS a0y, lag(z) OVER w AS a0z,
+           lag(li) OVER w AS li0,
+           x AS a1x, y AS a1y, z AS a1z, li AS li1
+    FROM vv WINDOW w AS (PARTITION BY chain_id ORDER BY k)
+  ) WHERE a0x IS NOT NULL
+),
+ledges AS MATERIALIZED (
+  SELECT a.li AS le, a.lx AS e0x, a.ly AS e0y, a.lz AS e0z,
+         b.lx AS e1x, b.ly AS e1y, b.lz AS e1z
+  FROM loopv a JOIN loopv b ON b.li = (a.li + 1) % {n}
+),
+cand AS MATERIALIZED (
+  SELECT g.chain_id, g.e,
+         (g.a0y*g.a1z - g.a0z*g.a1y) AS nx,
+         (g.a0z*g.a1x - g.a0x*g.a1z) AS ny,
+         (g.a0x*g.a1y - g.a0y*g.a1x) AS nz,
+         (l.e0y*l.e1z - l.e0z*l.e1y) AS mx,
+         (l.e0z*l.e1x - l.e0x*l.e1z) AS my,
+         (l.e0x*l.e1y - l.e0y*l.e1x) AS mz,
+         g.a0x, g.a0y, g.a0z, g.a1x, g.a1y, g.a1z,
+         l.e0x, l.e0y, l.e0z, l.e1x, l.e1y, l.e1z
+  FROM edges g JOIN ledges l
+    ON NOT (coalesce(g.li0, -1) = l.le OR coalesce(g.li0, -1) = (l.le + 1) % {n}
+         OR coalesce(g.li1, -1) = l.le OR coalesce(g.li1, -1) = (l.le + 1) % {n})
+  WHERE g.li0 IS NULL OR g.li1 IS NULL
+),
+cdet AS (
+  SELECT chain_id, e,
+         (nx*e0x + ny*e0y) + nz*e0z AS db0, (nx*e1x + ny*e1y) + nz*e1z AS db1,
+         (mx*a0x + my*a0y) + mz*a0z AS da0, (mx*a1x + my*a1y) + mz*a1z AS da1
+  FROM cand
+),
+csig AS (
+  SELECT chain_id, e,
+         CASE WHEN abs(db0) <= 1e-15 THEN 0 ELSE sign(db0) END AS db0s,
+         CASE WHEN abs(db1) <= 1e-15 THEN 0 ELSE sign(db1) END AS db1s,
+         CASE WHEN abs(da0) <= 1e-15 THEN 0 ELSE sign(da0) END AS da0s,
+         CASE WHEN abs(da1) <= 1e-15 THEN 0 ELSE sign(da1) END AS da1s
+  FROM cdet
+),
+cc AS MATERIALIZED (
+  SELECT chain_id, e, count(*) AS c FROM csig
+  WHERE db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s
+  GROUP BY chain_id, e
+),
+models(pg) AS (VALUES ('open'), ('semi_open'), ('closed')),
+ef AS MATERIALIZED (
+  SELECT m.pg, g.chain_id, g.e, kl.kept, kl.first_f, kl.last_f
+  FROM models m
+  CROSS JOIN edges g
+  LEFT JOIN cc ON cc.chain_id = g.chain_id AND cc.e = g.e,
+  LATERAL (
+    SELECT
+      CASE
+        WHEN g.li0 IS NOT NULL AND g.li1 IS NOT NULL THEN sf.s
+        WHEN g.li1 IS NULL THEN (coalesce(cc.c, 0) + 1 + af.a1f) // 2
+        ELSE (coalesce(cc.c, 0) + 1 + af.a0f) // 2
+      END AS kept,
+      CASE
+        WHEN g.li0 IS NOT NULL AND g.li1 IS NOT NULL THEN sf.s
+        WHEN g.li1 IS NULL THEN
+          CASE WHEN coalesce(cc.c, 0) % 2 = 0 THEN af.a1f ELSE 1 - af.a1f END
+        ELSE af.a0f
+      END AS first_f,
+      CASE
+        WHEN g.li0 IS NOT NULL AND g.li1 IS NOT NULL THEN sf.s
+        WHEN g.li1 IS NULL THEN af.a1f
+        ELSE CASE WHEN coalesce(cc.c, 0) % 2 = 0 THEN af.a0f ELSE 1 - af.a0f END
+      END AS last_f
+    FROM
+      (SELECT CASE WHEN {in0} THEN 1 ELSE 0 END AS a0f,
+              CASE WHEN {in1} THEN 1 ELSE 0 END AS a1f) af,
+      (SELECT CASE
+         WHEN g.li1 = (g.li0 + 1) % {n} THEN CASE WHEN m.pg = 'open' THEN 0 ELSE 1 END
+         WHEN g.li0 = (g.li1 + 1) % {n} THEN CASE WHEN m.pg = 'closed' THEN 1 ELSE 0 END
+         ELSE 1 END AS s) sf
+  ) kl
+),
+perchain AS MATERIALIZED (
+  SELECT pg, chain_id,
+         CAST(sum(kept) - sum(merge_prev) AS BIGINT) AS n_pieces,
+         CAST(sum(kept) + (sum(kept) - sum(merge_prev)) AS BIGINT) AS n_vertices
+  FROM (
+    SELECT pg, chain_id, e, kept, first_f, last_f,
+           CASE WHEN first_f = 1
+                 AND lag(last_f) OVER (PARTITION BY pg, chain_id ORDER BY e) = 1
+                THEN 1 ELSE 0 END AS merge_prev
+    FROM ef
+  ) GROUP BY pg, chain_id
+),
+plmodels(pl) AS (VALUES ('open'), ('semi_open'), ('closed')),
+pts AS MATERIALIZED (
+  SELECT plm.pl, v.chain_id, CAST(count(*) AS BIGINT) AS pts
+  FROM plmodels plm
+  CROSS JOIN vv v
+  JOIN nv ON nv.chain_id = v.chain_id
+  LEFT JOIN ef ep ON ep.pg = 'closed' AND ep.chain_id = v.chain_id AND ep.e = v.k - 1
+  LEFT JOIN ef en ON en.pg = 'closed' AND en.chain_id = v.chain_id AND en.e = v.k
+  WHERE v.li IS NOT NULL
+    AND coalesce(ep.last_f, 0) = 0 AND coalesce(en.first_f, 0) = 0
+    AND CASE plm.pl WHEN 'open' THEN v.k > 0 AND v.k < nv.n - 1
+                    WHEN 'semi_open' THEN v.k < nv.n - 1
+                    ELSE TRUE END
+  GROUP BY plm.pl, v.chain_id
+)
+SELECT f.pg AS pg_model, plm.pl AS pl_model, f.chain_id,
+       f.n_pieces, f.n_vertices,
+       CASE WHEN f.pg = 'closed' THEN coalesce(p.pts, 0) ELSE CAST(0 AS BIGINT) END
+         AS n_points
+FROM perchain f
+CROSS JOIN plmodels plm
+LEFT JOIN pts p ON p.pl = plm.pl AND p.chain_id = f.chain_id"""
