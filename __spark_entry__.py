@@ -583,6 +583,35 @@ def _polyline_medoid_oracle() -> str:
     return medoid_oracle_sql(verts_sql, f"chain_id // {_ALIGN_GROUP}")
 
 
+def q_polyline_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus polyline per group (GetConsensusPolyline,
+    s2polyline_alignment.cc:389): one DBA round over customer-chain
+    groups of 5 — every member exact-aligned to the lowest-id seed,
+    matched vertices averaged per seed slot, renormalized.  The oracle
+    replays the DP, walks the warp paths out of the backtrack CTE, and
+    folds the accumulation in the identical (member, step) order, so
+    every output coordinate is bit-exact."""
+    from s2geometry_spark.operators.alignment import consensus_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    ca = ca.withColumn(
+        "group_id", F.expr(f"chain_id div {_ALIGN_GROUP}").cast("long")
+    )
+    return consensus_chains(spark, ca)
+
+
+def _polyline_consensus_oracle() -> str:
+    from s2geometry_spark.operators.alignment import consensus_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    verts_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    return consensus_oracle_sql(verts_sql, f"chain_id // {_ALIGN_GROUP}")
+
+
 # --- boundary-model clip fixtures (S2BooleanOperation polygon/polyline
 # models, s2boolean_operation.h:160-230).  Convex CCW clip loop; scatter
 # chains (vertex = unit(triplet(key)), long edges that genuinely cross
@@ -1353,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_alignment": q_polyline_alignment,
         "polyline_medoid": q_polyline_medoid,
         "polyline_clip_models": q_polyline_clip_models,
+        "polyline_consensus": q_polyline_consensus,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
@@ -1610,6 +1640,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "polyline_alignment": _polyline_alignment_oracle(),
         "polyline_medoid": _polyline_medoid_oracle(),
         "polyline_clip_models": _polyline_clip_models_oracle(),
+        "polyline_consensus": _polyline_consensus_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),

@@ -321,3 +321,90 @@ ranked AS (
   FROM totals
 )
 SELECT group_id, member AS medoid_chain, total_cost FROM ranked WHERE r = 1"""
+
+
+def consensus_chains(
+    spark: SparkSession,
+    chains: DataFrame,
+    group_col: str = "group_id",
+    chain_col: str = "chain_id",
+) -> DataFrame:
+    """GetConsensusPolyline per group (s2polyline_alignment.cc:389-428),
+    one DBA round with exact alignments: seed = lowest chain_id in the
+    group; every member is aligned to the seed, matched vertices
+    accumulate per seed slot in (member, path-step) order, and the
+    accumulated sum renormalizes to the sphere.  Output (group_id, seq,
+    x, y, z) — one row per consensus vertex.  One groupBy(group)
+    applyInPandas pass; the ordered accumulation makes the DuckDB
+    oracle's list_reduce fold bit-exact."""
+    from ..kernels.alignment import consensus_polyline
+
+    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[group_col].iloc[0]
+        polys = [
+            g.sort_values("seq")[["x", "y", "z"]].to_numpy(np.float64)
+            for _, g in sorted(pdf.groupby(chain_col), key=lambda kv: kv[0])
+        ]
+        C = consensus_polyline(polys, approx=False, iteration_cap=1)
+        return pd.DataFrame(
+            {
+                group_col: gid,
+                "seq": np.arange(C.shape[0], dtype=np.int64),
+                "x": C[:, 0],
+                "y": C[:, 1],
+                "z": C[:, 2],
+            }
+        )
+
+    return chains.groupBy(group_col).applyInPandas(
+        one_group, f"{group_col} long, seq long, x double, y double, z double"
+    )
+
+
+def consensus_oracle_sql(verts_sql: str, group_expr: str) -> str:
+    """DuckDB replay of consensus_chains: pairs (seed=min chain_id of
+    the group, member) feed the same anti-diagonal DP; the backtrack
+    CTE's (i, j) rows ARE the warp path (forward = steps DESC), so the
+    per-slot accumulation is a list_reduce fold over (member,
+    forward-step) order — bitwise the kernel's acc[ci] += p[pi] loop —
+    then the pinned ((x*x + y*y) + z*z) renormalization."""
+    pairs_sql = f"""SELECT g.seed AS chain_a, m.chain_id AS chain_b
+  FROM (SELECT ({group_expr.replace('chain_id', 'min(chain_id)')}) AS gid,
+               min(chain_id) AS seed
+        FROM (SELECT DISTINCT chain_id FROM verts)
+        GROUP BY ({group_expr})) g
+  JOIN (SELECT DISTINCT chain_id FROM verts) m
+    ON ({group_expr.replace('chain_id', 'm.chain_id')}) = g.gid"""
+    return f"""WITH RECURSIVE {_dp_ctes(verts_sql, pairs_sql)},
+path AS MATERIALIZED (
+  -- forward warp path per pair: bt emits one row per visited cell,
+  -- steps counts from the (n-1, m-1) corner, so forward order is
+  -- steps DESC
+  SELECT b.pid, d.chain_a, d.chain_b, b.i AS slot, b.j AS vidx,
+         d.n + d.m - b.steps AS fstep
+  FROM bt b JOIN dims d USING (pid)
+),
+contrib AS MATERIALIZED (
+  SELECT p.chain_a, p.slot, p.chain_b, p.fstep, v.x, v.y, v.z
+  FROM path p
+  JOIN verts v ON v.chain_id = p.chain_b AND v.idx = p.vidx
+),
+acc AS MATERIALIZED (
+  SELECT chain_a, slot,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(x ORDER BY chain_b, fstep)),
+                     (a, b) -> a + b) AS ax,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(y ORDER BY chain_b, fstep)),
+                     (a, b) -> a + b) AS ay,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(z ORDER BY chain_b, fstep)),
+                     (a, b) -> a + b) AS az
+  FROM contrib GROUP BY chain_a, slot
+)
+SELECT ({group_expr.replace('chain_id', 'chain_a')}) AS group_id,
+       CAST(slot AS BIGINT) AS seq,
+       ax / sqrt(CAST((ax*ax + ay*ay) + az*az AS DOUBLE)) AS x,
+       ay / sqrt(CAST((ax*ax + ay*ay) + az*az AS DOUBLE)) AS y,
+       az / sqrt(CAST((ax*ax + ay*ay) + az*az AS DOUBLE)) AS z
+FROM acc"""

@@ -162,3 +162,25 @@ def test_operator_matches_kernel(spark):
             for i in members
         }
         assert by_group[g] == min(sorted(members), key=lambda i: (totals[i], i))
+
+
+def test_consensus_operator_matches_kernel(spark):
+    from s2geometry_spark.operators.alignment import consensus_chains
+
+    rng = np.random.default_rng(31)
+    chains = {cid: _rand_chain(rng, int(rng.integers(3, 8))) for cid in range(6)}
+    rows = [
+        (cid // 3, cid, seq, float(x), float(y), float(z))
+        for cid, V in chains.items()
+        for seq, (x, y, z) in enumerate(V)
+    ]
+    cdf = spark.createDataFrame(
+        rows, "group_id long, chain_id long, seq int, x double, y double, z double"
+    )
+    got = consensus_chains(spark, cdf).toPandas()
+    for gid, members in [(0, [0, 1, 2]), (1, [3, 4, 5])]:
+        exp = consensus_polyline(
+            [chains[c] for c in members], approx=False, iteration_cap=1
+        )
+        g = got[got["group_id"] == gid].sort_values("seq")
+        assert (g[["x", "y", "z"]].to_numpy() == exp).all()
