@@ -318,7 +318,10 @@ def q_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _edges_df(spark, sf_dir, "orders", "o_orderkey", _EDGE_A_KEY2, "eid", "e")
     q = _customer_queries(spark, sf_dir, _QUERY_KEY)
-    out = closest_edges_join(spark, edges, q, KNN_K, num_stages=2)
+    # sizing hint from parquet metadata (one edge per orders row): skips
+    # the dedicated count job that would re-run the edge-derivation kernel
+    n_edges = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    out = closest_edges_join(spark, edges, q, KNN_K, num_stages=2, n_edges=n_edges)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

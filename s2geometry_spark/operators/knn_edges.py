@@ -45,34 +45,21 @@ from .knn import _min_outside_chord2, _union_all
 E_COLS = ["e0x", "e0y", "e0z", "e1x", "e1y", "e1z"]
 
 
-def _edge_stats(edges: DataFrame) -> tuple[int, int]:
-    """(coarsest covering level, edge count) from ONE pure-JVM agg.
+def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Repartition a SMALL projected input up to the session parallelism
+    so the NumPy kernels downstream get one task per core.
 
-    The adaptive covering level is a monotone function of edge LENGTH
-    alone (sub-arc cap radius -> kMinWidth level, location-independent),
-    so the exact minimum level across the table equals the level of a
-    synthetic edge with the table's maximum endpoint chord — computed
-    driver-side through the identical covering kernel on one row.  This
-    replaces a full Python covering pass (seconds at sf0.1) with a
-    codegen max/count."""
-    d2 = (
-        (F.col("e0x") - F.col("e1x")) * (F.col("e0x") - F.col("e1x"))
-        + (F.col("e0y") - F.col("e1y")) * (F.col("e0y") - F.col("e1y"))
-        + (F.col("e0z") - F.col("e1z")) * (F.col("e0z") - F.col("e1z"))
-    )
-    row = edges.agg(F.max(d2).alias("d2"), F.count(F.lit(1)).alias("n")).collect()[0]
-    n = int(row.n or 0)
-    if n == 0 or row.d2 is None:
-        return 30, n
-    # synthetic equatorial edge of the max length through the real kernel;
-    # stretched by 1e-9 so a float boundary can only make anc_min COARSER
-    # (extra point ancestor levels are harmless; finer would lose matches)
-    half = min(1.0, 0.5 * float(np.sqrt(row.d2)))
-    ang = min(np.pi, 2.0 * float(np.arcsin(half)) * (1.0 + 1e-9))
-    a = np.array([[1.0, 0.0, 0.0]])
-    b = np.array([[np.cos(ang), np.sin(ang), 0.0]])
-    _, cell = _edge_coverings_flat(a, b)
-    return int(cellid.level(cell).min()), n
+    A single-row-group parquet file scans as ONE partition regardless of
+    core count (splits are by row group), which serializes every
+    mapInPandas kernel behind it; shuffling the narrow projection (a few
+    doubles per row) costs far less than running the covering kernel
+    single-threaded.  At real scale the input already has >= parallelism
+    partitions and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    src = df.select(*cols)
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    return src
 
 
 def _edge_keys_for_levels(edges: DataFrame, stage_levels: list[int]) -> DataFrame:
@@ -363,6 +350,7 @@ def closest_edges_join(
     k: int,
     start_level: int | None = None,
     num_stages: int = 2,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Top-k nearest edges for every query point.
 
@@ -370,21 +358,32 @@ def closest_edges_join(
     q_cell[biased leaf]).  Returns (qid, rank, eid, dist_chord2).
     start_level=None sizes the first stage from edge density so most
     queries certify immediately (results are level-independent — the
-    certification bound is admissible at every level).
+    certification bound is admissible at every level).  n_edges is an
+    optional sizing hint (e.g. a metadata-only parquet count of the
+    source table): passing it skips a dedicated count job, which for a
+    Python-derived edge table is a full kernel pass.
     """
-    # edges are cached once (the derivation expressions run one pass);
-    # stats size the stage levels, then the key table — covering cells
-    # plus ancestors at exactly the stage levels — is computed once and
-    # cached, serving every stage and the fallback.
-    queries = queries.cache()
-    edges = edges.cache()
-    anc_min, n_edges = _edge_stats(edges)
+    # The narrow edge projection is spread + cached ONCE: the count that
+    # sizes the stage levels materializes it (edges are often a Python
+    # derivation, so an uncached count would re-run that kernel), and the
+    # covering-key build then runs over the 32-way cached copy instead of
+    # the single row-group scan (the key build is the dominant cold cost
+    # and is embarrassingly parallel).  The coarsest covering level —
+    # which bounds point-side ancestor emission — falls out of the
+    # materialized key table itself, replacing the former separate stats
+    # job and its synthetic-edge kernel.
+    queries = _spread(queries, queries.columns).cache()
+    edges_c = _spread(edges, ["eid", *E_COLS]).cache()
+    if n_edges is None:
+        n_edges = edges_c.count()
     if start_level is None:
         start_level = _auto_start_level(n_edges, k)
     stage_levels = [
         start_level - 3 * s for s in range(num_stages) if start_level - 3 * s >= 1
     ]
-    ek_all = _edge_keys_for_levels(edges, stage_levels).cache()
+    ek_all = _edge_keys_for_levels(edges_c, stage_levels).cache()
+    row = ek_all.where("is_cov").agg(F.min("lv").alias("m")).collect()[0]
+    anc_min = 30 if row.m is None else int(row.m)
     remaining = queries
     prev_cached: list[DataFrame] = []
     results = []
