@@ -1248,6 +1248,29 @@ def q_img_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_img_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs (decode -> 64-bit block-mean pHash
+    -> 4x16-bit banded Hamming join, exact bit_count refine, all JVM past
+    the decode).  Corpus = the generated images plus a lossy re-encoded
+    copy of each ("the same photo saved twice"); every planted
+    original/variant pair lands within Hamming <= 2 by the qnt error
+    bound, plus whatever background near-collisions the procedural
+    corpus contains.  Rows-only check (binary decode is not
+    SQL-expressible); the banded-join mechanism itself is oracle-proven
+    by dedup_simhash, and the pairing guarantees are pytest-verified
+    against brute-force popcount (tests/test_image_dedup.py)."""
+    from s2geometry_spark.operators.image_dedup import (
+        phash_near_dup_pairs,
+        reencoded_variants,
+    )
+    from s2geometry_spark.sources import images as imgsrc
+
+    n = imgsrc.n_images_for_sf_dir(sf_dir)
+    corpus = imgsrc.images_df(spark, n).select("image_id", "bytes")
+    both = corpus.unionByName(reencoded_variants(corpus, fmt="qnt"))
+    return phash_near_dup_pairs(both, max_dist=2)
+
+
 def q_img_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUST return 0 rows: every image decodes to PSNR>=40dB (lossy) or
     exactly (lossless) vs its source, with caption exact-equality."""
@@ -1401,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
+        "img_phash_near_dup": q_img_phash_near_dup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

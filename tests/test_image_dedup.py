@@ -1,0 +1,96 @@
+"""Perceptual near-dup image detection vs a brute-force popcount oracle.
+
+The banded-Hamming join MECHANISM is oracle-proven bit-exact by the
+dedup_simhash entry query; these tests pin the image front-end: decoded
+pHash values, losslessness of the 4x16-bit banding at radius <= 3, the
+planted original/variant guarantee, and the end-to-end pair set against
+an all-pairs NumPy popcount.
+"""
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernels import imagecodec
+from s2geometry_spark.operators.image_dedup import (
+    N_BANDS,
+    phash_from_bytes,
+    phash_near_dup_pairs,
+    reencoded_variants,
+)
+from s2geometry_spark.sources import images as imgsrc
+
+N = 500
+
+
+def _brute_pairs(ids, hashes, max_dist):
+    h = np.asarray(hashes, np.uint64)
+    x = h[:, None] ^ h[None, :]
+    d = np.zeros_like(x, dtype=np.int64)
+    for s in range(0, 64, 8):
+        d += np.unpackbits(
+            ((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.uint8)[..., None],
+            axis=-1,
+        ).sum(axis=-1, dtype=np.int64)
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if d[i, j] <= max_dist:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, int(d[i, j])))
+    return out
+
+
+def test_phash_from_bytes_matches_kernel(spark):
+    """Spark-side decoded-pixel hashes == driver-side kernel on the same rows."""
+    imgs = imgsrc.images_df(spark, 64)
+    got = {r.image_id: r.phash for r in phash_from_bytes(imgs).collect()}
+    assert len(got) == 64
+    for idx in range(64):
+        row = imgsrc.make_row(idx)
+        px, _ = imagecodec.decode(row["bytes"])
+        assert got[row["image_id"]] == imagecodec.phash64(px)
+
+
+def test_banding_lossless_and_planted_pairs(spark):
+    """Every original/qnt-variant pair is found (qnt |err| <= 2 codes keeps
+    the hash within the radius), and the full pair set equals brute force."""
+    corpus = imgsrc.images_df(spark, N).select("image_id", "bytes")
+    both = corpus.unionByName(reencoded_variants(corpus, fmt="qnt"))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup_pairs(both, max_dist=2).collect()
+    }
+    rows = phash_from_bytes(both).collect()
+    ids = [r.image_id for r in rows]
+    hashes = [np.int64(r.phash).astype(np.uint64) for r in rows]
+    want = _brute_pairs(ids, hashes, 2)
+    assert got == want
+    # planted pairs: qnt block means shift by <= 2 codes, but a bit whose
+    # block sits within that margin of the GLOBAL mean threshold can
+    # still flip, so the variant's distance is usually 0-2 and rarely
+    # 3-4 (measured 496/500 <= 2 at N=500).  The operator must find
+    # exactly the within-radius planted pairs — and that must be nearly
+    # all of them, or the fixture isn't exercising anything.
+    planted = {(a, b) for a, b, _ in got if a == f"dup-{b}"}
+    h = dict(zip(ids, hashes))
+    within = {
+        i
+        for i in range(N)
+        if bin(int(h[f"img{i:012d}"] ^ h[f"dup-img{i:012d}"])).count("1") <= 2
+    }
+    assert planted == {(f"dup-img{i:012d}", f"img{i:012d}") for i in within}
+    assert len(within) >= int(0.98 * N)
+
+
+def test_two_table_form(spark):
+    corpus = imgsrc.images_df(spark, 120).select("image_id", "bytes")
+    variants = reencoded_variants(corpus, fmt="qnt")
+    got = phash_near_dup_pairs(corpus, variants, max_dist=2).collect()
+    mine = {r.id_a: r.id_b for r in got if r.id_b == f"dup-{r.id_a}"}
+    assert len(mine) >= int(0.95 * 120)  # rare >2-bit qnt flips excluded
+
+
+def test_max_dist_guard():
+    with pytest.raises(ValueError):
+        phash_near_dup_pairs(None, max_dist=N_BANDS)
