@@ -68,27 +68,38 @@ def get_face(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
     return np.where(comp < 0, face + 3, face).astype(np.int64)
 
 
+# per-face numerator/denominator axis + sign tables for ValidFaceXYZtoUV
+# (transcribes the 6-case ratio table of s2coords.h:389-404; multiplying
+# the numerator by +/-1.0 before the divide is IEEE-exact, so this gather
+# form is bit-identical to the branch form)
+_UV_U_AXIS = np.array([1, 0, 0, 2, 2, 1], dtype=np.int64)
+_UV_U_SIGN = np.array([1.0, -1.0, -1.0, 1.0, 1.0, -1.0])
+_UV_V_AXIS = np.array([2, 2, 1, 1, 0, 0], dtype=np.int64)
+_UV_V_SIGN = np.array([1.0, 1.0, -1.0, 1.0, -1.0, -1.0])
+_UV_D_AXIS = np.array([0, 1, 2, 0, 1, 2], dtype=np.int64)
+
+
 def valid_face_xyz_to_uv(
     face: np.ndarray, x: np.ndarray, y: np.ndarray, z: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """ValidFaceXYZtoUV (s2coords.h:389-404): per-face coordinate ratios."""
-    u = np.empty(np.broadcast(face, x).shape, dtype=np.float64)
-    v = np.empty_like(u)
-    fx, fy, fz = face == 0, face == 1, face == 2
-    gx, gy, gz = face == 3, face == 4, face == 5
-    np.divide(y, x, out=u, where=fx)
-    np.divide(z, x, out=v, where=fx)
-    np.divide(-x, y, out=u, where=fy)
-    np.divide(z, y, out=v, where=fy)
-    np.divide(-x, z, out=u, where=fz)
-    np.divide(-y, z, out=v, where=fz)
-    np.divide(z, x, out=u, where=gx)
-    np.divide(y, x, out=v, where=gx)
-    np.divide(z, y, out=u, where=gy)
-    np.divide(-x, y, out=v, where=gy)
-    np.divide(-y, z, out=u, where=gz)
-    np.divide(-x, z, out=v, where=gz)
-    return u, v
+    """ValidFaceXYZtoUV (s2coords.h:389-404): per-face coordinate ratios.
+
+    Gather form: three fancy-indexed component picks + two divides instead
+    of twelve masked divides (the old branch form survives in the
+    regression test tests/test_cellid.py)."""
+    face, x, y, z = np.broadcast_arrays(
+        np.asarray(face, np.int64),
+        np.asarray(x, np.float64),
+        np.asarray(y, np.float64),
+        np.asarray(z, np.float64),
+    )
+    P = np.stack([x.ravel(), y.ravel(), z.ravel()])
+    f = face.ravel()
+    ar = np.arange(f.size)
+    d = P[_UV_D_AXIS[f], ar]
+    u = _UV_U_SIGN[f] * P[_UV_U_AXIS[f], ar] / d
+    v = _UV_V_SIGN[f] * P[_UV_V_AXIS[f], ar] / d
+    return u.reshape(face.shape), v.reshape(face.shape)
 
 
 def xyz_to_face_uv(

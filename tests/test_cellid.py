@@ -193,6 +193,60 @@ class TestNeighbors:
         assert (np.arccos(dot) <= 2.5 * metrics.MAX_DIAG.get_value(10)).all()
 
 
+class TestComposedLookupTables:
+    """The hot transcoders use composed 8-bit lookup tables; they must stay
+    bit-identical to the 4-bit reference forms (s2cell_id.cc:267-373)."""
+
+    def test_from_face_ij_matches_4bit(self):
+        from s2geometry_spark.kernels import hilbert
+
+        rng = np.random.default_rng(1234)
+        n = 200_000
+        face = rng.integers(0, 6, n)
+        i = rng.integers(0, 1 << 30, n)
+        j = rng.integers(0, 1 << 30, n)
+        # bias toward the grid edges where the truncated top round matters
+        i[:1000] = rng.integers(0, 4, 1000)
+        j[:1000] = (1 << 30) - 1 - rng.integers(0, 4, 1000)
+        new = hilbert.from_face_ij(face, i, j)
+        old = hilbert._from_face_ij4(face, i, j)
+        assert np.array_equal(new, old)
+
+    def test_to_face_ij_matches_4bit(self):
+        from s2geometry_spark.kernels import hilbert
+
+        ids, _ = random_leaf_ids(200_000)
+        f1, i1, j1, o1 = hilbert.to_face_ij_orientation(ids, True)
+        f0, i0, j0, o0 = hilbert._to_face_ij_orientation4(ids, True)
+        assert np.array_equal(f1, f0)
+        assert np.array_equal(i1, i0)
+        assert np.array_equal(j1, j0)
+        assert np.array_equal(o1, o0)
+
+    def test_valid_face_xyz_to_uv_matches_branch_form(self):
+        rng = np.random.default_rng(5)
+        v = rng.normal(size=(100_000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        x, y, z = v[:, 0], v[:, 1], v[:, 2]
+        # include exact-tie axis points (face boundary corners)
+        x[:3], y[:3], z[:3] = [1, 0, 0.5], [1, 1, 0.5], [0, 1, 0.5]
+        face = coords.get_face(x, y, z)
+        u1, w1 = coords.valid_face_xyz_to_uv(face, x, y, z)
+        # branch reference form (the pre-round-3 implementation)
+        u0 = np.empty_like(u1)
+        w0 = np.empty_like(w1)
+        for fi, (ua, us, va, vs, da) in enumerate(
+            zip(coords._UV_U_AXIS, coords._UV_U_SIGN,
+                coords._UV_V_AXIS, coords._UV_V_SIGN, coords._UV_D_AXIS)
+        ):
+            m = face == fi
+            comp = [x, y, z]
+            np.divide(us * comp[ua], comp[da], out=u0, where=m)
+            np.divide(vs * comp[va], comp[da], out=w0, where=m)
+        assert np.array_equal(u1, u0)
+        assert np.array_equal(w1, w0)
+
+
 class TestMetrics:
     def test_level_for_value(self):
         for m in [metrics.MIN_WIDTH, metrics.MAX_DIAG, metrics.AVG_AREA]:
