@@ -878,6 +878,88 @@ def _winding_oracle() -> str:
     return f"WITH {xyz_cte} SELECT pid, {expr} AS winding FROM xyz"
 
 
+def _wb_ll(lat: float, lng: float):
+    import numpy as np
+
+    la, lo = np.radians(lat), np.radians(lng)
+    return np.array(
+        [np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo), np.sin(la)]
+    )
+
+
+def _winding_build_cases():
+    """Self-intersecting / duplicated / sibling-edge loop multisets with
+    their winding rules — the degenerate inputs S2Builder's graph
+    assembly exists for (s2builder.cc:1497+, s2winding_operation.cc).
+
+    All longitudes carry a +37.31 deg offset: probe points derived from
+    integer triplets can land EXACTLY on the lng 0/180 meridians, and a
+    fixture vertex on the same meridian puts the ref->probe winding path
+    exactly through that vertex — the documented out-of-contract
+    degeneracy of the pinned crossing kernel."""
+    import numpy as np
+
+    o = 37.31
+    bow = np.stack(
+        [_wb_ll(0, o), _wb_ll(10, o + 10), _wb_ll(0, o + 10), _wb_ll(10, o)]
+    )
+    k = np.arange(5)
+    star = np.stack(
+        [
+            _wb_ll(10 + 8 * np.cos(a), o + 8 * np.sin(a))
+            for a in 2 * np.pi * (2 * k) / 5
+        ]
+    )
+    t1 = np.stack([_wb_ll(0, o + 20), _wb_ll(10, o + 20), _wb_ll(10, o + 12)])
+    t2 = np.stack([_wb_ll(0, o + 20), _wb_ll(5, o + 28), _wb_ll(10, o + 20)])
+    tri = np.stack([_wb_ll(-15, o), _wb_ll(-15, o + 12), _wb_ll(-3, o + 6)])
+    return [
+        ("bowtie_odd", "odd", [bow]),
+        ("star_odd", "odd", [star]),
+        ("star_nonzero", "nonzero", [star]),
+        ("siblings_odd", "odd", [t1, t2]),
+        ("dup_nonzero", "nonzero", [tri, tri.copy()]),
+    ]
+
+
+def q_winding_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2WindingOperation::Build + S2Builder self-intersection
+    normalization, verified end-to-end: each fixture's region polygon is
+    assembled from its raw (self-crossing / duplicated / sibling-edge)
+    loops, then every orders point is classified against the BUILT
+    simple polygon; the oracle classifies the same points by
+    rule(raw winding) on the raw multiset."""
+    import numpy as np
+
+    from s2geometry_spark.operators.booleans import winding_region_cases
+
+    pts = _order_points_xyz(spark, sf_dir)
+    return winding_region_cases(
+        pts, _winding_build_cases(), np.asarray(_WINDING_REF), ref_winding=0
+    )
+
+
+def _winding_build_oracle() -> str:
+    import numpy as np
+
+    from s2geometry_spark.kernels.winding import winding_sql
+
+    rule_sql = {
+        "odd": "(({w}) % 2) != 0",
+        "nonzero": "({w}) != 0",
+        "positive": "({w}) > 0",
+    }
+    xyz_cte = oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
+    parts = []
+    for fixture, rule, loops in _winding_build_cases():
+        w = winding_sql(loops, np.asarray(_WINDING_REF), 0, "x", "y", "z")
+        pred = rule_sql[rule].format(w=w)
+        parts.append(
+            f"SELECT '{fixture}' AS fixture, pid, {pred} AS inside FROM xyz"
+        )
+    return f"WITH {xyz_cte} " + " UNION ALL ".join(parts)
+
+
 SNAP_LEVEL = 12
 
 
@@ -1419,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_cell": q_closest_cell,
         "builder_snap": q_builder_snap,
         "winding_number": q_winding_number,
+        "winding_build": q_winding_build,
         "raster_vectorize": q_raster_vectorize,
         "polyline_crossings": q_polyline_crossings,
         "img_tile_stats": q_img_tile_stats,
@@ -1672,6 +1755,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),
         "winding_number": _winding_oracle(),
+        "winding_build": _winding_build_oracle(),
         "raster_vectorize": _raster_vectorize_oracle(),
         "polyline_crossings": _polyline_crossings_oracle(),
         "dedup_exact": (

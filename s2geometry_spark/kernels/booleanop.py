@@ -38,8 +38,11 @@ EXACT in double coordinates — bitwise-equal shared vertices, and
 touching/overlapping edges whose collinearity is exact under rational
 arithmetic on the input doubles (e.g. fixtures on a common great
 circle).  This is IdentitySnapFunction(0) in reference terms
-(s2builderutil_snap_functions.h); epsilon-radius snap rounds and
-self-intersecting inputs remain out of scope (they need the full
+(s2builderutil_snap_functions.h).  Self-intersecting INPUTS are handled
+by normalizing first (``normalize_loops`` below, the odd-rule
+S2WindingOperation build in kernels.winding) — the same graph-assembly
+step S2Builder performs before S2BooleanOperation consumes a shape;
+epsilon-radius snap rounds remain out of scope (they need the full
 S2Builder snapping iteration, s2builder.cc:1497+).
 """
 
@@ -437,6 +440,20 @@ def polygon_area(loops: list[np.ndarray]) -> float:
     for v, d in zip(loops, depths):
         area += measures.loop_area(v) * (1.0 if d % 2 == 0 else -1.0)
     return area
+
+
+def normalize_loops(
+    loops: list[np.ndarray], ref: np.ndarray, ref_winding: int = 0
+) -> list[np.ndarray]:
+    """S2Builder graph normalization of possibly self-intersecting /
+    duplicated / touching input loops into a simple odd-even polygon
+    (membership == odd winding parity of the raw multiset).  The
+    odd-rule S2WindingOperation build; see
+    kernels.winding.build_winding_polygon for the algorithm and the
+    robustness contract."""
+    from .winding import build_winding_polygon
+
+    return build_winding_polygon(loops, ref, ref_winding, rule="odd")
 
 
 def polygon_intersection(a, b):

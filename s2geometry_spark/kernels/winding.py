@@ -109,3 +109,114 @@ def winding_sql(
                 f"AND {sb1} = {sa0} THEN -{sb1} ELSE 0 END)"
             )
     return f"({ref_winding} + " + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# S2WindingOperation::Build — assemble the REGION polygon, not just the
+# pointwise winding number.
+# ---------------------------------------------------------------------------
+
+#: WindingRule (s2winding_operation.h:104-121) as predicates on w.
+WINDING_RULES = {
+    "odd": lambda w: (w % 2) != 0,
+    "nonzero": lambda w: w != 0,
+    "positive": lambda w: w > 0,
+    "negative": lambda w: w < 0,
+}
+
+
+def build_winding_polygon(
+    loops: list[np.ndarray],
+    ref: np.ndarray,
+    ref_winding: int,
+    rule: str = "odd",
+    eps: float = 1e-9,
+) -> list[np.ndarray]:
+    """S2WindingOperation::Build (s2winding_operation.cc): the region
+    {x : rule(w(x))} of an ARBITRARY loop multiset — loops may
+    self-intersect, cross each other, repeat edges, or touch at
+    T-junctions — returned as a simple odd-even polygon
+    (small-oriented, pairwise non-crossing loops).
+
+    With rule='odd' this is exactly the S2Builder graph normalization of
+    self-intersecting input (s2builder.cc:1497+ assembles the same
+    arrangement; the reference resolves winding through its graph, we
+    resolve it pointwise):
+
+    1. split every input edge at its transversal self-crossings and at
+       every input vertex lying exactly in its interior (the overlay
+       machinery of kernels.booleanop, i.e. the zero-radius snap case);
+    2. for each DISTINCT undirected sub-edge, evaluate the winding
+       number on both sides (midpoint displaced by ``eps`` along the
+       edge normal; the pinned crossing kernel above) — the sub-edge is
+       on the result boundary iff the rule disagrees across it, oriented
+       with the rule-true region on its LEFT (duplicate edges need no
+       special-casing: the winding evaluation sees the full multiset);
+    3. chain the kept directed sub-edges into simple loops with the
+       clockwise-first face walk (booleanop._chain).
+
+    Robustness contract: input features (non-incident edge-to-midpoint
+    distances) must be >> ``eps`` and the displaced midpoints in generic
+    position w.r.t. the pinned 1e-15 zero band — the same contract the
+    pointwise winding query documents.  Raises if the requested region
+    is the COMPLEMENT of the representable odd-even polygon (e.g. a
+    whole-sphere region), which small-oriented loops cannot encode.
+    """
+    from . import booleanop as bo
+    from .regions import Loop, Polygon
+
+    if rule not in WINDING_RULES:
+        raise ValueError(f"unknown winding rule {rule!r}")
+    R = WINDING_RULES[rule]
+    ref = np.asarray(ref, np.float64)
+    fl = [np.asarray(v, np.float64) for v in loops]
+
+    edges = bo._loops_edges(fl, 0)
+    splits = bo._split_points(edges, edges)
+    bo._add_vertex_splits(edges, [e[3] for e in edges], splits)
+    sub = bo._sub_edges(edges, splits)
+
+    # one representative per distinct undirected sub-edge
+    reps: dict[tuple, tuple] = {}
+    for _, v0, v1 in sub:
+        k0, k1 = v0.tobytes(), v1.tobytes()
+        reps.setdefault((min(k0, k1), max(k0, k1)), (v0, v1))
+    cands = list(reps.values())
+
+    kept = []
+    if cands:
+        V0 = np.stack([c[0] for c in cands])
+        V1 = np.stack([c[1] for c in cands])
+        mid = V0 + V1
+        mid /= np.linalg.norm(mid, axis=1, keepdims=True)
+        nrm = np.cross(V0, V1)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        pl = mid + eps * nrm
+        pr = mid - eps * nrm
+        P = np.concatenate([pl, pr])
+        P /= np.linalg.norm(P, axis=1, keepdims=True)
+        w = winding_numbers(fl, ref, ref_winding, P)
+        k = len(cands)
+        rl, rr = R(w[:k]), R(w[k:])
+        for c, left_in, right_in in zip(cands, rl, rr):
+            if bool(left_in) == bool(right_in):
+                continue  # interior or exterior edge, not a boundary
+            kept.append(c if bool(left_in) else (c[1], c[0]))
+
+    expected_ref = bool(R(np.asarray([ref_winding]))[0])
+    if not kept:
+        if expected_ref:
+            raise ValueError(
+                "winding region is the whole sphere — not representable "
+                "as a small-oriented odd-even polygon"
+            )
+        return []
+    out = bo._normalize_small(bo._chain(kept))
+    pa = Polygon([Loop(v) for v in out])
+    if bool(pa.contains_points(ref[None, :])[0]) != expected_ref:
+        raise ValueError(
+            "winding region is the complement of the representable "
+            "odd-even polygon (covers the reference point's antipodal "
+            "majority) — complement the rule or move the reference"
+        )
+    return out

@@ -117,3 +117,64 @@ def pairwise_boolean(pairs: DataFrame) -> DataFrame:
             )
 
     return pairs.mapInPandas(batches, RESULT_SCHEMA)
+
+
+def winding_region_cases(
+    points: DataFrame,
+    cases: list[tuple[str, str, list[np.ndarray]]],
+    ref: np.ndarray,
+    ref_winding: int = 0,
+    point_id: str = "pid",
+    xyz: tuple[str, str, str] = ("x", "y", "z"),
+) -> DataFrame:
+    """(fixture, pid, inside): S2WindingOperation::Build end-to-end.
+
+    For each case (fixture_id, rule, raw_loops) the region polygon is
+    assembled driver-side from the broadcast-scale fixture loops
+    (kernels.winding.build_winding_polygon — splits self-crossings,
+    cancels duplicate/sibling edges, chains simple loops), then every
+    point is classified by the pinned odd-parity winding of the
+    NORMALIZED loops in one Arrow-batched pass (no shuffle).  The
+    oracle classifies the same points by rule(raw winding) on the RAW
+    self-intersecting multiset, so engine/oracle agreement proves the
+    built polygon is the winding region, pointwise on every row."""
+    from ..kernels.winding import (
+        WINDING_RULES,
+        build_winding_polygon,
+        winding_numbers,
+    )
+
+    ref = np.asarray(ref, np.float64)
+    built = []
+    for fixture, rule, loops in cases:
+        norm = build_winding_polygon(loops, ref, ref_winding, rule)
+        ref01 = int(bool(WINDING_RULES[rule](np.asarray([ref_winding]))[0]))
+        built.append((fixture, norm, ref01))
+    x, y, z = xyz
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "fixture": pd.Series(dtype="object"),
+                        point_id: pd.Series(dtype="int64"),
+                        "inside": pd.Series(dtype="bool"),
+                    }
+                )
+                continue
+            P = pdf[[x, y, z]].to_numpy(np.float64)
+            pids = pdf[point_id].to_numpy()
+            for fixture, norm, ref01 in built:
+                w = winding_numbers(norm, ref, ref01, P)
+                yield pd.DataFrame(
+                    {
+                        "fixture": fixture,
+                        point_id: pids,
+                        "inside": (w % 2) != 0,
+                    }
+                )
+
+    return points.select(point_id, x, y, z).mapInPandas(
+        batches, f"fixture string, {point_id} long, inside boolean"
+    )
