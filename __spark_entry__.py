@@ -1406,6 +1406,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pair list -> transitive cluster ids: distributed
+    min-label propagation over the minhash-LSH pairs (operators.graph);
+    the oracle replays the same pair SQL through a recursive-CTE
+    transitive closure, so the iterative Spark algorithm is checked
+    bit-exactly against a declarative fixpoint."""
+    from s2geometry_spark.operators import dedup, graph
+
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=32, bands=16, tau=JACCARD_TAU
+    )
+    return graph.connected_components(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash banded Hamming pairs — bit-exact DuckDB oracle (portable
     md5-h64 feature hashes)."""
@@ -1511,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -1703,7 +1718,7 @@ SELECT qid, rank, pid, dist_chord2 FROM (
          ) AS rank
   FROM qxyz q CROSS JOIN xyz p
 ) WHERE rank <= {KNN_K}"""
-    from s2geometry_spark.operators import ann, dedup, text
+    from s2geometry_spark.operators import ann, dedup, graph, text
 
     dim = 64
     dot = ann.dot_sql("q.embedding", "v.embedding", dim)
@@ -1765,6 +1780,11 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle_sql(JACCARD_N, JACCARD_TAU),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle_sql(
             num_hashes=32, bands=16, n=JACCARD_N, tau=JACCARD_TAU
+        ),
+        "dedup_components": graph.components_oracle_sql(
+            dedup.minhash_lsh_oracle_sql(
+                num_hashes=32, bands=16, n=JACCARD_N, tau=JACCARD_TAU
+            )
         ),
         "dedup_simhash": dedup.simhash_oracle_sql(max_hamming=16),
         "text_fingerprint": text.fingerprint_oracle_sql(),
