@@ -1406,6 +1406,35 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+BM25_TERMS = ("join", "spark", "stream", "vector")
+
+
+def q_text_bm25(spark, sf_dir):
+    """Okapi BM25 scoring against a fixed term set, with the idf's
+    natural log computed by a portable floor(log2)+atanh-Horner kernel
+    (libm log differs between the JVM and DuckDB in the last ulp) and a
+    term-sorted float fold on both sides — hash-compare bit-exact."""
+    from s2geometry_spark.operators import text
+
+    return text.bm25(_docs(spark, sf_dir), BM25_TERMS)
+
+
+def _sessions_oracle() -> str:
+    from s2geometry_spark.operators.sessions import sessionize_oracle_sql
+
+    return sessionize_oracle_sql()
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream (batch twin of the
+    streaming stateful operators): 30-minute-gap sessions per user,
+    integer-exact timestamps and value sums so the DuckDB window oracle
+    matches bit-for-bit."""
+    from s2geometry_spark.operators.sessions import sessionize
+
+    return sessionize(_load(spark, sf_dir, "events"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup pair list -> transitive cluster ids: distributed
     min-label propagation over the minhash-LSH pairs (operators.graph);
@@ -1526,6 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "sessionize": q_sessionize,
+        "text_bm25": q_text_bm25,
         "dedup_simhash": q_dedup_simhash,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -1781,6 +1812,8 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle_sql(
             num_hashes=32, bands=16, n=JACCARD_N, tau=JACCARD_TAU
         ),
+        "sessionize": _sessions_oracle(),
+        "text_bm25": text.bm25_oracle_sql(BM25_TERMS),
         "dedup_components": graph.components_oracle_sql(
             dedup.minhash_lsh_oracle_sql(
                 num_hashes=32, bands=16, n=JACCARD_N, tau=JACCARD_TAU

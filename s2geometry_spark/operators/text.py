@@ -191,3 +191,137 @@ hs AS (
 SELECT doc_id, list_reduce(hl, (acc, h) -> (acc * 31 + h) % {FP_MOD}) AS fp
 FROM hs
 """
+
+
+# ---------- BM25 relevance scoring (portable-ln, bit-exact oracle) ----------
+#
+# BM25 needs a natural log for the idf term, and libm log differs between
+# the JVM and DuckDB in the last ulp (measured: max 8.9e-16 on 22k
+# inputs).  So the idf uses LN_PORTABLE: floor(log2 x) argument
+# reduction + an atanh Horner series evaluated in a pinned order —
+# plain floor/log2/power/+-*/ that both engines round identically.
+# floor(log2 x) itself is safe for BM25's rational inputs
+# x = (N+1)/(df+0.5): with doc counts below ~3e5 the ratio can never
+# fall within one ulp of a power of two without being exactly one
+# (integer-separation argument; see tests/test_sessions_bm25.py).
+# Series truncation error < 5e-12 relative — the score is a RANKING
+# signal, and both engines compute the identical double.
+
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+_LN2 = "0.69314718055994531"
+# 1/19 .. 1/3, Horner order (odd atanh series to r^19)
+_LN_COEFFS = [repr(1.0 / k) for k in (19, 17, 15, 13, 11, 9, 7, 5, 3)]
+
+
+def ln_portable_sql(x: str) -> str:
+    """ln(x) for x > 0 as a portable SQL expression (identical doubles in
+    Spark SQL and DuckDB).
+
+    Argument reduction rounds the exponent (m in [sqrt2/2, sqrt2), |r| <=
+    0.1716) so the series truncation (r^21/21 < 5e-17) stays below double
+    resolution even for x just under a power of two; the floor boundary
+    then sits at 2^(k+1/2), which the rational BM25 inputs cannot
+    approach within an ulp (irrationality-measure separation of sqrt2)."""
+    e = f"floor(log2({x}) + 0.5)"
+    m = f"(({x}) / power(2.0, {e}))"
+    r = f"(({m} - 1.0) / ({m} + 1.0))"
+    r2 = f"({r} * {r})"
+    p = _LN_COEFFS[0]
+    for c in _LN_COEFFS[1:]:
+        p = f"({p} * {r2} + {c})"
+    p = f"({p} * {r2} + 1.0)"
+    return f"(({e} * {_LN2}) + ((2.0 * {r}) * {p}))"
+
+
+def bm25_score_sql(tf: str, df: str, dl: str, avgdl: str, n_docs: str) -> str:
+    """One query term's BM25 contribution; shared verbatim by the Spark
+    plan (F.expr) and the DuckDB oracle so every float op has the same
+    shape on both sides."""
+    idf = ln_portable_sql(f"(({n_docs} + 1.0) / ({df} + 0.5))")
+    denom = f"({tf} + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * ({dl} / {avgdl})))"
+    return f"({idf} * (({tf} * ({BM25_K1} + 1.0)) / {denom}))"
+
+
+def bm25(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, n_terms_matched, score): Okapi BM25 of every document
+    against a fixed term set.
+
+    Shape: explode words -> per-(doc, term) tf + per-doc length (one
+    hash agg), per-term df (a tiny broadcast dim), global (n_docs,
+    total_len) as a broadcast 1-row join — one shuffle on doc_id, the
+    rest map-side.  The score arithmetic is a single shared SQL fragment
+    (bm25_score_sql), so the DuckDB oracle is bit-exact."""
+    w = docs.select("doc_id", F.explode(words_col()).alias("w"))
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        w.where(F.col("w").isin(list(terms)))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").alias("df"))
+    glob = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    ).withColumn("avgdl", F.col("total_len") / F.col("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            "term_score",
+            F.expr(bm25_score_sql("tf", "df", "dl", "avgdl", "n_docs")),
+        )
+    )
+    # float addition is not associative and a hash-agg SUM sees rows in
+    # shuffle order: fold the <=len(terms) addends term-sorted on BOTH
+    # sides (the oracle's list_reduce mirrors this exactly)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("w", "term_score"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term_score"],
+        ).alias("score"),
+    )
+
+
+def bm25_oracle_sql(terms: tuple[str, ...]) -> str:
+    """DuckDB replay over ``documents`` with the identical fragment.
+
+    The per-doc score sums exactly like Spark's F.sum over term_score
+    because each doc matches at most len(terms) terms and DuckDB's
+    segment-tree sum equals left-assoc sum for <= 4 addends only when
+    fold order matches — so the oracle sums via list_reduce over the
+    term-ordered list (the chain_interpolate recipe) to pin the order.
+    Spark's hash-agg sum over an unsorted group is itself order-dependent
+    in general, so BOTH sides sort by term and fold left-to-right."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    frag = bm25_score_sql("tf", "df", "dl", "avgdl", "n_docs")
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM w WHERE w IN ({tl}) GROUP BY 1, 2
+),
+df_t AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+gstats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len,
+         sum(dl) / count(*) AS avgdl
+  FROM dl
+),
+term_scores AS (
+  SELECT tf.doc_id, tf.w, {frag} AS term_score
+  FROM tf JOIN df_t USING (w) JOIN dl USING (doc_id) CROSS JOIN gstats
+),
+folded AS (
+  SELECT doc_id, count(*) AS n_terms_matched,
+         list_reduce(
+           list_prepend(0.0, list(term_score ORDER BY w)),
+           (acc, x) -> acc + x
+         ) AS score
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, n_terms_matched, score FROM folded
+"""

@@ -32,6 +32,10 @@ def get_spark(
         # vectorized kernels (encode is ~100ns/row inside NumPy)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # TIMESTAMP_NTZ -> TIMESTAMP casts interpret the naive value in
+        # the session timezone; pin it so epoch arithmetic (sessionize)
+        # is deterministic and matches DuckDB's naive epoch_us()
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
