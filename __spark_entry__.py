@@ -506,6 +506,35 @@ def q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_chains(ca, SIMPLIFY_TOL)
 
 
+SNAPROUND_LEVEL = 10
+
+
+def q_builder_snap_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-radius snap ROUNDING (the S2Builder edge-replacement
+    pass, s2builder.cc snap_rounding): every input edge of the customer
+    chains is replaced by the chain of snap sites within the snap radius
+    of that edge.  The oracle replays the WHOLE pass in SQL — forward
+    Hilbert encode, the new inverse-Hilbert cell-center DECODE CTE,
+    pinned chord2 site-near-edge tests, pinned -dot insertion order,
+    window collapse — hash-compare bit-exact."""
+    from s2geometry_spark.operators.builder_ops import snap_round_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    return snap_round_chains(ca, SNAPROUND_LEVEL)
+
+
+def _builder_snap_round_oracle() -> str:
+    from s2geometry_spark.operators.builder_ops import snap_round_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    table_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    return snap_round_oracle_sql(table_sql, SNAPROUND_LEVEL)
+
+
 def _polyline_simplify_oracle() -> str:
     from s2geometry_spark.operators.simplify import subsample_oracle_sql
 
@@ -1545,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "builder_snap": q_builder_snap,
         "winding_number": q_winding_number,
         "winding_build": q_winding_build,
+        "builder_snap_round": q_builder_snap_round,
         "raster_vectorize": q_raster_vectorize,
         "polyline_crossings": q_polyline_crossings,
         "img_tile_stats": q_img_tile_stats,
@@ -1802,6 +1832,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "builder_snap": _builder_snap_oracle(),
         "winding_number": _winding_oracle(),
         "winding_build": _winding_build_oracle(),
+        "builder_snap_round": _builder_snap_round_oracle(),
         "raster_vectorize": _raster_vectorize_oracle(),
         "polyline_crossings": _polyline_crossings_oracle(),
         "dedup_exact": (

@@ -75,3 +75,84 @@ def build_loops(loops: list[np.ndarray], level: int) -> list[np.ndarray]:
         if s.shape[0] >= 3 and np.unique(s, axis=0).shape[0] >= 3:
             out.append(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Snap ROUNDING (epsilon-radius S2Builder pass): vertex snapping alone is
+# not topology-safe — a snapped edge may sweep straight past a site that
+# other geometry snapped to.  S2Builder therefore replaces every INPUT
+# edge by a chain through all sites within the snap radius of that edge,
+# in order along it (s2builder.cc snap_rounding; guarantees in
+# s2builder.h:90-150: "each edge is replaced by a chain of vertices, each
+# within snap_radius of the input edge").  This is the within-chain
+# subset: the site set is the chain's own snapped vertices.
+# ---------------------------------------------------------------------------
+
+
+def snap_radius_chord2(level: int) -> float:
+    """Squared chord length of the S2CellIdSnapFunction snap radius at
+    ``level`` (half the max cell diagonal,
+    s2builderutil_snap_functions.cc MinSnapRadiusForLevel)."""
+    from . import metrics
+
+    r = metrics.MAX_DIAG.get_value(level) / 2.0
+    s = 2.0 * np.sin(r / 2.0)
+    return float(s * s)
+
+
+def snap_round_chain(xyz: np.ndarray, level: int) -> np.ndarray:
+    """Topology-safe snap rounding of one chain (single deterministic
+    pass, the S2Builder edge-replacement semantics):
+
+    1. snap every vertex to its level-L cell center (site per vertex);
+    2. replace each INPUT edge by the chain of all sites lying within
+       the snap radius of that input edge, ordered along it (the edge's
+       own endpoints' sites are its chain ends);
+    3. collapse consecutive duplicates.
+
+    Every output vertex is a site within snap_radius of the input chain,
+    and every site within snap_radius of an input edge appears on that
+    edge's replacement chain — the pair of guarantees
+    tests/test_builder_snapround.py asserts.
+    Returns (0,3) if the chain collapses below 2 vertices.
+    """
+    from .measures import point_edge_chord2
+
+    V = np.asarray(xyz, np.float64)
+    if V.shape[0] < 2:
+        return V[:0]
+    snapped = snap_to_cell_centers(V, level)
+    sites = np.unique(snapped, axis=0)
+    r2 = snap_radius_chord2(level)
+    E = V.shape[0] - 1
+    S = sites.shape[0]
+    # distance of every site to every INPUT edge (original coordinates)
+    A = np.repeat(V[:-1], S, axis=0)
+    B = np.repeat(V[1:], S, axis=0)
+    X = np.tile(sites, (E, 1))
+    near = (point_edge_chord2(X, A, B).reshape(E, S)) <= r2
+    site_cells = cellid.to_biased(snap_cells(sites, level))
+    out = [snapped[0]]
+    for i in range(E):
+        ka, kb = snapped[i].tobytes(), snapped[i + 1].tobytes()
+        ins = [
+            j
+            for j in np.flatnonzero(near[i])
+            if sites[j].tobytes() != ka and sites[j].tobytes() != kb
+        ]
+        # order along the input arc a->b (monotone in -dot(s, a) for
+        # arcs < pi, the overlay's _sub_edges recipe); the dot is the
+        # PINNED left-assoc form and ties break on the site cell id so
+        # the SQL oracle replays the identical ordering
+        ax, ay, az = float(V[i, 0]), float(V[i, 1]), float(V[i, 2])
+        ins.sort(
+            key=lambda j: (
+                -((float(sites[j, 0]) * ax + float(sites[j, 1]) * ay)
+                  + float(sites[j, 2]) * az),
+                int(site_cells[j]),
+            )
+        )
+        out.extend(sites[j] for j in ins)
+        out.append(snapped[i + 1])
+    W = simplify_chain(np.stack(out))
+    return W if W.shape[0] >= 2 else W[:0]

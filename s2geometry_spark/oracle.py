@@ -48,16 +48,11 @@ def xyz_sql_cte(table: str, key_expr: str, keep_cols: str = "", prefix: str = ""
 )"""
 
 
-def leaf_cell_sql_cte(table: str, key_expr: str, keep_cols: str = "") -> str:
-    """Return a WITH-clause body ending in CTE ``leaf`` with column
-    ``cell_leaf`` (biased int64 leaf cell id) alongside ``keep_cols``.
-
-    Compose as: ``f"WITH {leaf_cell_sql_cte(...)} SELECT ... FROM leaf"``.
-    """
-    xyz = sql_xyz_exprs(key_expr)
-    keep = (keep_cols + ", ") if keep_cols else ""
-
-    # Hilbert rounds 7..0: key = i_nibble*64 + j_nibble*4 + carry_bits
+def leaf_from_xyz_cte(src: str = "xyz") -> str:
+    """WITH-clause body ending in CTE ``leaf`` (biased int64 ``cell_leaf``
+    plus ``src``'s columns), encoding UNIT-VECTOR columns x, y, z of
+    ``src`` — the f0..leaf tail of ``leaf_cell_sql_cte`` for callers
+    whose points don't come from an integer key (e.g. chain fixtures)."""
     rounds = []
     prev = "f_ij"
     for k in range(7, -1, -1):
@@ -69,25 +64,12 @@ def leaf_cell_sql_cte(table: str, key_expr: str, keep_cols: str = "") -> str:
         )
         prev = f"r{k}"
     pos_terms = " + ".join(f"(b{k} // 4) * {1 << (8 * k)}" for k in range(7, -1, -1))
-
     return f"""
-pts AS (
-  SELECT {keep}{xyz["x0"]} AS x0, {xyz["y0"]} AS y0, {xyz["z0"]} AS z0
-  FROM {table}
-),
-xyz0 AS (
-  SELECT *, sqrt(CAST(x0*x0 + y0*y0 + z0*z0 AS DOUBLE)) AS nrm FROM pts
-),
-xyz AS (
-  SELECT *, CAST(x0 AS DOUBLE)/nrm AS x, CAST(y0 AS DOUBLE)/nrm AS y,
-         CAST(z0 AS DOUBLE)/nrm AS z
-  FROM xyz0
-),
 f0 AS (
   SELECT *, CASE WHEN abs(x) > abs(y)
                  THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
                  ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS fax
-  FROM xyz
+  FROM {src}
 ),
 fuv AS (
   SELECT *, CASE WHEN (CASE fax WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
@@ -124,6 +106,15 @@ leaf AS MATERIALIZED (
          2*(face * {1 << 60} + {pos_terms} - {_HALF_BIAS}) + 1 AS cell_leaf
   FROM r0
 )"""
+
+
+def leaf_cell_sql_cte(table: str, key_expr: str, keep_cols: str = "") -> str:
+    """Return a WITH-clause body ending in CTE ``leaf`` with column
+    ``cell_leaf`` (biased int64 leaf cell id) alongside ``keep_cols``.
+
+    Compose as: ``f"WITH {leaf_cell_sql_cte(...)} SELECT ... FROM leaf"``.
+    """
+    return xyz_sql_cte(table, key_expr, keep_cols) + ",\n" + leaf_from_xyz_cte("xyz")
 
 
 def convex_loop_predicate_sql(vertices) -> str:
@@ -167,3 +158,106 @@ def parent_sql_expr(cell_expr: str, level: int) -> str:
     m = 2 * lsb
     # non-negative mod of the (possibly negative) biased id
     return f"({cell_expr}) - ((({cell_expr}) % {m}) + {m}) % {m} + {lsb}"
+
+
+def _lookup_ij_list_sql() -> str:
+    from .kernels.hilbert import LOOKUP_IJ
+
+    return "[" + ",".join(str(int(v)) for v in LOOKUP_IJ.tolist()) + "]"
+
+
+def cell_center_xyz_cte(
+    src: str, cell_col: str, level: int, out_name: str = "ctr", prefix: str = "d_"
+) -> str:
+    """CTE chain DECODING a biased cell-id column (constant ``level`` <
+    30) to its center unit vector — the inverse of ``leaf_cell_sql_cte``,
+    mirroring cellid.to_point bit-for-bit (inverse Hilbert via the
+    LOOKUP_IJ table, GetCenterSiTi's delta, quadratic STtoUV,
+    FaceUVtoXYZ, normalize; every float op in the NumPy kernels' order).
+
+    Appends columns ``cx, cy, cz`` to ``src``'s columns in the CTE named
+    ``out_name``.  Every round is MATERIALIZED: each lookup value v_k is
+    referenced three times downstream (i-nibble, j-nibble, carry), so
+    inlining would expand the expression tree 3^8-fold.
+    """
+    if level >= MAX_LEVEL:
+        raise ValueError("decode CTE supports non-leaf levels only")
+    p = prefix
+    ij_t = _lookup_ij_list_sql()
+    parts = [
+        f"{p}h0 AS MATERIALIZED (\n"
+        f"  SELECT *, CAST({cell_col} AS HUGEINT) + {_BIAS} AS craw FROM {src}\n"
+        f"),",
+        f"{p}r8 AS MATERIALIZED (\n"
+        f"  SELECT *, CAST(craw // {1 << 61} AS BIGINT) AS dface FROM {p}h0\n"
+        f"),",
+    ]
+    prev = f"{p}r8"
+    for k in range(7, -1, -1):
+        nbits = (MAX_LEVEL - 7 * 4) if k == 7 else 4
+        mask = 1 << (2 * nbits)
+        shift = 1 << (k * 8 + 1)
+        carry = "(dface % 2)" if k == 7 else f"(v{k + 1} % 4)"
+        parts.append(
+            f"{p}r{k} AS MATERIALIZED (\n"
+            f"  SELECT *, CAST({ij_t}[{carry} + CAST((craw // {shift}) % {mask} AS BIGINT) * 4 + 1] AS BIGINT) AS v{k}\n"
+            f"  FROM {prev}\n"
+            f"),"
+        )
+        prev = f"{p}r{k}"
+    i_sum = " + ".join(f"(v{k} // 64) * {1 << (4 * k)}" for k in range(7, -1, -1))
+    j_sum = " + ".join(f"((v{k} // 4) % 16) * {1 << (4 * k)}" for k in range(7, -1, -1))
+    inv_max_si_ti = repr(1.0 / 2147483648.0)
+    third = repr(1.0 / 3.0)
+    parts.append(
+        f"{p}ij AS MATERIALIZED (\n"
+        f"  SELECT *, {i_sum} AS di, {j_sum} AS dj FROM {prev}\n"
+        f"),",
+    )
+    parts.append(
+        f"{p}dl AS MATERIALIZED (\n"
+        f"  SELECT *, CASE WHEN (di % 2) != CAST((craw // 4) % 2 AS BIGINT)\n"
+        f"                 THEN 2 ELSE 0 END AS ddelta\n"
+        f"  FROM {p}ij\n"
+        f"),",
+    )
+    parts.append(
+        f"{p}st AS MATERIALIZED (\n"
+        f"  SELECT *, {inv_max_si_ti} * CAST(2*di + ddelta AS DOUBLE) AS ds,\n"
+        f"            {inv_max_si_ti} * CAST(2*dj + ddelta AS DOUBLE) AS dt\n"
+        f"  FROM {p}dl\n"
+        f"),",
+    )
+    parts.append(
+        f"{p}uv AS MATERIALIZED (\n"
+        f"  SELECT *,\n"
+        f"    CASE WHEN ds >= 0.5 THEN {third} * (4*ds*ds - 1)\n"
+        f"         ELSE {third} * (1 - (4*(1-ds))*(1-ds)) END AS du,\n"
+        f"    CASE WHEN dt >= 0.5 THEN {third} * (4*dt*dt - 1)\n"
+        f"         ELSE {third} * (1 - (4*(1-dt))*(1-dt)) END AS dv\n"
+        f"  FROM {p}st\n"
+        f"),",
+    )
+    parts.append(
+        f"{p}x0 AS MATERIALIZED (\n"
+        f"  SELECT *,\n"
+        f"    CASE dface WHEN 0 THEN 1.0 WHEN 1 THEN -du WHEN 2 THEN -du\n"
+        f"               WHEN 3 THEN -1.0 WHEN 4 THEN dv ELSE dv END AS rx,\n"
+        f"    CASE dface WHEN 0 THEN du WHEN 1 THEN 1.0 WHEN 2 THEN -dv\n"
+        f"               WHEN 3 THEN -dv WHEN 4 THEN -1.0 ELSE du END AS ry,\n"
+        f"    CASE dface WHEN 0 THEN dv WHEN 1 THEN dv WHEN 2 THEN 1.0\n"
+        f"               WHEN 3 THEN -du WHEN 4 THEN -du ELSE -1.0 END AS rz\n"
+        f"  FROM {p}uv\n"
+        f"),",
+    )
+    parts.append(
+        f"{out_name} AS MATERIALIZED (\n"
+        f"  SELECT * EXCLUDE (craw, dface, {', '.join(f'v{k}' for k in range(8))},\n"
+        f"                    di, dj, ddelta, ds, dt, du, dv, rx, ry, rz),\n"
+        f"         rx / sqrt(((rx*rx) + (ry*ry)) + (rz*rz)) AS cx,\n"
+        f"         ry / sqrt(((rx*rx) + (ry*ry)) + (rz*rz)) AS cy,\n"
+        f"         rz / sqrt(((rx*rx) + (ry*ry)) + (rz*rz)) AS cz\n"
+        f"  FROM {p}x0\n"
+        f")",
+    )
+    return "\n".join(parts)
