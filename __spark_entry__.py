@@ -411,6 +411,63 @@ def q_polyline_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polyline_crossing_join(spark, ca, cb, robust=False, broadcast_b=False)
 
 
+def q_polyline_self_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-intersection validation (s2shapeutil FindSelfIntersection /
+    VisitCrossingEdgePairs): every transversally-crossing EDGE pair
+    within the customer chain set, including same-chain pairs, each
+    unordered pair once (eid_a < eid_b)."""
+    from s2geometry_spark.operators.polylines import polyline_self_crossing_join
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    return polyline_self_crossing_join(spark, ca, robust=False)
+
+
+def _polyline_self_crossings_oracle() -> str:
+    """Single-table self cross join over the identical derived edges,
+    the same pinned sign-chain crossing test, eid_a < eid_b."""
+    a_cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    edges = """(
+  SELECT chain_id * 4294967296 + seq AS eid,
+         lag(x) OVER w AS e0x, lag(y) OVER w AS e0y, lag(z) OVER w AS e0z,
+         x AS e1x, y AS e1y, z AS e1z
+  FROM axyz WINDOW w AS (PARTITION BY chain_id ORDER BY seq)
+) WHERE e0x IS NOT NULL"""
+    return f"""WITH {a_cte},
+ed AS MATERIALIZED (SELECT * FROM {edges}),
+pr AS (
+  SELECT a.eid AS eid_a, b.eid AS eid_b,
+    (a.e0y*a.e1z - a.e0z*a.e1y) AS nx, (a.e0z*a.e1x - a.e0x*a.e1z) AS ny,
+    (a.e0x*a.e1y - a.e0y*a.e1x) AS nz,
+    (b.e0y*b.e1z - b.e0z*b.e1y) AS mx, (b.e0z*b.e1x - b.e0x*b.e1z) AS my,
+    (b.e0x*b.e1y - b.e0y*b.e1x) AS mz,
+    a.e0x AS a0x, a.e0y AS a0y, a.e0z AS a0z,
+    a.e1x AS a1x, a.e1y AS a1y, a.e1z AS a1z,
+    b.e0x AS b0x, b.e0y AS b0y, b.e0z AS b0z,
+    b.e1x AS b1x, b.e1y AS b1y, b.e1z AS b1z
+  FROM ed a JOIN ed b ON a.eid < b.eid
+),
+dt AS (
+  SELECT eid_a, eid_b,
+    (nx*b0x + ny*b0y) + nz*b0z AS db0, (nx*b1x + ny*b1y) + nz*b1z AS db1,
+    (mx*a0x + my*a0y) + mz*a0z AS da0, (mx*a1x + my*a1y) + mz*a1z AS da1
+  FROM pr
+),
+sg0 AS (
+  SELECT eid_a, eid_b,
+    CASE WHEN abs(db0) <= 1e-15 THEN 0 ELSE sign(db0) END AS db0s,
+    CASE WHEN abs(db1) <= 1e-15 THEN 0 ELSE sign(db1) END AS db1s,
+    CASE WHEN abs(da0) <= 1e-15 THEN 0 ELSE sign(da0) END AS da0s,
+    CASE WHEN abs(da1) <= 1e-15 THEN 0 ELSE sign(da1) END AS da1s
+  FROM dt
+)
+SELECT DISTINCT eid_a, eid_b FROM sg0
+WHERE db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s"""
+
+
 def _chain_cte_sql(name, table, chain_expr, base_key, seq_key):
     """DuckDB CTE deriving the same chain fixture points as
     _chain_points_df (bitwise: the SQL triplet derivation equals the
@@ -1575,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winding_number": q_winding_number,
         "winding_build": q_winding_build,
         "builder_snap_round": q_builder_snap_round,
+        "polyline_self_crossings": q_polyline_self_crossings,
         "raster_vectorize": q_raster_vectorize,
         "polyline_crossings": q_polyline_crossings,
         "img_tile_stats": q_img_tile_stats,
@@ -1833,6 +1891,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "winding_number": _winding_oracle(),
         "winding_build": _winding_build_oracle(),
         "builder_snap_round": _builder_snap_round_oracle(),
+        "polyline_self_crossings": _polyline_self_crossings_oracle(),
         "raster_vectorize": _raster_vectorize_oracle(),
         "polyline_crossings": _polyline_crossings_oracle(),
         "dedup_exact": (

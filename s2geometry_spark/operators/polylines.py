@@ -91,6 +91,39 @@ def polyline_crossing_join(
     )
 
 
+def polyline_self_crossing_join(
+    spark: SparkSession,
+    chains: DataFrame,
+    robust: bool = True,
+) -> DataFrame:
+    """Distinct transversally-crossing EDGE pairs (eid_a < eid_b) within
+    ONE chain set — the validation query of s2shapeutil
+    FindSelfIntersection / VisitCrossingEdgePairs (s2shapeutil_visit_
+    crossing_edge_pairs.cc): find every pair of edges, including pairs
+    of the SAME chain, that cross in their interiors.  Adjacent edges
+    share a vertex, so one determinant of the sign chain is exactly zero
+    and they are excluded by construction (transversal-only semantics,
+    matching the oracle's pinned arithmetic when robust=False).
+
+    Same cogrouped term join as the two-set crossing join (each side's
+    term rows ship once per coarse cell group); the B side is the A side
+    renamed, and the final eid_a < eid_b filter keeps each unordered
+    pair once."""
+    ea = chains_to_edges(chains, prefix="a").drop("chain_a")
+    eb = ea.select(
+        F.col("eid_a").alias("eid_b"),
+        *[
+            F.col(f"a{i}{c}").alias(f"b{i}{c}")
+            for i in (0, 1)
+            for c in ("x", "y", "z")
+        ],
+    )
+    pairs = edge_crossing_join_cogrouped(
+        spark, ea, eb, robust=robust, split_rounds=3, group_level=4
+    )
+    return pairs.where(F.col("eid_a") < F.col("eid_b"))
+
+
 def clip_to_polygon(V: np.ndarray, poly: Polygon) -> list[np.ndarray]:
     """S2Polyline::IntersectWithPolygon: the sub-polylines of chain V
     inside ``poly``.  Splits each edge at boundary crossings (midpoint
