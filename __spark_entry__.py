@@ -563,6 +563,29 @@ def q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_chains(ca, SIMPLIFY_TOL)
 
 
+def q_chain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chain true centroid + arc length (S2Polyline::GetCentroid,
+    s2polyline.cc:221; S2::TrueCentroid(a,b), s2centroids.cc:76) over the
+    customer chain fixtures.  Pure JVM: codegen per-edge terms + an
+    ORDERED fold per chain; the oracle replays the identical fold with
+    list_reduce."""
+    from s2geometry_spark.operators.polylines import chain_true_centroids
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    return chain_true_centroids(ca)
+
+
+def _chain_centroids_oracle() -> str:
+    from s2geometry_spark.operators.polylines import centroids_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    return centroids_oracle_sql(cte, "axyz")
+
+
 SNAPROUND_LEVEL = 10
 
 
@@ -1616,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_difference": q_poly_difference,
         "poly_boolean_shared": q_poly_boolean_shared,
         "polyline_simplify": q_polyline_simplify,
+        "chain_centroids": q_chain_centroids,
         "polyline_alignment": q_polyline_alignment,
         "polyline_medoid": q_polyline_medoid,
         "polyline_clip_models": q_polyline_clip_models,
@@ -1881,6 +1905,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "poly_difference": _poly_bool_oracle("difference"),
         "poly_boolean_shared": _poly_boolean_shared_oracle(),
         "polyline_simplify": _polyline_simplify_oracle(),
+        "chain_centroids": _chain_centroids_oracle(),
         "polyline_alignment": _polyline_alignment_oracle(),
         "polyline_medoid": _polyline_medoid_oracle(),
         "polyline_clip_models": _polyline_clip_models_oracle(),

@@ -465,3 +465,112 @@ SELECT f.pg AS pg_model, plm.pl AS pl_model, f.chain_id,
 FROM perchain f
 CROSS JOIN plmodels plm
 LEFT JOIN pts p ON p.pl = plm.pl AND p.chain_id = f.chain_id"""
+
+
+def chain_true_centroids(chains: DataFrame) -> DataFrame:
+    """Per-chain S2Polyline::GetCentroid (s2polyline.cc:221) via
+    S2::TrueCentroid(a, b) (s2centroids.cc:76): the centroid-times-length
+    contribution of each geodesic edge is sqrt(|a-b|^2 / |a+b|^2) * (a+b),
+    summed over the chain.  Also emits the chain's arc length
+    (S2Polyline::GetLength) as the same-order fold of per-edge angles.
+
+    Everything stays JVM-side: per-edge terms are codegen column
+    expressions over a lag window, and the per-chain sum is an ORDERED
+    left-associative fold (array_sort on seq + aggregate) so a DuckDB
+    oracle replaying list_reduce over the same edge order reproduces
+    every double bit-for-bit (group-by SUM on either engine would not:
+    both sum in partition/segment-tree order).
+
+    Scale shape: one shuffle on chain_id for the window + group; state
+    per chain is bounded by the chain length (the fixture contract).
+    """
+    w = Window.partitionBy("chain_id").orderBy("seq")
+    e = chains.select(
+        "chain_id",
+        "seq",
+        F.lag("x").over(w).alias("ax"),
+        F.lag("y").over(w).alias("ay"),
+        F.lag("z").over(w).alias("az"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("z").alias("bz"),
+    ).where(F.col("ax").isNotNull())
+    vdx, vdy, vdz = (F.col(a) - F.col(b) for a, b in (("ax", "bx"), ("ay", "by"), ("az", "bz")))
+    vsx, vsy, vsz = (F.col(a) + F.col(b) for a, b in (("ax", "bx"), ("ay", "by"), ("az", "bz")))
+    sin2 = (vdx * vdx + vdy * vdy) + vdz * vdz
+    cos2 = (vsx * vsx + vsy * vsy) + vsz * vsz
+    f = F.sqrt(sin2 / cos2)
+    t = e.select(
+        "chain_id",
+        "seq",
+        (f * vsx).alias("tx"),
+        (f * vsy).alias("ty"),
+        (f * vsz).alias("tz"),
+        # edge angle via the chord identity |a-b| = 2 sin(theta/2); asin
+        # (not atan2) — both engines' asin agreed bit-for-bit in the
+        # hausdorff oracle, atan2 is unvetted here
+        (F.lit(2.0) * F.asin(F.sqrt(sin2) / F.lit(2.0))).alias("th"),
+    )
+    g = t.groupBy("chain_id").agg(
+        F.array_sort(F.collect_list(F.struct("seq", "tx", "ty", "tz", "th"))).alias("ed")
+    )
+
+    def fold(field: str):
+        return F.aggregate(
+            F.col("ed"), F.lit(0.0), lambda acc, s: acc + s[field]
+        )
+
+    return g.select(
+        "chain_id",
+        F.size("ed").cast("long").alias("n_edges"),
+        fold("tx").alias("cx"),
+        fold("ty").alias("cy"),
+        fold("tz").alias("cz"),
+        fold("th").alias("length_radians"),
+    )
+
+
+def centroids_oracle_sql(chain_cte: str, cte_name: str) -> str:
+    """DuckDB replay of chain_true_centroids over the same chain CTE:
+    identical pinned per-edge terms, identical fold order (list(... ORDER
+    BY seq) + left-fold list_reduce seeded with 0.0)."""
+    return f"""WITH {chain_cte},
+ed AS MATERIALIZED (
+  SELECT chain_id, seq,
+         lag(x) OVER w AS ax, lag(y) OVER w AS ay, lag(z) OVER w AS az,
+         x AS bx, y AS by, z AS bz
+  FROM {cte_name} WINDOW w AS (PARTITION BY chain_id ORDER BY seq)
+),
+vd AS MATERIALIZED (
+  SELECT chain_id, seq,
+         (ax - bx) AS vdx, (ay - by) AS vdy, (az - bz) AS vdz,
+         (ax + bx) AS vsx, (ay + by) AS vsy, (az + bz) AS vsz
+  FROM ed WHERE ax IS NOT NULL
+),
+s2c2 AS MATERIALIZED (
+  SELECT chain_id, seq, vsx, vsy, vsz,
+         ((vdx*vdx + vdy*vdy) + vdz*vdz) AS sin2,
+         ((vsx*vsx + vsy*vsy) + vsz*vsz) AS cos2
+  FROM vd
+),
+tm AS MATERIALIZED (
+  SELECT chain_id, seq,
+         sqrt(sin2 / cos2) * vsx AS tx,
+         sqrt(sin2 / cos2) * vsy AS ty,
+         sqrt(sin2 / cos2) * vsz AS tz,
+         2.0 * asin(sqrt(sin2) / 2.0) AS th
+  FROM s2c2
+),
+lst AS MATERIALIZED (
+  SELECT chain_id,
+         CAST(count(*) AS BIGINT) AS n_edges,
+         list(tx ORDER BY seq) AS ltx, list(ty ORDER BY seq) AS lty,
+         list(tz ORDER BY seq) AS ltz, list(th ORDER BY seq) AS lth
+  FROM tm GROUP BY chain_id
+)
+SELECT chain_id, n_edges,
+       list_reduce(list_prepend(0.0, ltx), (a, b) -> a + b) AS cx,
+       list_reduce(list_prepend(0.0, lty), (a, b) -> a + b) AS cy,
+       list_reduce(list_prepend(0.0, ltz), (a, b) -> a + b) AS cz,
+       list_reduce(list_prepend(0.0, lth), (a, b) -> a + b) AS length_radians
+FROM lst"""

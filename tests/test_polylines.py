@@ -115,3 +115,37 @@ def test_polyline_clip_join(spark):
         assert len(got_pieces) == len(want)
         for g, w in zip(got_pieces, want):
             assert np.array_equal(g, w)
+
+
+def test_chain_true_centroids(spark):
+    """Operator output equals the direct NumPy TrueCentroid sum per chain
+    (s2centroids.cc:76), and the fold-normalized centroid direction
+    approximates the chain midpoint for a short smooth walk."""
+    from s2geometry_spark.operators.polylines import chain_true_centroids
+
+    rng = np.random.RandomState(17)
+    chains = {i: _walk(rng, 12 + i, _pt(20 + 3 * i, 5 * i), step=0.03) for i in range(5)}
+    df = spark.createDataFrame(
+        [r for cid, pts in chains.items() for r in _chain_rows(cid, pts)],
+        "chain_id long, seq long, x double, y double, z double",
+    )
+    rows = {r.chain_id: r for r in chain_true_centroids(df).collect()}
+    for cid, V in chains.items():
+        acc = np.zeros(3)
+        length = 0.0
+        for a, b in zip(V[:-1], V[1:]):
+            vd, vs = a - b, a + b
+            sin2, cos2 = float(vd @ vd), float(vs @ vs)
+            acc = acc + math.sqrt(sin2 / cos2) * vs
+            length += 2.0 * math.asin(math.sqrt(sin2) / 2.0)
+        r = rows[cid]
+        assert r.n_edges == len(V) - 1
+        assert np.allclose([r.cx, r.cy, r.cz], acc, rtol=1e-12, atol=1e-15)
+        assert r.length_radians == pytest.approx(length, rel=1e-12)
+        assert r.length_radians == pytest.approx(
+            measures.polyline_length(V), rel=1e-9
+        )
+        # direction sanity: normalized centroid is inside the walk's cap
+        c = np.array([r.cx, r.cy, r.cz])
+        c = c / np.linalg.norm(c)
+        assert min(float(c @ v) for v in V) > math.cos(0.5)
