@@ -325,6 +325,51 @@ def q_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_project_to_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest-point projection onto the nearest edge
+    (S2ClosestEdgeQuery::Project): customer query points x orders edges;
+    the k=1 staged join picks the edge, the pinned projection kernel
+    computes the point (bit-exact DuckDB replay)."""
+    from s2geometry_spark.operators.knn_edges import project_to_closest_edges
+
+    edges = _edges_df(spark, sf_dir, "orders", "o_orderkey", _EDGE_A_KEY2, "eid", "e")
+    q = _customer_queries(spark, sf_dir, _QUERY_KEY)
+    n_edges = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    return project_to_closest_edges(spark, edges, q, n_edges=n_edges)
+
+
+def _project_to_edges_oracle() -> str:
+    """Brute-force argmin edge per query (the knn_edges oracle at k=1)
+    feeding the pinned projection CTE chain."""
+    from s2geometry_spark.kernels.measures import (
+        point_edge_chord2_sql,
+        project_to_edge_sql_ctes,
+    )
+
+    e_cte = _edge_cte_sql(
+        "edg", "orders", "o_orderkey", _EDGE_A_KEY2, "o_orderkey AS eid", "e"
+    )
+    q_cte = oracle.xyz_sql_cte(
+        "customer", _QUERY_KEY, keep_cols="c_custkey AS qid", prefix="q"
+    )
+    d = point_edge_chord2_sql("q.", "e.e0", "e.e1")
+    return f"""WITH {q_cte}, {e_cte},
+best AS MATERIALIZED (
+  SELECT qid, eid, dist_chord2, qx, qy, qz, e0x, e0y, e0z, e1x, e1y, e1z
+  FROM (
+    SELECT q.qid AS qid, e.eid AS eid, {d} AS dist_chord2,
+           q.x AS qx, q.y AS qy, q.z AS qz,
+           e.e0x, e.e0y, e.e0z, e.e1x, e.e1y, e.e1z,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY {d} ASC, e.eid ASC
+           ) AS rank
+    FROM qxyz q CROSS JOIN edg e
+  ) WHERE rank = 1
+),
+{project_to_edge_sql_ctes("best")}
+SELECT qid, eid, dist_chord2, px, py, pz FROM prj_out"""
+
+
 # chains are KEY-RANGE blocks (chain_id = key div N), so chain size stays
 # BOUNDED as sf grows and the chain count scales with the data — a fixed
 # modulus would grow every blob's edge density linearly with sf and the
@@ -1650,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_hulls": q_tile_hulls,
         "edge_crossings": q_edge_crossings,
         "knn_edges": q_knn_edges,
+        "project_to_edges": q_project_to_edges,
         "chain_interpolate": q_chain_interpolate,
         "closest_cell": q_closest_cell,
         "builder_snap": q_builder_snap,
@@ -1900,6 +1946,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "hausdorff": hausdorff_sql,
         "edge_crossings": _edge_crossings_oracle(),
         "knn_edges": _knn_edges_oracle(),
+        "project_to_edges": _project_to_edges_oracle(),
         "poly_intersection": _poly_bool_oracle("intersection"),
         "poly_union": _poly_bool_oracle("union"),
         "poly_difference": _poly_bool_oracle("difference"),

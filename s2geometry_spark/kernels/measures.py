@@ -326,3 +326,103 @@ def polyline_project(x: np.ndarray, vertices: np.ndarray) -> tuple[np.ndarray, i
             best_p = project_to_edge(x2, v[i], v[i + 1])[0]
             best_i = i
     return best_p, best_i
+
+
+def project_to_edge_pinned(
+    X: np.ndarray, A: np.ndarray, B: np.ndarray
+) -> np.ndarray:
+    """S2::Project(x, a, b) (s2edge_distances.cc) row-wise with PINNED
+    operation order, the projection twin of point_edge_chord2: if the
+    great-circle projection of x falls in the arc interior, return it
+    normalized; else return the chord-nearer endpoint.  The interior
+    test reuses the chord2 kernel's exact d_na/d_nb expressions, so the
+    branch taken here always matches the branch that produced the
+    reported distance.  `project_to_edge_sql_ctes` replays every double
+    bit-for-bit in DuckDB.
+    """
+    X = np.asarray(X, np.float64)
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    ax, ay, az = A[:, 0], A[:, 1], A[:, 2]
+    bx, by, bz = B[:, 0], B[:, 1], B[:, 2]
+    xx, xy, xz = X[:, 0], X[:, 1], X[:, 2]
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    nax = ny * az - nz * ay
+    nay = nz * ax - nx * az
+    naz = nx * ay - ny * ax
+    nbx = by * nz - bz * ny
+    nby = bz * nx - bx * nz
+    nbz = bx * ny - by * nx
+    d_na = (xx * nax + xy * nay) + xz * naz
+    d_nb = (xx * nbx + xy * nby) + xz * nbz
+    interior = (d_na > 0) & (d_nb > 0)
+    xn = (xx * nx + xy * ny) + xz * nz
+    nn = (nx * nx + ny * ny) + nz * nz
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kk = xn / nn
+        p0x = xx - kk * nx
+        p0y = xy - kk * ny
+        p0z = xz - kk * nz
+        pn = np.sqrt((p0x * p0x + p0y * p0y) + p0z * p0z)
+        ipx = p0x / pn
+        ipy = p0y / pn
+        ipz = p0z / pn
+    da = ((xx - ax) * (xx - ax) + (xy - ay) * (xy - ay)) + (xz - az) * (xz - az)
+    db = ((xx - bx) * (xx - bx) + (xy - by) * (xy - by)) + (xz - bz) * (xz - bz)
+    near_a = da <= db
+    px = np.where(interior, ipx, np.where(near_a, ax, bx))
+    py = np.where(interior, ipy, np.where(near_a, ay, by))
+    pz = np.where(interior, ipz, np.where(near_a, az, bz))
+    return np.stack([px, py, pz], axis=1)
+
+
+def project_to_edge_sql_ctes(src: str) -> str:
+    """DuckDB CTE chain replaying project_to_edge_pinned over a source
+    relation `src` with columns (qid, eid, dist_chord2, qx..qz unit
+    query point, e0x..e1z unit edge endpoints).  Intermediates are
+    pinned in MATERIALIZED CTEs (a single giant inlined expression can
+    perturb the last ulp of multiply-add chains).  Final SELECT yields
+    (qid, eid, dist_chord2, px, py, pz)."""
+    return f"""prj_n AS MATERIALIZED (
+  SELECT qid, eid, dist_chord2, qx, qy, qz,
+         e0x, e0y, e0z, e1x, e1y, e1z,
+         (e0y*e1z - e0z*e1y) AS nx,
+         (e0z*e1x - e0x*e1z) AS ny,
+         (e0x*e1y - e0y*e1x) AS nz
+  FROM {src}
+),
+prj_d AS MATERIALIZED (
+  SELECT *,
+         ((qx*(ny*e0z - nz*e0y) + qy*(nz*e0x - nx*e0z)) + qz*(nx*e0y - ny*e0x))
+           AS d_na,
+         ((qx*(e1y*nz - e1z*ny) + qy*(e1z*nx - e1x*nz)) + qz*(e1x*ny - e1y*nx))
+           AS d_nb,
+         ((qx*nx + qy*ny) + qz*nz) AS xn,
+         ((nx*nx + ny*ny) + nz*nz) AS nn
+  FROM prj_n
+),
+prj_p0 AS MATERIALIZED (
+  SELECT *,
+         (qx - (xn / nn) * nx) AS p0x,
+         (qy - (xn / nn) * ny) AS p0y,
+         (qz - (xn / nn) * nz) AS p0z
+  FROM prj_d
+),
+prj_pn AS MATERIALIZED (
+  SELECT *, sqrt((p0x*p0x + p0y*p0y) + p0z*p0z) AS pn,
+         (((qx-e0x)*(qx-e0x) + (qy-e0y)*(qy-e0y)) + (qz-e0z)*(qz-e0z)) AS da,
+         (((qx-e1x)*(qx-e1x) + (qy-e1y)*(qy-e1y)) + (qz-e1z)*(qz-e1z)) AS db
+  FROM prj_p0
+),
+prj_out AS MATERIALIZED (
+  SELECT qid, eid, dist_chord2,
+    CASE WHEN d_na > 0 AND d_nb > 0 THEN p0x / pn
+         WHEN da <= db THEN e0x ELSE e1x END AS px,
+    CASE WHEN d_na > 0 AND d_nb > 0 THEN p0y / pn
+         WHEN da <= db THEN e0y ELSE e1y END AS py,
+    CASE WHEN d_na > 0 AND d_nb > 0 THEN p0z / pn
+         WHEN da <= db THEN e0z ELSE e1z END AS pz
+  FROM prj_pn
+)"""

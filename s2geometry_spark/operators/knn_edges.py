@@ -510,3 +510,56 @@ def furthest_edges_join(
         .where(F.col("rank") <= k)
         .select("qid", "rank", "eid", "dist_chord2")
     )
+
+
+def project_to_closest_edges(
+    spark: SparkSession,
+    edges: DataFrame,
+    queries: DataFrame,
+    n_edges: int | None = None,
+    num_stages: int = 2,
+) -> DataFrame:
+    """S2ClosestEdgeQuery::Project (s2closest_edge_query.h Project /
+    GetEdge): for every query point, the closest point ON its nearest
+    edge.  Runs the staged closest-edge join at k=1, joins the winning
+    (qid, eid) pair back to both coordinate tables (a broadcast-sized
+    result side at any scale: one row per query), and computes the
+    projection with the pinned kernel (measures.project_to_edge_pinned)
+    whose DuckDB twin replays it bit-for-bit.
+
+    Returns (qid, eid, dist_chord2, px, py, pz).
+    """
+    best = closest_edges_join(
+        spark, edges, queries, k=1, num_stages=num_stages, n_edges=n_edges
+    ).drop("rank")
+    j = best.join(queries.select("qid", "qx", "qy", "qz"), "qid").join(
+        edges.select("eid", *E_COLS), "eid"
+    )
+
+    def proj(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "qid": pd.Series(dtype="int64"),
+                        "eid": pd.Series(dtype="int64"),
+                        "dist_chord2": pd.Series(dtype="float64"),
+                        "px": pd.Series(dtype="float64"),
+                        "py": pd.Series(dtype="float64"),
+                        "pz": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            X = pdf[["qx", "qy", "qz"]].to_numpy(np.float64)
+            A = pdf[E_COLS[:3]].to_numpy(np.float64)
+            B = pdf[E_COLS[3:]].to_numpy(np.float64)
+            P = measures.project_to_edge_pinned(X, A, B)
+            out = pdf[["qid", "eid", "dist_chord2"]].copy()
+            out["px"] = P[:, 0]
+            out["py"] = P[:, 1]
+            out["pz"] = P[:, 2]
+            yield out
+
+    return j.mapInPandas(
+        proj, "qid long, eid long, dist_chord2 double, px double, py double, pz double"
+    )

@@ -133,3 +133,53 @@ def test_furthest_edge_runs(spark, edge_tables):
     assert len(rows) == queries.count()
     # every max distance is large (antipodal side exists among 400 edges)
     assert all(r.dist_chord2 > 2.0 for r in rows)
+
+
+def test_project_to_edge_pinned_geometry():
+    """Pinned projection agrees with the reference-path project_to_edge
+    (broadcast form) and its distance with the chord2 kernel."""
+    rng = np.random.RandomState(11)
+    X = rng.randn(300, 3)
+    X /= np.linalg.norm(X, axis=1)[:, None]
+    a = _pt(-5, 80)
+    b0 = a + 0.4 * _pt(3, 95)
+    b = b0 / np.linalg.norm(b0)
+    A = np.broadcast_to(a, (300, 3)).copy()
+    B = np.broadcast_to(b, (300, 3)).copy()
+    P = measures.project_to_edge_pinned(X, A, B)
+    want = measures.project_to_edge(X, a, b)
+    assert np.allclose(P, want, atol=1e-12)
+    # unit length and consistency with the reported chord2
+    assert np.allclose(np.linalg.norm(P, axis=1), 1.0, atol=1e-12)
+    d_proj = ((X - P) ** 2).sum(axis=1)
+    d_kernel = measures.point_edge_chord2(X, A, B)
+    assert np.allclose(d_proj, d_kernel, atol=1e-9)
+
+
+def test_project_to_closest_edges(spark, edge_tables):
+    """Operator picks the same edge as the k=1 staged join and projects
+    onto it."""
+    from s2geometry_spark.operators.knn_edges import project_to_closest_edges
+
+    edges, queries = edge_tables
+    got = {
+        r.qid: r
+        for r in project_to_closest_edges(spark, edges, queries).collect()
+    }
+    want = {
+        r.qid: r
+        for r in closest_edges_join(spark, edges, queries, k=1).collect()
+    }
+    E = {r.eid: r for r in edges.collect()}
+    Q = {r.qid: r for r in queries.collect()}
+    assert set(got) == set(want)
+    for qid, r in got.items():
+        assert r.eid == want[qid].eid
+        assert r.dist_chord2 == want[qid].dist_chord2
+        e, q = E[r.eid], Q[qid]
+        P = measures.project_to_edge_pinned(
+            np.array([[q.qx, q.qy, q.qz]]),
+            np.array([[e.e0x, e.e0y, e.e0z]]),
+            np.array([[e.e1x, e.e1y, e.e1z]]),
+        )[0]
+        assert (r.px, r.py, r.pz) == (P[0], P[1], P[2])
