@@ -1668,6 +1668,16 @@ def q_ann_topk_ivf(spark, sf_dir):
     return ann.ivf_topk(emb, _emb_queries(emb), k=ANN_K, n_centroids=8, nprobe=4)
 
 
+def q_ann_topk_sq8(spark, sf_dir):
+    """Int8 scalar-quantized ANN (coarse int8 scoring + exact rerank) —
+    the memory-bound scale path; the oracle replays the identical pinned
+    quantization and candidate cut in SQL."""
+    from s2geometry_spark.operators import ann
+
+    emb = _emb(spark, sf_dir)
+    return ann.sq8_topk(emb, _emb_queries(emb), k=ANN_K, rerank=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_counts_l5": q_tile_counts_l5,
@@ -1724,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_sq8": q_ann_topk_sq8,
     }
 
 
@@ -1988,6 +1999,9 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "ann_topk_ivf": ann.ivf_topk_oracle_sql(
             k=ANN_K, n_centroids=8, nprobe=4, qfilter=_ANN_QFILTER
+        ),
+        "ann_topk_sq8": ann.sq8_topk_oracle_sql(
+            k=ANN_K, rerank=4, qfilter=_ANN_QFILTER
         ),
         "tile_hulls": _leaf_sql(
             f"SELECT {oracle.parent_sql_expr('cell_leaf', 2)} AS cell_l2, "

@@ -541,3 +541,178 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("qid", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
     )
+
+
+# ---------- int8 scalar quantization (SQ8) ----------
+
+
+def sq8_quantize(A: "np.ndarray") -> "np.ndarray":
+    """Per-vector symmetric int8 quantization with PINNED op order:
+    scale = max_i |v_i| / 127; q_i = clip(floor(v_i / scale + 0.5), -127,
+    127).  floor(x + 0.5) — NOT round() — because NumPy rounds half to
+    even while DuckDB rounds half away from zero; floor(+0.5) is the
+    same correctly-rounded op sequence on both engines.  Returned as
+    float64 holding exact small integers (so the downstream dots and
+    norms are EXACT and engine-order-independent).
+
+    Contract: no all-zero vectors (scale would be 0 — the cosine is
+    undefined for them in the exact path too).
+    """
+    import numpy as np
+
+    amax = np.max(np.abs(A), axis=1)
+    scale = amax / 127.0
+    T = A / scale[:, None] + 0.5
+    Qm = np.floor(T)
+    return np.minimum(127.0, np.maximum(-127.0, Qm))
+
+
+def sq8_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5, rerank: int = 4
+) -> DataFrame:
+    """Quantized ANN: int8 scalar-quantized coarse scoring + exact
+    rerank — the memory-bound scale path (int8 vectors are 4x smaller
+    than float32, 8x smaller than float64; at 100 TB the coarse pass
+    reads a quarter of the bytes, and only the top k*rerank candidates
+    per query ever touch the full-precision embeddings).
+
+    Same dataflow shape as cosine_topk_bruteforce: the quantized query
+    matrix ships in the UDF closure, the fact side streams ONCE through
+    an Arrow-batched kernel that quantizes each batch and emits per-batch
+    top-(k*rerank) candidates by quantized cosine; a window trims to the
+    global k*rerank, and the exact rerank joins only those candidates
+    back to the full-precision embeddings.
+
+    Returns (qid, rank, vec_id, cosine, cosine_sq8): exact-cosine
+    ranking with the quantized score carried for audit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    MAX_QUERIES = 100_000
+    q_rows = queries.limit(MAX_QUERIES + 1).collect()
+    if len(q_rows) > MAX_QUERIES:
+        raise ValueError(
+            f"sq8_topk: query side exceeds {MAX_QUERIES} rows; "
+            "route queries through an IVF/LSH bucketing first"
+        )
+    qids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    Qf = np.array([list(r.q_embedding) for r in q_rows], dtype=np.float64)
+    Qq = sq8_quantize(Qf)
+    qn = _fold_norms(Qq)
+    sc = vectors.sparkSession.sparkContext
+    bq = sc.broadcast((qids, Qq, qn))
+    n_cand = k * rerank
+
+    def batches(it):
+        qid_arr, Qq, qn = bq.value
+        for pdf in it:
+            A = _np_mat(pdf["embedding"])
+            Qa = sq8_quantize(A)
+            an = _fold_norms(Qa)
+            C = _fold_dots(Qa, Qq) / (an[:, None] * qn[None, :])
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            out_q, out_v, out_c = [], [], []
+            for j in range(C.shape[1]):
+                col = C[:, j]
+                mask = vids != qid_arr[j]
+                vv, cc = vids[mask], col[mask]
+                if vv.size == 0:
+                    continue
+                take = min(n_cand, vv.size)
+                order = np.lexsort((vv, -cc))[:take]
+                out_q.extend([qid_arr[j]] * take)
+                out_v.extend(vv[order].tolist())
+                out_c.extend(cc[order].tolist())
+            yield pd.DataFrame(
+                {"qid": out_q, "vec_id": out_v, "cosine_sq8": out_c}
+            )
+
+    cand = vectors.select("vec_id", "embedding").mapInPandas(
+        batches, "qid long, vec_id long, cosine_sq8 double"
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sq8").desc(), F.col("vec_id").asc()
+    )
+    trimmed = (
+        cand.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= n_cand)
+        .drop("_r")
+    )
+    # exact rerank on the tiny candidate set: fold-order cosine (matches
+    # the SQL oracle's left-assoc dot/norm), candidates x 1 join each side
+    refined = (
+        trimmed.join(F.broadcast(queries), "qid")
+        .join(vectors.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            "cosine_sq8",
+            cosine_expr(F.col("q_embedding"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            "cosine",
+            "cosine_sq8",
+        )
+    )
+
+
+def sq8_topk_oracle_sql(
+    k: int = 5, rerank: int = 4, dim: int = 64, qfilter: int = 29
+) -> str:
+    """DuckDB oracle for sq8_topk: replays the IDENTICAL pinned
+    quantization (floor(x/scale + 0.5), clip after floor), the exact
+    integer dots/norms, the k*rerank candidate cut, and the exact-cosine
+    rerank — bit-exact, not a recall bound."""
+    amax = "greatest(" + ", ".join(
+        f"abs(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, dim + 1)
+    ) + ")"
+    qcols = ", ".join(
+        f"least(127.0, greatest(-127.0, "
+        f"floor(CAST(embedding[{i}] AS DOUBLE) / scale + 0.5))) AS q{i}"
+        for i in range(1, dim + 1)
+    )
+    qnorm = "sqrt(" + " + ".join(f"q{i}*q{i}" for i in range(1, dim + 1)) + ")"
+    qdot = " + ".join(f"a.q{i}*b.q{i}" for i in range(1, dim + 1))
+    dot = dot_sql("q.embedding", "v.embedding", dim)
+    nq, nv = norm_sql("q.embedding", dim), norm_sql("v.embedding", dim)
+    n_cand = k * rerank
+    return f"""
+WITH am AS MATERIALIZED (
+  SELECT vec_id, embedding, {amax} / 127.0 AS scale FROM embeddings
+),
+sq AS MATERIALIZED (SELECT vec_id, {qcols} FROM am),
+nrm AS MATERIALIZED (SELECT *, {qnorm} AS qn FROM sq),
+cand AS (
+  SELECT qid, vec_id, cosine_sq8 FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+           ({qdot}) / (b.qn * a.qn) AS cosine_sq8,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ({qdot}) / (b.qn * a.qn) DESC, b.vec_id ASC
+           ) AS r
+    FROM nrm a JOIN nrm b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id % {qfilter} = 0
+  ) WHERE r <= {n_cand}
+)
+SELECT qid, rank, vec_id, cosine, cosine_sq8 FROM (
+  SELECT c.qid, c.vec_id, c.cosine_sq8,
+         ({dot}) / (({nq}) * ({nv})) AS cosine,
+         row_number() OVER (
+           PARTITION BY c.qid
+           ORDER BY ({dot}) / (({nq}) * ({nv})) DESC, c.vec_id ASC
+         ) AS rank
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.qid
+  JOIN embeddings v ON v.vec_id = c.vec_id
+) WHERE rank <= {k}"""

@@ -161,3 +161,44 @@ def test_ivf_topk_runs_and_ranks(emb):
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
         cosines = [r[1] for r in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_sq8_quantize_properties():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    A = rng.randn(100, DIM)
+    Q = ann.sq8_quantize(A)
+    assert Q.min() >= -127 and Q.max() <= 127
+    assert np.array_equal(Q, np.trunc(Q))  # exact integers
+    # per-row max magnitude quantizes to exactly +/-127
+    hit = np.abs(Q)[np.arange(100), np.argmax(np.abs(A), axis=1)]
+    assert np.all(hit == 127)
+    # dequantized cosine stays close to exact cosine
+    def cosines(M, N):
+        num = (M * N).sum(axis=1)
+        return num / (np.linalg.norm(M, axis=1) * np.linalg.norm(N, axis=1))
+
+    c_exact = cosines(A[:50], A[50:])
+    c_q = cosines(Q[:50], Q[50:])
+    assert np.max(np.abs(c_exact - c_q)) < 0.02
+
+
+def test_sq8_topk_recall_vs_exact(emb):
+    q = _queries(emb)
+    exact = {
+        (r.qid, r.vec_id) for r in ann.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    rows = ann.sq8_topk(emb, q, k=5, rerank=4).collect()
+    got = {(r.qid, r.vec_id) for r in rows}
+    # exact rerank on a 4x candidate pool: high (not guaranteed) recall
+    assert len(got & exact) / len(exact) >= 0.9
+    # ranks contiguous, exact cosine ordering
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.rank, r.cosine))
+    for rows_q in by_q.values():
+        rows_q.sort()
+        assert [x[0] for x in rows_q] == list(range(1, len(rows_q) + 1))
+        cc = [x[1] for x in rows_q]
+        assert cc == sorted(cc, reverse=True)
