@@ -325,6 +325,24 @@ def q_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_dist_to_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed distance to the nearest fixture-loop boundary
+    (S2Polygon::GetDistance composition: closest boundary edge + interior
+    sign): orders points x the PIP loop edges; bit-exact DuckDB oracle
+    with an independent convex-half-plane containment predicate."""
+    from s2geometry_spark.operators.knn import distance_to_boundary_join
+
+    pts = _order_points_xyz(spark, sf_dir)
+    return distance_to_boundary_join(pts, _pip_loops())
+
+
+def _dist_to_boundary_oracle() -> str:
+    from s2geometry_spark.operators.knn import boundary_distance_oracle_sql
+
+    xyz_cte = oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
+    return boundary_distance_oracle_sql(xyz_cte, _pip_loops())
+
+
 def q_project_to_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closest-point projection onto the nearest edge
     (S2ClosestEdgeQuery::Project): customer query points x orders edges;
@@ -1706,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_crossings": q_edge_crossings,
         "knn_edges": q_knn_edges,
         "project_to_edges": q_project_to_edges,
+        "dist_to_boundary": q_dist_to_boundary,
         "chain_interpolate": q_chain_interpolate,
         "closest_cell": q_closest_cell,
         "builder_snap": q_builder_snap,
@@ -1958,6 +1977,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "edge_crossings": _edge_crossings_oracle(),
         "knn_edges": _knn_edges_oracle(),
         "project_to_edges": _project_to_edges_oracle(),
+        "dist_to_boundary": _dist_to_boundary_oracle(),
         "poly_intersection": _poly_bool_oracle("intersection"),
         "poly_union": _poly_bool_oracle("union"),
         "poly_difference": _poly_bool_oracle("difference"),

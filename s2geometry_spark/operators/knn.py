@@ -365,3 +365,156 @@ def hausdorff_distance(
         "h_chord2",
         (2.0 * F.asin(F.sqrt(F.col("h_chord2")) / 2.0)).alias("h_radians"),
     )
+
+
+def distance_to_boundary_join(
+    points: DataFrame, loops: dict[str, "object"]
+) -> DataFrame:
+    """Signed distance to the nearest fixture-loop boundary
+    (S2ClosestEdgeQuery over a polygon's boundary shape +
+    S2ContainsPointQuery sign, the composition behind
+    S2Polygon::GetDistance / s2closest_edge_query.h IncludeInteriors):
+    for every point, the minimum chord^2 distance over ALL loop edges,
+    the winning (loop, edge) pair, the containment flag, and the signed
+    angular distance (negative inside).
+
+    The edge table (sum of loop sizes — broadcast-small by the fixture
+    contract) ships in the UDF closure; points stream ONCE through an
+    Arrow-batched kernel that keeps a running (min, argmin) over edges —
+    ties resolve to the smallest (loop_id, edge_idx), matching the
+    oracle's ORDER BY.  The signed column is chord^2 with an exact sign
+    flip (monotonic in the angle): an asin-based radians column is NOT
+    portable here — Java's and DuckDB's asin disagree in the last ulp
+    for ~3% of these small arguments (measured), unlike the larger
+    chain_centroids arguments where they agreed.
+
+    points: (pid, x, y, z); loops: {rid: Loop}.
+    Returns (pid, rid, edge_idx, dist_chord2, inside, signed_chord2).
+    """
+    from ..kernels import measures, predicates
+
+    rids = sorted(loops)
+    A_list, B_list, code_list, eidx_list = [], [], [], []
+    for ci, rid in enumerate(rids):
+        V = np.asarray(loops[rid].vertices, np.float64)
+        m = V.shape[0]
+        A_list.append(V)
+        B_list.append(np.roll(V, -1, axis=0))
+        code_list.append(np.full(m, ci, np.int64))
+        eidx_list.append(np.arange(m, dtype=np.int64))
+    A = np.concatenate(A_list)
+    B = np.concatenate(B_list)
+    codes = np.concatenate(code_list)
+    eidxs = np.concatenate(eidx_list)
+    loop_data = [
+        (np.asarray(loops[rid].vertices, np.float64), bool(loops[rid].origin_inside))
+        for rid in rids
+    ]
+    sc = points.sparkSession.sparkContext
+    bc = sc.broadcast((A, B, codes, eidxs, loop_data))
+
+    def kern(it):
+        A, B, codes, eidxs, loop_data = bc.value
+        m = A.shape[0]
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "pid": pd.Series(dtype="int64"),
+                        "_code": pd.Series(dtype="int64"),
+                        "edge_idx": pd.Series(dtype="int64"),
+                        "dist_chord2": pd.Series(dtype="float64"),
+                        "inside": pd.Series(dtype="bool"),
+                    }
+                )
+                continue
+            X = pdf[["x", "y", "z"]].to_numpy(np.float64)
+            n = X.shape[0]
+            best_d = np.full(n, np.inf)
+            best_j = np.zeros(n, np.int64)
+            for j in range(m):
+                Aj = np.broadcast_to(A[j], (n, 3))
+                Bj = np.broadcast_to(B[j], (n, 3))
+                d = measures.point_edge_chord2(X, Aj, Bj)
+                upd = d < best_d  # strict: first (smallest) j wins ties
+                best_d = np.where(upd, d, best_d)
+                best_j = np.where(upd, j, best_j)
+            inside = np.zeros(n, bool)
+            for V, oi in loop_data:
+                inside |= predicates.loop_contains_points(V, oi, X)
+            yield pd.DataFrame(
+                {
+                    "pid": pdf["pid"].to_numpy(np.int64),
+                    "_code": codes[best_j],
+                    "edge_idx": eidxs[best_j],
+                    "dist_chord2": best_d,
+                    "inside": inside,
+                }
+            )
+
+    out = points.select("pid", "x", "y", "z").mapInPandas(
+        kern,
+        "pid long, _code long, edge_idx long, dist_chord2 double, inside boolean",
+    )
+    rid_map = F.array(*[F.lit(r) for r in rids])
+    return out.select(
+        "pid",
+        F.element_at(rid_map, F.col("_code").cast("int") + 1).alias("rid"),
+        "edge_idx",
+        "dist_chord2",
+        "inside",
+        F.when(F.col("inside"), -F.col("dist_chord2"))
+        .otherwise(F.col("dist_chord2"))
+        .alias("signed_chord2"),
+    )
+
+
+def boundary_distance_oracle_sql(
+    xyz_cte: str, loops: dict[str, "object"]
+) -> str:
+    """DuckDB replay of distance_to_boundary_join over the same point
+    CTE: edge endpoints as exact double literals, the pinned chord2
+    kernel, argmin by (dist, rid, edge_idx), containment via the
+    independent convex-loop half-plane predicates, exact sign flip."""
+    from .. import oracle as _oracle
+    from ..kernels.measures import point_edge_chord2_sql
+
+    def lit(x: float) -> str:
+        return "%.17e" % x
+
+    rows = []
+    for rid in sorted(loops):
+        V = np.asarray(loops[rid].vertices, np.float64)
+        W = np.roll(V, -1, axis=0)
+        for i in range(V.shape[0]):
+            rows.append(
+                f"('{rid}', {i}, "
+                + ", ".join(lit(c) for c in V[i])
+                + ", "
+                + ", ".join(lit(c) for c in W[i])
+                + ")"
+            )
+    edges = ",\n    ".join(rows)
+    inside_pred = " OR ".join(
+        "(" + _oracle.convex_loop_predicate_sql(loops[rid].vertices) + ")"
+        for rid in sorted(loops)
+    )
+    d = point_edge_chord2_sql("p.", "e.a", "e.b")
+    return f"""WITH {xyz_cte},
+eg(rid, edge_idx, ax, ay, az, bx, by, bz) AS (
+  VALUES
+    {edges}
+),
+ins AS MATERIALIZED (
+  SELECT pid, x, y, z, ({inside_pred}) AS inside FROM xyz
+),
+scored AS MATERIALIZED (
+  SELECT p.pid, e.rid, e.edge_idx, {d} AS dist_chord2, p.inside,
+         row_number() OVER (
+           PARTITION BY p.pid ORDER BY {d} ASC, e.rid ASC, e.edge_idx ASC
+         ) AS r
+  FROM ins p CROSS JOIN eg e
+)
+SELECT pid, rid, edge_idx, dist_chord2, inside,
+       CASE WHEN inside THEN -dist_chord2 ELSE dist_chord2 END AS signed_chord2
+FROM scored WHERE r = 1"""

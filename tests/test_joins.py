@@ -117,5 +117,45 @@ class TestKnnJoin:
         assert (counts["count"] == 5).all()
 
 
+class TestBoundaryDistance:
+    def test_matches_brute_force(self, spark):
+        from s2geometry_spark.kernels import measures
+        from s2geometry_spark.operators.knn import distance_to_boundary_join
+
+        df, P, keys = _points_df(spark, n=2500)
+        rows = {r.pid: r for r in distance_to_boundary_join(df, POLYS).collect()}
+        assert set(rows) == set(keys.tolist())
+        rids = sorted(POLYS)
+        # brute force: min over every loop edge, first-(rid, eidx) tie-break
+        edges = []
+        for rid in rids:
+            V = np.asarray(POLYS[rid].vertices, float)
+            W = np.roll(V, -1, axis=0)
+            edges.extend((rid, i, V[i], W[i]) for i in range(len(V)))
+        n = P.shape[0]
+        best = np.full(n, np.inf)
+        best_j = np.zeros(n, np.int64)
+        for j, (_, _, a, b) in enumerate(edges):
+            d = measures.point_edge_chord2(
+                P, np.broadcast_to(a, (n, 3)), np.broadcast_to(b, (n, 3))
+            )
+            upd = d < best
+            best = np.where(upd, d, best)
+            best_j = np.where(upd, j, best_j)
+        inside = np.zeros(n, bool)
+        for rid in rids:
+            lp = POLYS[rid]
+            inside |= predicates.loop_contains_points(lp.vertices, lp.origin_inside, P)
+        for i, pid in enumerate(keys):
+            r = rows[int(pid)]
+            rid, eidx, _, _ = edges[best_j[i]]
+            assert (r.rid, r.edge_idx) == (rid, eidx)
+            assert r.dist_chord2 == best[i]
+            assert r.inside == inside[i]
+            assert r.signed_chord2 == (-best[i] if inside[i] else best[i])
+        # the fixture must exercise both signs
+        assert inside.any() and not inside.all()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
