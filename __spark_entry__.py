@@ -1655,6 +1655,16 @@ def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Repetition quality signals (dup-token ratio, top-bigram fraction,
+    duplicated-trigram occurrence fraction — the Gopher/MassiveText
+    repetition-filter family); integer-exact counts + pinned divisions,
+    bit-exact DuckDB oracle."""
+    from s2geometry_spark.operators import text
+
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_ann_topk(spark, sf_dir):
     from s2geometry_spark.operators import ann
 
@@ -1749,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "ann_topk": q_ann_topk,
         "emb_near_dup": q_emb_near_dup,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -2014,6 +2025,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "dedup_simhash": dedup.simhash_oracle_sql(max_hamming=16),
         "text_fingerprint": text.fingerprint_oracle_sql(),
+        "text_repetition": text.repetition_oracle_sql(),
         "ann_topk_lsh": ann.lsh_topk_oracle_sql(
             k=ANN_K, nbits=16, bands=8, qfilter=_ANN_QFILTER
         ),

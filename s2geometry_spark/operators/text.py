@@ -325,3 +325,138 @@ folded AS (
 )
 SELECT doc_id, n_terms_matched, score FROM folded
 """
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_distinct, dup_word_ratio, top_bigram_count,
+    top_bigram_frac, dup_trigram_occ, dup_trigram_frac): the standard
+    repetition quality signals for training-data filtering (duplicate
+    token ratio, most-frequent-bigram fraction, fraction of trigram
+    occurrences that are duplicated — the Gopher/MassiveText family of
+    repetition filters).
+
+    Shape: the n-gram counts go through explode -> hash agg (LINEAR in
+    document length, one shuffle keyed on (doc_id, gram)) rather than a
+    per-doc O(L^2) higher-order-function scan, so arbitrarily long
+    documents stay safe at scale.  All counts are integer-exact; the
+    ratios are single pinned divisions, so the DuckDB oracle matches
+    bit-for-bit.
+    """
+    w = words_col()
+    base = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        joined = ", ' ', ".join(f"w[i+{j}]" for j in range(n))
+        expr = f"transform(sequence(0, size(w) - {n}), i -> concat({joined}))"
+        return (
+            base.where(F.size("w") >= n)
+            .select("doc_id", F.explode(F.expr(expr)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    top_bg = grams(2).groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_bigram_count")
+    )
+    dup_tg = grams(3).groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_trigram_occ")
+    )
+    out = (
+        base.drop("w")
+        .join(top_bg, "doc_id", "left")
+        .join(dup_tg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("dup_word_ratio"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.coalesce("dup_trigram_occ", F.lit(0)).alias("dup_trigram_occ"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "dup_word_ratio",
+        "top_bigram_count",
+        F.when(
+            F.col("n_words") > 1,
+            F.col("top_bigram_count").cast("double")
+            / (F.col("n_words") - F.lit(1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        "dup_trigram_occ",
+        F.when(
+            F.col("n_words") > 2,
+            F.col("dup_trigram_occ").cast("double")
+            / (F.col("n_words") - F.lit(2)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+
+
+def repetition_oracle_sql() -> str:
+    """DuckDB replay of repetition_stats: lateral range() n-gram
+    generation, the same integer counts and pinned divisions."""
+    return """
+WITH wrds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS MATERIALIZED (
+  SELECT doc_id, w,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+  FROM wrds
+),
+bg AS (
+  SELECT doc_id, unnest(
+    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+  ) AS g
+  FROM base
+),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+top_bg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count
+           FROM bgc GROUP BY 1),
+tg AS (
+  SELECT doc_id, unnest(
+    list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+  ) AS g
+  FROM base
+),
+tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+dup_tg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_trigram_occ
+  FROM tgc GROUP BY 1
+)
+SELECT b.doc_id, b.n_words, b.n_distinct,
+       1.0 - CAST(b.n_distinct AS DOUBLE) / CAST(b.n_words AS DOUBLE)
+         AS dup_word_ratio,
+       coalesce(t.top_bigram_count, 0) AS top_bigram_count,
+       CASE WHEN b.n_words > 1
+            THEN CAST(coalesce(t.top_bigram_count, 0) AS DOUBLE)
+                   / CAST(b.n_words - 1 AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac,
+       coalesce(d.dup_trigram_occ, 0) AS dup_trigram_occ,
+       CASE WHEN b.n_words > 2
+            THEN CAST(coalesce(d.dup_trigram_occ, 0) AS DOUBLE)
+                   / CAST(b.n_words - 2 AS DOUBLE)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM base b
+LEFT JOIN top_bg t USING (doc_id)
+LEFT JOIN dup_tg d USING (doc_id)
+"""

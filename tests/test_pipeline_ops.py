@@ -202,3 +202,30 @@ def test_sq8_topk_recall_vs_exact(emb):
         assert [x[0] for x in rows_q] == list(range(1, len(rows_q) + 1))
         cc = [x[1] for x in rows_q]
         assert cc == sorted(cc, reverse=True)
+
+
+def test_repetition_stats_hand_case(spark):
+    from s2geometry_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),       # 7 words, 3 distinct; "a b" x3 of 6 bigrams
+            (2, "x y z w v u t s"),     # all distinct, no repeats
+            (3, "q q q q"),             # total repetition
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_ops.repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_distinct) == (7, 3)
+    assert r1.dup_word_ratio == 1.0 - 3.0 / 7.0
+    assert r1.top_bigram_count == 3 and r1.top_bigram_frac == 3.0 / 6.0
+    # trigrams: aba x2, bab x2, bac? -> "a b a" x2, "b a b" x2, "a b c" x1
+    assert r1.dup_trigram_occ == 4 and r1.dup_trigram_frac == 4.0 / 5.0
+    r2 = rows[2]
+    assert r2.dup_word_ratio == 0.0
+    assert r2.top_bigram_count == 1 and r2.dup_trigram_occ == 0
+    r3 = rows[3]
+    assert (r3.n_words, r3.n_distinct) == (4, 1)
+    assert r3.top_bigram_count == 3 and r3.top_bigram_frac == 1.0
+    assert r3.dup_trigram_occ == 2 and r3.dup_trigram_frac == 1.0
