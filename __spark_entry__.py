@@ -1665,6 +1665,15 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(_docs(spark, sf_dir))
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (leakage-safe: the
+    assignment is a pure function of the doc key); portable md5-h32
+    bucketing, bit-exact DuckDB oracle."""
+    from s2geometry_spark.operators import text
+
+    return text.split_assign(_docs(spark, sf_dir))
+
+
 def q_ann_topk(spark, sf_dir):
     from s2geometry_spark.operators import ann
 
@@ -1760,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "split_assign": q_split_assign,
         "ann_topk": q_ann_topk,
         "emb_near_dup": q_emb_near_dup,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -2026,6 +2036,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "dedup_simhash": dedup.simhash_oracle_sql(max_hamming=16),
         "text_fingerprint": text.fingerprint_oracle_sql(),
         "text_repetition": text.repetition_oracle_sql(),
+        "split_assign": text.split_assign_oracle_sql(),
         "ann_topk_lsh": ann.lsh_topk_oracle_sql(
             k=ANN_K, nbits=16, bands=8, qfilter=_ANN_QFILTER
         ),

@@ -460,3 +460,53 @@ FROM base b
 LEFT JOIN top_bg t USING (doc_id)
 LEFT JOIN dup_tg d USING (doc_id)
 """
+
+
+# train/val/test split fractions in permille: stable across runs, joins,
+# and re-partitioning because the assignment depends only on the doc key
+SPLIT_PERMILLE = (("train", 900), ("val", 50), ("test", 50))
+
+
+def split_assign(docs: DataFrame, salt: str = "s2split") -> DataFrame:
+    """(doc_id, bucket, split): deterministic hash-based train/val/test
+    assignment — the standard leakage-safe dataset split (the assignment
+    is a pure function of the document key, so adding/removing OTHER
+    documents, re-sharding, or re-running never moves a document between
+    splits).  bucket = portable md5-h32(salt || doc_id) mod 1000; the
+    split boundaries come from SPLIT_PERMILLE.  Pure codegen projection
+    — no shuffle, trivially scales."""
+    from .dedup import md5_h32
+
+    b = md5_h32(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))) % 1000
+    lo = 0
+    cases = []
+    for name, width in SPLIT_PERMILLE:
+        cases.append((lo, lo + width, name))
+        lo += width
+    assert lo == 1000
+    expr = F.when(
+        F.col("bucket") < cases[0][1], F.lit(cases[0][2])
+    )
+    for lo_, hi, name in cases[1:]:
+        expr = expr.when(F.col("bucket") < hi, F.lit(name))
+    return (
+        docs.select("doc_id")
+        .withColumn("bucket", b.cast("long"))
+        .select("doc_id", "bucket", expr.alias("split"))
+    )
+
+
+def split_assign_oracle_sql(salt: str = "s2split") -> str:
+    from .dedup import md5_h32_sql
+
+    h = md5_h32_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    cases = []
+    lo = 0
+    for name, width in SPLIT_PERMILLE:
+        cases.append(f"WHEN bucket < {lo + width} THEN '{name}'")
+        lo += width
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH b AS (SELECT doc_id, ({h}) % 1000 AS bucket FROM documents)
+SELECT doc_id, bucket, {case} AS split FROM b
+"""

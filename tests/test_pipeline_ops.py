@@ -229,3 +229,25 @@ def test_repetition_stats_hand_case(spark):
     assert (r3.n_words, r3.n_distinct) == (4, 1)
     assert r3.top_bigram_count == 3 and r3.top_bigram_frac == 1.0
     assert r3.dup_trigram_occ == 2 and r3.dup_trigram_frac == 1.0
+
+
+def test_split_assign_stability(spark):
+    """Assignment is a pure function of the key: subsets, re-sharding,
+    and re-runs never move a document between splits."""
+    from s2geometry_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 301)], "doc_id long, text string"
+    )
+    full = {r.doc_id: r.split for r in text_ops.split_assign(docs).collect()}
+    subset = docs.where(F.col("doc_id") % 3 == 0).repartition(7)
+    sub = {r.doc_id: r.split for r in text_ops.split_assign(subset).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    again = {r.doc_id: r.split for r in text_ops.split_assign(docs).collect()}
+    assert again == full
+    # all three splits materialize and roughly follow 90/5/5
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 200
