@@ -1525,6 +1525,16 @@ def q_img_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(both, max_dist=2)
 
 
+def q_img_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image quality screening (luma mean/std + histogram entropy +
+    keep verdict) — one fused decode pass; rows-only check (binary)."""
+    from s2geometry_spark.operators import image_pipeline as ip
+    from s2geometry_spark.sources import images as imgsrc
+
+    n = imgsrc.n_images_for_sf_dir(sf_dir)
+    return ip.image_quality(imgsrc.images_df(spark, n))
+
+
 def q_img_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUST return 0 rows: every image decodes to PSNR>=40dB (lossy) or
     exactly (lossless) vs its source, with caption exact-equality."""
@@ -1756,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
+        "img_quality": q_img_quality,
         "img_phash_near_dup": q_img_phash_near_dup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -317,3 +317,77 @@ def images_pip_join(
         F.col("image_id").alias("pid"), "x", "y", "z", "cell"
     )
     return contains_join(spark, pts, index).withColumnRenamed("pid", "image_id")
+
+
+QUALITY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("n_px", LongType(), False),
+        StructField("mean_luma", DoubleType(), False),
+        StructField("std_luma", DoubleType(), False),
+        StructField("entropy_bits", DoubleType(), False),
+        StructField("keep", BooleanType(), False),
+    ]
+)
+
+# conventional screening thresholds for photographic training data:
+# near-black / near-white frames, flat (low-contrast) frames, and
+# synthetic/degenerate content with a collapsed intensity histogram
+QUALITY_MIN_MEAN = 16.0
+QUALITY_MAX_MEAN = 235.0
+QUALITY_MIN_STD = 8.0
+QUALITY_MIN_ENTROPY = 2.0
+
+
+def _quality_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, npx, means, stds, ents, keeps = [], [], [], [], [], []
+        for row in pdf.itertuples(index=False):
+            px, _ = imagecodec.decode(bytes(row.bytes))
+            p = px.astype(np.float64)
+            luma = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+            m = float(luma.mean())
+            s = float(luma.std())
+            hist = np.bincount(
+                np.clip(luma.astype(np.int64), 0, 255).ravel(), minlength=256
+            )
+            q = hist[hist > 0] / luma.size
+            ent = float(-(q * np.log2(q)).sum())
+            keep = (
+                QUALITY_MIN_MEAN <= m <= QUALITY_MAX_MEAN
+                and s >= QUALITY_MIN_STD
+                and ent >= QUALITY_MIN_ENTROPY
+            )
+            ids.append(row.image_id)
+            npx.append(luma.size)
+            means.append(m)
+            stds.append(s)
+            ents.append(ent)
+            keeps.append(keep)
+        yield pd.DataFrame(
+            {
+                "image_id": ids,
+                "n_px": npx,
+                "mean_luma": means,
+                "std_luma": stds,
+                "entropy_bits": ents,
+                "keep": keeps,
+            }
+        )
+
+
+def image_quality(images: DataFrame) -> DataFrame:
+    """Per-image quality screening (the image-pipeline analogue of the
+    text quality/repetition filters): decode once, emit luma mean/std and
+    the Shannon entropy of the 256-bin luma histogram, plus a `keep`
+    verdict against the conventional near-black / near-white / flat /
+    collapsed-histogram thresholds.
+
+    ONE Arrow-batched mapInPandas pass over (image_id, bytes) — no
+    binary caching, no second decode; downstream filters join on the
+    narrow verdict table.  Rows-only check (binary decode is not
+    SQL-expressible).
+    """
+    return images.select("image_id", "bytes").mapInPandas(
+        _quality_batches, QUALITY_SCHEMA
+    )

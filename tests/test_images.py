@@ -226,3 +226,30 @@ def test_images_pip_join_vs_bruteforce(spark, images_geo):
         want |= {(rows[i].image_id, rid) for i in np.flatnonzero(inside)}
     assert got == want
     assert want  # hot spots guarantee non-empty
+
+
+def test_image_quality_screening(spark):
+    """Hand-made degenerate frames trip each quality gate; a textured
+    frame passes."""
+    from s2geometry_spark.operators.image_pipeline import image_quality
+
+    rng = np.random.RandomState(4)
+    textured = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    black = np.zeros((24, 24, 3), np.uint8)
+    white = np.full((24, 24, 3), 255, np.uint8)
+    flat = np.full((24, 24, 3), 128, np.uint8)  # mid-gray, zero contrast
+    rows = [
+        ("ok", imagecodec.encode(textured, "raw")),
+        ("black", imagecodec.encode(black, "raw")),
+        ("white", imagecodec.encode(white, "raw")),
+        ("flat", imagecodec.encode(flat, "raw")),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r.image_id: r for r in image_quality(df).collect()}
+    assert got["ok"].keep
+    assert not got["black"].keep and got["black"].mean_luma < 16.0
+    assert not got["white"].keep and got["white"].mean_luma > 235.0
+    assert not got["flat"].keep and got["flat"].std_luma < 1e-9
+    assert abs(got["flat"].entropy_bits) == 0.0
+    assert got["ok"].entropy_bits > 5.0
+    assert all(r.n_px == 24 * 24 for r in got.values())
