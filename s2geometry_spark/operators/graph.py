@@ -54,6 +54,20 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+
+    def label_sum(df: DataFrame):
+        # exact fixpoint witness: labels are node ids and every round can
+        # only DECREASE them (min of self + neighbors), so the total is
+        # strictly monotone until convergence.  One narrow single-stage
+        # aggregate over the just-checkpointed frame — replaces the old
+        # new-vs-old join + filter + count round-trip (2x the per-round
+        # driver actions on a tiny iterative workload).  decimal(38,0)
+        # keeps the sum exact for any int64 node-id range.
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    prev = label_sum(lbl)
     for _ in range(max_iter):
         prop = edges.join(lbl, edges["u"] == lbl["node"]).select(
             F.col("v").alias("node"), F.col("label")
@@ -64,18 +78,14 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(lbl.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur = label_sum(new)
         lbl = new
-        if changed == 0:
+        if cur == prev:
             edges.unpersist()
             return lbl.select(
                 F.col("node").alias(node_col), F.col("label").alias(label_col)
             )
+        prev = cur
     edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
