@@ -1525,6 +1525,22 @@ def q_img_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(both, max_dist=2)
 
 
+def q_img_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup CLUSTERS: the pHash pair join composed with
+    distributed connected components (one keeper per transitive group);
+    rows-only check (binary decode)."""
+    from s2geometry_spark.operators.image_dedup import (
+        phash_dedup_clusters,
+        reencoded_variants,
+    )
+    from s2geometry_spark.sources import images as imgsrc
+
+    n = imgsrc.n_images_for_sf_dir(sf_dir)
+    corpus = imgsrc.images_df(spark, n).select("image_id", "bytes")
+    both = corpus.unionByName(reencoded_variants(corpus, fmt="qnt"))
+    return phash_dedup_clusters(both, max_dist=2)
+
+
 def q_img_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image quality screening (luma mean/std + histogram entropy +
     keep verdict) — one fused decode pass; rows-only check (binary)."""
@@ -1767,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
         "img_quality": q_img_quality,
+        "img_dedup_clusters": q_img_dedup_clusters,
         "img_phash_near_dup": q_img_phash_near_dup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -188,3 +188,47 @@ def reencoded_variants(
     return images.select(id_col, "bytes").mapInPandas(
         batches, f"{id_col} string, bytes binary"
     )
+
+
+def phash_dedup_clusters(
+    images: DataFrame, max_dist: int = 2, id_col: str = "image_id"
+) -> DataFrame:
+    """(image_id, canonical_id, cluster_size): perceptual near-duplicate
+    CLUSTERS — the keep-one-per-group step a dedup pipeline actually
+    executes, composing phash_near_dup_pairs with the distributed
+    connected-components operator (operators/graph.py).
+
+    The components loop needs integer node ids (its fixpoint witness is
+    an exact label sum), so string image ids are bridged through the
+    portable md5-h64 (collision odds ~2^-64 per pair — acceptable for a
+    perceptual grouping whose hash distance is itself approximate).  The
+    canonical id is the lexicographically smallest member, computed per
+    component AFTER labeling so the output is hash-order independent.
+    Only images that appear in at least one pair are emitted (singletons
+    are their own keeper by definition).
+    """
+    from .dedup import md5_h64
+    from .graph import connected_components
+
+    pairs = phash_near_dup_pairs(images, max_dist=max_dist, id_col=id_col)
+    e = pairs.select(
+        md5_h64(F.col("id_a")).alias("doc_a"),
+        md5_h64(F.col("id_b")).alias("doc_b"),
+    )
+    comp = connected_components(e)  # (doc_id, component_id) over hashes
+    nodes = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+        .withColumn("_h", md5_h64(F.col(id_col)))
+    )
+    labeled = nodes.join(comp, nodes["_h"] == comp["doc_id"]).select(
+        id_col, "component_id"
+    )
+    groups = labeled.groupBy("component_id").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return labeled.join(groups, "component_id").select(
+        id_col, "canonical_id", "cluster_size"
+    )

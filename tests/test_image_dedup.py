@@ -94,3 +94,35 @@ def test_two_table_form(spark):
 def test_max_dist_guard():
     with pytest.raises(ValueError):
         phash_near_dup_pairs(None, max_dist=N_BANDS)
+
+
+def test_phash_dedup_clusters(spark):
+    """Every planted original/variant pair lands in one cluster with a
+    consistent canonical id; cluster_size matches membership."""
+    from collections import defaultdict
+
+    from s2geometry_spark.operators.image_dedup import (
+        phash_dedup_clusters,
+        reencoded_variants,
+    )
+    from s2geometry_spark.sources import images as imgsrc
+
+    corpus = imgsrc.images_df(spark, 120).select("image_id", "bytes")
+    both = corpus.unionByName(reencoded_variants(corpus, fmt="qnt"))
+    rows = phash_dedup_clusters(both, max_dist=2).collect()
+    by_canon = defaultdict(set)
+    canon_of = {}
+    size_of = {}
+    for r in rows:
+        by_canon[r.canonical_id].add(r.image_id)
+        canon_of[r.image_id] = r.canonical_id
+        size_of[r.image_id] = r.cluster_size
+    # each original clusters with its dup- variant
+    for r in rows:
+        if r.image_id.startswith("dup-"):
+            src = r.image_id[len("dup-"):]
+            assert canon_of.get(src) == r.canonical_id, r.image_id
+    # canonical is the min member; size is the member count
+    for canon, members in by_canon.items():
+        assert canon == min(members)
+        assert all(size_of[m] == len(members) for m in members)
