@@ -378,15 +378,19 @@ def project_to_edge_pinned(
     return np.stack([px, py, pz], axis=1)
 
 
-def project_to_edge_sql_ctes(src: str) -> str:
+def project_to_edge_sql_ctes(
+    src: str, keep: str = "qid, eid, dist_chord2, qx, qy, qz"
+) -> str:
     """DuckDB CTE chain replaying project_to_edge_pinned over a source
-    relation `src` with columns (qid, eid, dist_chord2, qx..qz unit
-    query point, e0x..e1z unit edge endpoints).  Intermediates are
+    relation `src` with columns (qx..qz unit query point, e0x..e1z unit
+    edge endpoints, plus any pass-through id columns).  ``keep`` lists
+    every column to carry through — it MUST include qx, qy, qz (the
+    kernel reads them and downstream CASEs may too).  Intermediates are
     pinned in MATERIALIZED CTEs (a single giant inlined expression can
-    perturb the last ulp of multiply-add chains).  Final SELECT yields
-    (qid, eid, dist_chord2, px, py, pz)."""
+    perturb the last ulp of multiply-add chains).  Final CTE `prj_out`
+    yields (``keep``, px, py, pz)."""
     return f"""prj_n AS MATERIALIZED (
-  SELECT qid, eid, dist_chord2, qx, qy, qz,
+  SELECT {keep},
          e0x, e0y, e0z, e1x, e1y, e1z,
          (e0y*e1z - e0z*e1y) AS nx,
          (e0z*e1x - e0x*e1z) AS ny,
@@ -417,7 +421,7 @@ prj_pn AS MATERIALIZED (
   FROM prj_p0
 ),
 prj_out AS MATERIALIZED (
-  SELECT qid, eid, dist_chord2,
+  SELECT {keep},
     CASE WHEN d_na > 0 AND d_nb > 0 THEN p0x / pn
          WHEN da <= db THEN e0x ELSE e1x END AS px,
     CASE WHEN d_na > 0 AND d_nb > 0 THEN p0y / pn

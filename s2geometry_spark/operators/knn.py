@@ -389,7 +389,10 @@ def distance_to_boundary_join(
     chain_centroids arguments where they agreed.
 
     points: (pid, x, y, z); loops: {rid: Loop}.
-    Returns (pid, rid, edge_idx, dist_chord2, inside, signed_chord2).
+    Returns (pid, rid, edge_idx, dist_chord2, inside, signed_chord2,
+    px, py, pz) — the projection columns implement S2Polygon::Project
+    (s2polygon.cc Project): the point itself when inside, else the
+    closest boundary point (pinned kernel, bit-exact SQL twin).
     """
     from ..kernels import measures, predicates
 
@@ -425,6 +428,9 @@ def distance_to_boundary_join(
                         "edge_idx": pd.Series(dtype="int64"),
                         "dist_chord2": pd.Series(dtype="float64"),
                         "inside": pd.Series(dtype="bool"),
+                        "px": pd.Series(dtype="float64"),
+                        "py": pd.Series(dtype="float64"),
+                        "pz": pd.Series(dtype="float64"),
                     }
                 )
                 continue
@@ -442,6 +448,12 @@ def distance_to_boundary_join(
             inside = np.zeros(n, bool)
             for V, oi in loop_data:
                 inside |= predicates.loop_contains_points(V, oi, X)
+            # S2Polygon::Project semantics: the point itself when inside,
+            # else the closest boundary point on the winning edge
+            P = measures.project_to_edge_pinned(X, A[best_j], B[best_j])
+            px = np.where(inside, X[:, 0], P[:, 0])
+            py = np.where(inside, X[:, 1], P[:, 1])
+            pz = np.where(inside, X[:, 2], P[:, 2])
             yield pd.DataFrame(
                 {
                     "pid": pdf["pid"].to_numpy(np.int64),
@@ -449,12 +461,16 @@ def distance_to_boundary_join(
                     "edge_idx": eidxs[best_j],
                     "dist_chord2": best_d,
                     "inside": inside,
+                    "px": px,
+                    "py": py,
+                    "pz": pz,
                 }
             )
 
     out = points.select("pid", "x", "y", "z").mapInPandas(
         kern,
-        "pid long, _code long, edge_idx long, dist_chord2 double, inside boolean",
+        "pid long, _code long, edge_idx long, dist_chord2 double, "
+        "inside boolean, px double, py double, pz double",
     )
     rid_map = F.array(*[F.lit(r) for r in rids])
     return out.select(
@@ -466,6 +482,9 @@ def distance_to_boundary_join(
         F.when(F.col("inside"), -F.col("dist_chord2"))
         .otherwise(F.col("dist_chord2"))
         .alias("signed_chord2"),
+        "px",
+        "py",
+        "pz",
     )
 
 
@@ -475,9 +494,13 @@ def boundary_distance_oracle_sql(
     """DuckDB replay of distance_to_boundary_join over the same point
     CTE: edge endpoints as exact double literals, the pinned chord2
     kernel, argmin by (dist, rid, edge_idx), containment via the
-    independent convex-loop half-plane predicates, exact sign flip."""
+    independent convex-loop half-plane predicates, exact sign flip,
+    pinned projection CTE chain for the Project columns."""
     from .. import oracle as _oracle
-    from ..kernels.measures import point_edge_chord2_sql
+    from ..kernels.measures import (
+        point_edge_chord2_sql,
+        project_to_edge_sql_ctes,
+    )
 
     def lit(x: float) -> str:
         return "%.17e" % x
@@ -510,11 +533,26 @@ ins AS MATERIALIZED (
 ),
 scored AS MATERIALIZED (
   SELECT p.pid, e.rid, e.edge_idx, {d} AS dist_chord2, p.inside,
+         p.x AS qx, p.y AS qy, p.z AS qz,
+         e.ax AS e0x, e.ay AS e0y, e.az AS e0z,
+         e.bx AS e1x, e.by AS e1y, e.bz AS e1z,
          row_number() OVER (
            PARTITION BY p.pid ORDER BY {d} ASC, e.rid ASC, e.edge_idx ASC
          ) AS r
   FROM ins p CROSS JOIN eg e
-)
+),
+best AS MATERIALIZED (
+  SELECT pid, rid, edge_idx, dist_chord2, inside,
+         qx, qy, qz, e0x, e0y, e0z, e1x, e1y, e1z
+  FROM scored WHERE r = 1
+),
+{project_to_edge_sql_ctes(
+        "best",
+        keep="pid, rid, edge_idx, dist_chord2, inside, qx, qy, qz",
+    )}
 SELECT pid, rid, edge_idx, dist_chord2, inside,
-       CASE WHEN inside THEN -dist_chord2 ELSE dist_chord2 END AS signed_chord2
-FROM scored WHERE r = 1"""
+       CASE WHEN inside THEN -dist_chord2 ELSE dist_chord2 END AS signed_chord2,
+       CASE WHEN inside THEN qx ELSE px END AS px,
+       CASE WHEN inside THEN qy ELSE py END AS py,
+       CASE WHEN inside THEN qz ELSE pz END AS pz
+FROM prj_out"""

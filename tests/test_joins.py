@@ -153,6 +153,18 @@ class TestBoundaryDistance:
             assert r.dist_chord2 == best[i]
             assert r.inside == inside[i]
             assert r.signed_chord2 == (-best[i] if inside[i] else best[i])
+            # S2Polygon::Project: the point itself inside, else the
+            # closest boundary point on the winning edge
+            if inside[i]:
+                assert (r.px, r.py, r.pz) == tuple(P[i])
+            else:
+                _, _, a, b = edges[best_j[i]]
+                want = measures.project_to_edge_pinned(
+                    P[i : i + 1],
+                    np.broadcast_to(a, (1, 3)).copy(),
+                    np.broadcast_to(b, (1, 3)).copy(),
+                )[0]
+                assert (r.px, r.py, r.pz) == tuple(want)
         # the fixture must exercise both signs
         assert inside.any() and not inside.all()
 
