@@ -210,7 +210,11 @@ def phash_dedup_clusters(
     from .dedup import md5_h64
     from .graph import connected_components
 
-    pairs = phash_near_dup_pairs(images, max_dist=max_dist, id_col=id_col)
+    # persist the pair list for the call's lifetime: it is consumed by
+    # the edge list, the node table, and the final label join — without
+    # this each consumer re-runs the decode -> pHash -> banded-join
+    # pipeline (the round-2 minhash recompute lesson)
+    pairs = phash_near_dup_pairs(images, max_dist=max_dist, id_col=id_col).persist()
     e = pairs.select(
         md5_h64(F.col("id_a")).alias("doc_a"),
         md5_h64(F.col("id_b")).alias("doc_b"),

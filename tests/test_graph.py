@@ -69,3 +69,16 @@ class TestConnectedComponents:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_long_chain_converges(spark):
+    """A 600-node path graph (diameter 599) must converge well inside the
+    25-round budget — pointer doubling makes rounds O(log diameter)."""
+    from s2geometry_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 600)], "doc_a long, doc_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 600
+    assert all(r.component_id == 1 for r in rows)
