@@ -10,6 +10,8 @@ produce bit-identical cell ids.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -785,6 +787,128 @@ def _polyline_consensus_oracle() -> str:
     )
     verts_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
     return consensus_oracle_sql(verts_sql, f"chain_id // {_ALIGN_GROUP}")
+
+
+# --- S2Polyline::NearlyCovers (s2polyline.cc:696) over derived chain
+# pairs: 'sub' = does the full chain cover its every-8th-vertex-dropped
+# subsample, 'rev' = the reverse direction, 'cross' = unrelated
+# neighbour chains (blobs ~eps apart, never covered).  tol = 3 degrees
+# splits sub/rev into a genuine true/false mix at every sf (corner-cut
+# deviation varies per chain); the squared-chord threshold is computed
+# ONCE here and shipped to both engines as the same literal.
+_NEARCOVER_TOL_RAD = math.radians(3.0)
+_NEARCOVER_CH2_TOL = (2.0 * math.sin(_NEARCOVER_TOL_RAD / 2.0)) ** 2
+
+
+def _nearcover_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    full = ca.select(
+        (F.col("chain_id") * 2).alias("chain_id"), "seq", "x", "y", "z"
+    )
+    sub = ca.where(F.col("seq") % 8 != 3).select(
+        (F.col("chain_id") * 2 + 1).alias("chain_id"), "seq", "x", "y", "z"
+    )
+    return full.unionByName(sub), ca.select("chain_id").distinct()
+
+
+def q_polyline_nearly_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Polyline::NearlyCovers join (s2polyline.cc:718): per chain
+    pair, can a car drive along B staying within 3 degrees of a car
+    driving monotonically along A?  The DuckDB oracle replays the
+    whole (i, j, i_in_progress) state search — pinned projections,
+    IsEdgeBNearEdgeA gates, recursive-CTE reachability — bit-exactly."""
+    from s2geometry_spark.operators.nearcover import nearly_covers_pairs
+
+    chains, ids = _nearcover_chains(spark, sf_dir)
+    p_sub = ids.select(
+        (F.col("chain_id") * 2).alias("chain_a"),
+        (F.col("chain_id") * 2 + 1).alias("chain_b"),
+        F.lit("sub").alias("kind"),
+    )
+    p_rev = ids.select(
+        (F.col("chain_id") * 2 + 1).alias("chain_a"),
+        (F.col("chain_id") * 2).alias("chain_b"),
+        F.lit("rev").alias("kind"),
+    )
+    p_cross = (
+        ids.select(F.col("chain_id").alias("ca_id"))
+        .join(
+            ids.select((F.col("chain_id") - 1).alias("ca_id"),
+                       (F.col("chain_id") * 2).alias("chain_b")),
+            "ca_id",
+        )
+        .select(
+            (F.col("ca_id") * 2).alias("chain_a"),
+            "chain_b",
+            F.lit("cross").alias("kind"),
+        )
+    )
+    pairs = p_sub.unionByName(p_rev).unionByName(p_cross)
+    return nearly_covers_pairs(spark, chains, pairs, _NEARCOVER_CH2_TOL)
+
+
+def _polyline_nearly_covers_oracle() -> str:
+    from s2geometry_spark.operators.nearcover import nearly_covers_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    # note: the union lives in an inner CTE — under WITH RECURSIVE,
+    # DuckDB mis-scopes a nested WITH whose body is a top-level UNION
+    verts_sql = f"""WITH {cte}, u AS (
+  SELECT chain_id * 2 AS chain_id, seq, x, y, z FROM axyz
+  UNION ALL
+  SELECT chain_id * 2 + 1, seq, x, y, z FROM axyz WHERE seq % 8 <> 3
+) SELECT * FROM u"""
+    pairs_sql = f"""WITH {cte}, ids AS (SELECT DISTINCT chain_id AS c FROM axyz), u AS (
+  SELECT c*8 AS pair_id, c*2 AS chain_a, c*2+1 AS chain_b, 'sub' AS kind FROM ids
+  UNION ALL SELECT c*8+1, c*2+1, c*2, 'rev' FROM ids
+  UNION ALL SELECT a.c*8+2, a.c*2, b.c*2, 'cross'
+    FROM ids a JOIN ids b ON b.c = a.c + 1
+) SELECT * FROM u"""
+    return nearly_covers_oracle_sql(verts_sql, pairs_sql, _NEARCOVER_CH2_TOL)
+
+
+# --- S2Builder iterative site merging (ChooseInitialSites,
+# s2builder.cc:727) for the IDENTITY snap function — the non-grid snap
+# path.  sep = 1 degree merges ~42% of the fixture's vertices without
+# collapsing chains; the squared-chord literal ships to both engines.
+_SITE_SEP_RAD = math.radians(1.0)
+_SITE_SEP_CH2 = (2.0 * math.sin(_SITE_SEP_RAD / 2.0)) ** 2
+_SITE_GROUP = 5
+
+
+def q_builder_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Builder site merging for IdentitySnapFunction (ChooseInitial-
+    Sites, s2builder.cc:727-789; SortInputVertices order :615): per
+    5-chain group, greedy Hilbert-ordered site selection with
+    min_vertex_separation = 1 degree, nearest-site vertex snapping, and
+    degenerate-edge collapse.  The DuckDB oracle replays the greedy
+    loop as one list_reduce fold per group — sites, assignments and
+    verdicts are bit-exact (identity snap copies input doubles)."""
+    from s2geometry_spark.operators.builder_ops import identity_snap_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    ca = ca.withColumn(
+        "group_id", F.expr(f"chain_id div {_SITE_GROUP}").cast("long")
+    )
+    return identity_snap_chains(ca, _SITE_SEP_CH2)
+
+
+def _builder_sites_oracle() -> str:
+    from s2geometry_spark.operators.builder_ops import identity_snap_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    verts_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    return identity_snap_oracle_sql(
+        verts_sql, f"chain_id // {_SITE_GROUP}", _SITE_SEP_CH2
+    )
 
 
 # --- boundary-model clip fixtures (S2BooleanOperation polygon/polyline
@@ -1762,6 +1886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_medoid": q_polyline_medoid,
         "polyline_clip_models": q_polyline_clip_models,
         "polyline_consensus": q_polyline_consensus,
+        "polyline_nearly_covers": q_polyline_nearly_covers,
+        "builder_sites": q_builder_sites,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
@@ -2037,6 +2163,8 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "polyline_medoid": _polyline_medoid_oracle(),
         "polyline_clip_models": _polyline_clip_models_oracle(),
         "polyline_consensus": _polyline_consensus_oracle(),
+        "polyline_nearly_covers": _polyline_nearly_covers_oracle(),
+        "builder_sites": _builder_sites_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),

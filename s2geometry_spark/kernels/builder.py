@@ -156,3 +156,48 @@ def snap_round_chain(xyz: np.ndarray, level: int) -> np.ndarray:
         out.append(snapped[i + 1])
     W = simplify_chain(np.stack(out))
     return W if W.shape[0] >= 2 else W[:0]
+
+
+def choose_sites(V: np.ndarray, sep_chord2: float) -> tuple[np.ndarray, np.ndarray]:
+    """S2Builder::ChooseInitialSites for IdentitySnapFunction(r) — the
+    iterative site-merging loop for NON-grid snap functions
+    (s2builder.cc:727-789): consider input vertices in the
+    SortInputVertices order (leaf S2CellId, then point lexicographic,
+    then input index — s2builder.cc:615-686); each vertex becomes a new
+    site unless an already-chosen site lies within
+    min_vertex_separation == snap_radius (CompareDistance(site, s, sep)
+    <= 0, i.e. chord2 <= sep_chord2 INCLUSIVE).  Identity snap means
+    site == vertex, bit-for-bit.
+
+    Returns (sites (s,3) in chosen order, site_id (n,) per input row =
+    the nearest chosen site by pinned chord2, ties -> lowest site id —
+    the guaranteed-within-snap-radius assignment S2Builder's SnapEdge
+    uses).  O(n*s) per call; callers bound group sizes (same contract
+    as the alignment/simplify operators).
+    """
+    V = np.asarray(V, np.float64)
+    n = V.shape[0]
+    if n == 0:
+        return V[:0], np.zeros(0, np.int64)
+    leaf = cellid.to_biased(cellid.from_xyz(V[:, 0], V[:, 1], V[:, 2]))
+    order = np.lexsort((np.arange(n), V[:, 2], V[:, 1], V[:, 0], leaf))
+    S = np.empty((n, 3), np.float64)
+    cnt = 0
+    for idx in order:
+        v = V[idx]
+        if cnt:
+            dx = S[:cnt, 0] - v[0]
+            dy = S[:cnt, 1] - v[1]
+            dz = S[:cnt, 2] - v[2]
+            c2 = (dx * dx + dy * dy) + dz * dz
+            if (c2 <= sep_chord2).any():
+                continue
+        S[cnt] = v
+        cnt += 1
+    sites = S[:cnt].copy()
+    dx = V[:, None, 0] - sites[None, :, 0]
+    dy = V[:, None, 1] - sites[None, :, 1]
+    dz = V[:, None, 2] - sites[None, :, 2]
+    c2 = (dx * dx + dy * dy) + dz * dz
+    sid = np.argmin(c2, axis=1).astype(np.int64)  # first min = lowest id
+    return sites, sid

@@ -213,3 +213,146 @@ final0 AS MATERIALIZED (
 {oracle.cell_center_xyz_cte("final0", "vcell", level, out_name="fin", prefix="e_")}
 SELECT chain_id, seq, vcell AS snap_cell, cx AS sx, cy AS sy, cz AS sz FROM fin
 """
+
+
+def identity_snap_chains(
+    chains: DataFrame,
+    sep_chord2: float,
+    group_col: str = "group_id",
+    chain_col: str = "chain_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """S2Builder ChooseInitialSites + vertex snapping for
+    IdentitySnapFunction(r) — the iterative site-merging loop for
+    NON-grid snap functions (s2builder.cc:727-789) — per independent
+    GROUP of chains: all vertices of a group feed one greedy
+    Hilbert-ordered site selection (kernels.builder.choose_sites), each
+    vertex snaps to its nearest site, and consecutive duplicate sites
+    collapse (the builder's degenerate-edge removal).
+
+    Output (group_id, chain_id, pos, site_id, sx, sy, sz): pos is the
+    0-based position in the snapped chain, site_id the site's index in
+    the group's chosen order.  One shuffle (groupBy group); groups are
+    independent, so the pass distributes across them — the same
+    parallelism contract as the alignment/medoid operators.
+    """
+
+    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([chain_col, seq_col]).reset_index(drop=True)
+        V = pdf[["x", "y", "z"]].to_numpy(np.float64)
+        sites, sid = builder.choose_sites(V, sep_chord2)
+        gid = pdf[group_col].iloc[0]
+        out = {c: [] for c in
+               (group_col, chain_col, "pos", "site_id", "sx", "sy", "sz")}
+        for cid, grp in pdf.groupby(chain_col, sort=True):
+            s = sid[grp.index.to_numpy()]
+            keep = np.ones(len(s), bool)
+            keep[1:] = s[1:] != s[:-1]
+            ks = s[keep]
+            out[group_col].extend([gid] * len(ks))
+            out[chain_col].extend([cid] * len(ks))
+            out["pos"].extend(range(len(ks)))
+            out["site_id"].extend(ks.tolist())
+            out["sx"].extend(sites[ks, 0].tolist())
+            out["sy"].extend(sites[ks, 1].tolist())
+            out["sz"].extend(sites[ks, 2].tolist())
+        return pd.DataFrame(out)
+
+    return chains.groupBy(group_col).applyInPandas(
+        one_group,
+        f"{group_col} long, {chain_col} long, pos long, site_id long, "
+        "sx double, sy double, sz double",
+    )
+
+
+def identity_snap_oracle_sql(table_sql: str, group_expr: str, sep_chord2: float) -> str:
+    """DuckDB replay of identity_snap_chains over a chain table
+    (``table_sql`` yields chain_id, seq, x, y, z; ``group_expr`` derives
+    group_id from chain_id):
+
+    leaf-encode every vertex (forward Hilbert CTE) -> per-group ordered
+    vertex list in the SortInputVertices order (biased leaf cell id,
+    point lexicographic, chain_id, seq — biased int64 compares equal to
+    the reference's uint64 compare) -> a RECURSIVE CTE replays the
+    greedy site merge one vertex per iteration, all groups advancing in
+    lockstep (the chosen-site list is the recursion state; a vertex
+    joins it iff no member is within sep_chord2, the same pinned chord2
+    both engines compare — a list_reduce would be natural but DuckDB
+    1.0 mis-binds lambdas nested inside lambdas, so the membership test
+    must capture plain columns instead) -> zip-unnest the site list with
+    its ordinals -> per-vertex argmin assignment (row_number over
+    chord2, site_id) -> window-collapse consecutive duplicates ->
+    renumber.  Identity snap copies input doubles, so sites, distances
+    and verdicts are all bit-exact."""
+    from .. import oracle
+
+    sep = repr(float(sep_chord2))
+    near = (
+        "len(list_filter(g.sites, s -> "
+        "((s.x - v.x)*(s.x - v.x) + (s.y - v.y)*(s.y - v.y))"
+        " + (s.z - v.z)*(s.z - v.z) <= " + sep + ")) > 0"
+    )
+    return f"""
+WITH RECURSIVE verts AS MATERIALIZED ({table_sql}),
+gsrc AS MATERIALIZED (
+  SELECT chain_id, seq, x, y, z, CAST({group_expr} AS BIGINT) AS group_id
+  FROM verts
+),
+{oracle.leaf_from_xyz_cte("gsrc")},
+ordv AS MATERIALIZED (
+  SELECT group_id, chain_id, seq, x, y, z,
+         row_number() OVER (
+           PARTITION BY group_id
+           ORDER BY cell_leaf, x, y, z, chain_id, seq
+         ) AS rn
+  FROM leaf
+),
+grow AS (
+  SELECT group_id, rn, [struct_pack(x := x, y := y, z := z)] AS sites
+  FROM ordv WHERE rn = 1
+  UNION ALL
+  SELECT g.group_id, v.rn,
+         CASE WHEN {near} THEN g.sites
+              ELSE list_append(g.sites, struct_pack(x := v.x, y := v.y, z := v.z))
+         END AS sites
+  FROM grow g
+  JOIN ordv v ON v.group_id = g.group_id AND v.rn = g.rn + 1
+),
+folded AS MATERIALIZED (
+  SELECT group_id, sites
+  FROM grow
+  QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY rn DESC) = 1
+),
+sites_tbl AS MATERIALIZED (
+  SELECT group_id,
+         unnest(range(0, len(sites))) AS site_id,
+         unnest(list_transform(sites, s -> s.x)) AS sx,
+         unnest(list_transform(sites, s -> s.y)) AS sy,
+         unnest(list_transform(sites, s -> s.z)) AS sz
+  FROM folded
+),
+assigned AS MATERIALIZED (
+  SELECT v.group_id, v.chain_id, v.seq, s.site_id, s.sx, s.sy, s.sz,
+         row_number() OVER (
+           PARTITION BY v.group_id, v.chain_id, v.seq
+           ORDER BY ((v.x - s.sx)*(v.x - s.sx) + (v.y - s.sy)*(v.y - s.sy))
+                      + (v.z - s.sz)*(v.z - s.sz) ASC,
+                    s.site_id ASC
+         ) AS rnk
+  FROM gsrc v JOIN sites_tbl s ON s.group_id = v.group_id
+),
+snapped AS MATERIALIZED (
+  SELECT group_id, chain_id, seq, site_id, sx, sy, sz,
+         lag(site_id) OVER (PARTITION BY group_id, chain_id ORDER BY seq)
+           AS prev_site
+  FROM assigned WHERE rnk = 1
+),
+kept AS (
+  SELECT group_id, chain_id, site_id, sx, sy, sz,
+         row_number() OVER (PARTITION BY group_id, chain_id ORDER BY seq) - 1
+           AS pos
+  FROM snapped
+  WHERE prev_site IS NULL OR site_id <> prev_site
+)
+SELECT group_id, chain_id, pos, site_id, sx, sy, sz
+FROM kept ORDER BY group_id, chain_id, pos"""

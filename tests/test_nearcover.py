@@ -1,0 +1,138 @@
+"""S2Polyline::NearlyCovers — reference golden cases
+(s2polyline_test.cc:680-765) plus structural properties and the Spark
+operator round-trip."""
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernels.nearcover import is_edge_b_near_edge_a, nearly_covers
+from s2geometry_spark.kernels.textformat import make_points
+
+
+def _ch2(tol_deg: float) -> float:
+    t = np.radians(tol_deg)
+    s = 2.0 * np.sin(t / 2.0)
+    return float(s * s)
+
+
+def _pts(text: str) -> np.ndarray:
+    return make_points(text) if text else np.zeros((0, 3))
+
+
+# (a, b, tol_deg, b_covers_a, a_covers_b) — s2polyline_test.cc golden set
+GOLDEN = [
+    ("1:1, 2:2, -1:10", "1:1, 2:2, -1:10", 1e-10, True, True),
+    ("1:1, 2:2, -1:10", "-1:10, 2:2, 1:1", 1e-10, False, False),
+    ("1:1, 2:1", "1:1, 1.5:1, 2:1", 1e-10, True, True),
+    ("-5:1, 10:1, 10:5, 5:10", "9:1, 9.9995:1, 10.0005:5", 1e-3, False, True),
+    ("-5:1, 10:1", "0:1, 20:1", 1.0, False, False),
+    ("0:0, 0:2, 0:1, 0:4, 0:5", "0:0, 0:2, 0:4, 0:3, 0:5", 1.5, True, True),
+    ("0:0, 0:2, 0:1, 0:4, 0:5", "0:0, 0:2, 0:4, 0:3, 0:5", 0.5, False, False),
+    ("5:1, -5:1", "1:1, 3:1", 1.0, False, False),
+    ("5:1, -5:1", "1:1, 3:1", 2.5, False, True),
+    ("0:1, 0:2, 0:2, 0:3", "0:1, 0:1, 0:1, 0:3", 1e-10, True, True),
+    ("0:11, 0:0, 0:9, 0:20", "0:10, 0:15", 1.5, False, True),
+    (
+        "40:1, 20:1",
+        "39.9:0.9, 40:1.1, 30:1.15, 29:0.95, 28:1.1, 27:1.15, "
+        "26:1.05, 25:0.85, 24:1.1, 23:0.9, 20:0.99",
+        0.2,
+        True,
+        True,
+    ),
+    ("0:0, 0:2", "0:2, 0:3", 1.5, False, True),
+    ("0:0, 0:2, 0:2, 0:2", "0:2, 0:3", 1.5, False, True),
+    ("0:1, 0:2", "", 0.0, False, True),
+    ("", "", 0.0, True, True),
+]
+
+
+@pytest.mark.parametrize("a,b,tol,b_covers_a,a_covers_b", GOLDEN)
+def test_golden(a, b, tol, b_covers_a, a_covers_b):
+    A, B = _pts(a), _pts(b)
+    ct = _ch2(tol)
+    assert nearly_covers(B, A, ct) == b_covers_a
+    assert nearly_covers(A, B, ct) == a_covers_b
+
+
+def _random_chain(rng, n):
+    base = rng.normal(size=3)
+    base /= np.linalg.norm(base)
+    steps = rng.normal(scale=0.02, size=(n, 3))
+    V = base + np.cumsum(steps, axis=0)
+    return V / np.linalg.norm(V, axis=1, keepdims=True)
+
+
+def test_contiguous_subchain_always_covered():
+    rng = np.random.default_rng(7)
+    tiny = _ch2(1e-9)
+    for _ in range(20):
+        A = _random_chain(rng, 30)
+        i = rng.integers(0, 10)
+        j = rng.integers(i + 2, 30)
+        assert nearly_covers(A, A[i:j], tiny)
+
+
+def test_self_covered_and_reverse_not():
+    rng = np.random.default_rng(8)
+    tiny = _ch2(1e-9)
+    for _ in range(20):
+        A = _random_chain(rng, 25)
+        assert nearly_covers(A, A, tiny)
+        assert not nearly_covers(A, A[::-1].copy(), tiny)
+
+
+def test_disjoint_not_covered():
+    A = _pts("10:10, 11:11, 12:10")
+    B = _pts("-40:80, -41:81")
+    assert not nearly_covers(A, B, _ch2(2.0))
+
+
+def test_degenerate_gate_edges():
+    """A zero-length edge is near iff its opposite edge's endpoints are
+    within tol (point-distance limit; module docstring)."""
+    p = _pts("10:10")[0]
+    near = _pts("10:10.5, 10:11")
+    far = _pts("30:30, 31:31")
+    P = np.stack([p, p])
+    assert is_edge_b_near_edge_a(P[:1], P[1:], near[:1], near[1:], _ch2(2.0))[0]
+    assert not is_edge_b_near_edge_a(P[:1], P[1:], far[:1], far[1:], _ch2(2.0))[0]
+    # and symmetrically for a degenerate B edge
+    A = _pts("10:9, 10:12")
+    assert is_edge_b_near_edge_a(A[:1], A[1:], P[:1], P[1:], _ch2(1.0))[0]
+
+
+def test_operator_matches_kernel(spark):
+    """nearly_covers_pairs == the kernel applied per pair."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from s2geometry_spark.operators.nearcover import nearly_covers_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    chains = {}
+    for cid in range(6):
+        V = _random_chain(rng, 12 + cid)
+        chains[cid] = V
+        for s, (x, y, z) in enumerate(V):
+            rows.append((cid, s, x, y, z))
+    cdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["chain_id", "seq", "x", "y", "z"])
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(a, b, "t") for a in range(6) for b in range(6)],
+            columns=["chain_a", "chain_b", "kind"],
+        )
+    )
+    ct = _ch2(1.0)
+    got = {
+        (r.chain_a, r.chain_b): (r.n_a, r.n_b, r.covers)
+        for r in nearly_covers_pairs(spark, cdf, pairs, ct).collect()
+    }
+    assert len(got) == 36
+    for a in range(6):
+        for b in range(6):
+            exp = int(nearly_covers(chains[a], chains[b], ct))
+            assert got[a, b] == (len(chains[a]), len(chains[b]), exp)
