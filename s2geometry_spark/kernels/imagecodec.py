@@ -1,12 +1,13 @@
 """Deterministic image codecs, perceptual hash and pixel metrics.
 
-The sandbox has no PIL/libjpeg, so the engine ships three self-contained
-codecs with the same *shape* as real formats (header + payload, lossless
-and lossy variants).  The Spark-side plumbing — binary column, batch
-decode inside ``mapInPandas``, PSNR invariant — is identical to what a
-real JPEG/PNG build would use; only the byte-level transform differs.
-A real decoder plugs in via :func:`register_codec` (see the guarded PIL
-hook at the bottom).
+The sandbox has no PIL/libjpeg, so the engine ships self-contained
+codecs: three synthetic ones with the same *shape* as real formats
+(raw/rle/qnt: header + payload, lossless and lossy variants) plus two
+REAL interchange formats — PNG (stdlib zlib writer + full-defilter
+reader, below) and baseline JFIF JPEG (kernels.jpegcodec: NumPy DCT +
+Annex K tables + canonical Huffman, spec-compliant marker structure).
+The Spark-side plumbing — binary column, batch decode inside
+``mapInPandas``, PSNR invariant — is identical for all of them.
 
 Formats
 -------
@@ -70,6 +71,14 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     """pixels: (h, w, 3) uint8 -> format bytes."""
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "jpeg":
+        # REAL baseline JFIF (kernels.jpegcodec).  q=98: the synthetic
+        # pixels carry near-white hashed noise, the hardest content for
+        # a DCT codec; 98 keeps every generator image >= ~43 dB, above
+        # the north rule's 40 dB lossy floor with margin.
+        from .jpegcodec import encode_jpeg
+
+        return encode_jpeg(pixels, quality=98)
     h, w, _ = pixels.shape
     hdr = _HDR.pack(MAGIC, FMT_CODES[fmt], w, h)
     flat = pixels.reshape(-1)
@@ -86,6 +95,10 @@ def decode(buf: bytes) -> tuple[np.ndarray, str]:
     """format bytes -> ((h, w, 3) uint8 pixels, fmt name)."""
     if buf[:8] == PNG_SIG:
         return decode_png(buf), "png"
+    if buf[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(buf), "jpeg"
     magic, code, w, h = _HDR.unpack_from(buf)
     if magic != MAGIC:
         raise ValueError("bad magic — not an S2I image")

@@ -10,7 +10,9 @@ of the row index).
 Row derivation (all from splitmix64 of the index):
   * w,h in [8, 24] — tiny on purpose; payload size is irrelevant to the
     plan shape, only the bytes->decode->verify dataflow matters.
-  * fmt cycles raw / rle / qnt (two lossless codecs + one lossy).
+  * fmt cycles raw / rle / qnt / png / jpeg (three lossless codecs +
+    the synthetic lossy qnt + REAL baseline JFIF at q=98, both of which
+    genuinely exercise the PSNR >= 40 dB branch of the invariant).
   * caption = deterministic word sentence (exact-equality invariant).
   * phash = average-hash of the SOURCE pixels (the geotag metadata key).
 """
@@ -46,7 +48,7 @@ IMAGES_SCHEMA = StructType(
     ]
 )
 
-FMTS = ("raw", "rle", "qnt", "png")
+FMTS = ("raw", "rle", "qnt", "png", "jpeg")
 _WORDS = (
     "harbor mountain sunset forest bridge market temple desert river tower "
     "glacier meadow island canyon lighthouse orchard plaza reef valley dune"
