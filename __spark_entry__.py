@@ -871,6 +871,46 @@ def _polyline_nearly_covers_oracle() -> str:
     return nearly_covers_oracle_sql(verts_sql, pairs_sql, _NEARCOVER_CH2_TOL)
 
 
+def q_chain_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ClosestEdgeQuery with an EDGE target (UpdateEdgePairMinDistance,
+    s2edge_distances.cc:327): min distance between each (even, odd)
+    customer-chain pair — 0 if any edge pair crosses, else the min of
+    the four endpoint-to-edge distances over all edge pairs, with the
+    argmin edge ids.  Oracle replays the pinned chord2 four-way least
+    and the same fixed-band sign-chain crossing test."""
+    from s2geometry_spark.operators.polylines import chain_pair_min_distance
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    ids = ca.select("chain_id").distinct()
+    pairs = (
+        ids.where(F.col("chain_id") % 2 == 0)
+        .select(F.col("chain_id").alias("chain_a"))
+        .join(
+            ids.select(F.col("chain_id").alias("chain_b")),
+            F.col("chain_b") == F.col("chain_a") + 1,
+        )
+    )
+    return chain_pair_min_distance(spark, ca, pairs)
+
+
+def _chain_pair_distance_oracle() -> str:
+    from s2geometry_spark.operators.polylines import (
+        chain_pair_min_distance_oracle_sql,
+    )
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    verts_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    pairs_sql = """SELECT a.chain_id AS chain_a, b.chain_id AS chain_b
+  FROM (SELECT DISTINCT chain_id FROM verts) a
+  JOIN (SELECT DISTINCT chain_id FROM verts) b
+    ON b.chain_id = a.chain_id + 1 AND a.chain_id % 2 = 0"""
+    return chain_pair_min_distance_oracle_sql(verts_sql, pairs_sql)
+
+
 # --- S2Builder iterative site merging (ChooseInitialSites,
 # s2builder.cc:727) for the IDENTITY snap function — the non-grid snap
 # path.  sep = 1 degree merges ~42% of the fixture's vertices without
@@ -1888,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_consensus": q_polyline_consensus,
         "polyline_nearly_covers": q_polyline_nearly_covers,
         "builder_sites": q_builder_sites,
+        "chain_pair_distance": q_chain_pair_distance,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
@@ -2165,6 +2206,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "polyline_consensus": _polyline_consensus_oracle(),
         "polyline_nearly_covers": _polyline_nearly_covers_oracle(),
         "builder_sites": _builder_sites_oracle(),
+        "chain_pair_distance": _chain_pair_distance_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),

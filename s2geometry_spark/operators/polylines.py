@@ -574,3 +574,153 @@ SELECT chain_id, n_edges,
        list_reduce(list_prepend(0.0, ltz), (a, b) -> a + b) AS cz,
        list_reduce(list_prepend(0.0, lth), (a, b) -> a + b) AS length_radians
 FROM lst"""
+
+
+def chain_pair_min_distance(
+    spark: SparkSession,
+    chains: DataFrame,
+    pairs: DataFrame,
+    chain_col: str = "chain_id",
+) -> DataFrame:
+    """S2ClosestEdgeQuery with an EDGE target, per chain pair
+    (s2closest_edge_query.h EdgeTarget; the per-candidate kernel is
+    UpdateEdgePairMinDistance, s2edge_distances.cc:327): the minimum
+    distance between two polylines = 0 if any edge pair crosses, else
+    the min over edge pairs of the four endpoint-to-edge distances.
+
+    Output (chain_a, chain_b, n_a, n_b, min_chord2, a_edge, b_edge):
+    argmin edge pair with the (a_edge, b_edge) lexicographic tie-break.
+    Per-pair O(n*m) kernel rows, embarrassingly parallel across pairs
+    (the alignment-join recipe); chain sizes bounded upstream."""
+    from ..kernels.measures import point_edge_chord2
+    from .alignment import _verts_to_np, chains_as_arrays
+
+    arrs = chains_as_arrays(chains, chain_col)
+    joined = (
+        pairs.select("chain_a", "chain_b")
+        .join(arrs.select(F.col("chain_id").alias("chain_a"), F.col("verts").alias("va")), "chain_a")
+        .join(arrs.select(F.col("chain_id").alias("chain_b"), F.col("verts").alias("vb")), "chain_b")
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for a, b, va, vb in zip(pdf["chain_a"], pdf["chain_b"], pdf["va"], pdf["vb"]):
+                A = _verts_to_np(va)
+                B = _verts_to_np(vb)
+                n, m = len(A), len(B)
+                ii, jj = np.meshgrid(np.arange(n - 1), np.arange(m - 1), indexing="ij")
+                ii, jj = ii.ravel(), jj.ravel()
+                A0, A1 = A[ii], A[ii + 1]
+                B0, B1 = B[jj], B[jj + 1]
+                cross = predicates.edges_cross_batch(A0, A1, B0, B1, robust=False)
+                d = np.minimum(
+                    np.minimum(
+                        point_edge_chord2(A0, B0, B1),
+                        point_edge_chord2(A1, B0, B1),
+                    ),
+                    np.minimum(
+                        point_edge_chord2(B0, A0, A1),
+                        point_edge_chord2(B1, A0, A1),
+                    ),
+                )
+                d = np.where(cross, 0.0, d)
+                k = int(np.argmin(d))  # first min in i-major order =
+                # (a_edge, b_edge) lexicographic tie-break
+                rows.append((a, b, n, m, float(d[k]), int(ii[k]), int(jj[k])))
+            yield pd.DataFrame(
+                rows,
+                columns=["chain_a", "chain_b", "n_a", "n_b",
+                         "min_chord2", "a_edge", "b_edge"],
+            )
+
+    return joined.mapInPandas(
+        batches,
+        "chain_a long, chain_b long, n_a long, n_b long, "
+        "min_chord2 double, a_edge long, b_edge long",
+    )
+
+
+def chain_pair_min_distance_oracle_sql(verts_sql: str, pairs_sql: str) -> str:
+    """DuckDB replay of chain_pair_min_distance: per-pair edge cross
+    join, the pinned point_edge_chord2 four-way least, the same
+    fixed-band sign-chain crossing test the kernel uses
+    (edges_cross_batch robust=False), argmin by (dist, a_edge, b_edge).
+    ``verts_sql`` yields (chain_id, seq, x, y, z); ``pairs_sql`` yields
+    (chain_a, chain_b)."""
+    from ..kernels.measures import point_edge_chord2_sql
+
+    d1 = point_edge_chord2_sql("a0", "b0", "b1")
+    d2 = point_edge_chord2_sql("a1", "b0", "b1")
+    d3 = point_edge_chord2_sql("b0", "a0", "a1")
+    d4 = point_edge_chord2_sql("b1", "a0", "a1")
+    return f"""
+WITH vsrc AS MATERIALIZED ({verts_sql}),
+verts AS MATERIALIZED (
+  SELECT chain_id,
+         row_number() OVER (PARTITION BY chain_id ORDER BY seq) - 1 AS vi,
+         x, y, z
+  FROM vsrc
+),
+pairs AS MATERIALIZED ({pairs_sql}),
+ea AS MATERIALIZED (
+  SELECT p.chain_a, p.chain_b, v0.vi AS i,
+         v0.x AS a0x, v0.y AS a0y, v0.z AS a0z,
+         v1.x AS a1x, v1.y AS a1y, v1.z AS a1z
+  FROM pairs p
+  JOIN verts v0 ON v0.chain_id = p.chain_a
+  JOIN verts v1 ON v1.chain_id = p.chain_a AND v1.vi = v0.vi + 1
+),
+eb AS MATERIALIZED (
+  SELECT p.chain_a, p.chain_b, v0.vi AS j,
+         v0.x AS b0x, v0.y AS b0y, v0.z AS b0z,
+         v1.x AS b1x, v1.y AS b1y, v1.z AS b1z
+  FROM pairs p
+  JOIN verts v0 ON v0.chain_id = p.chain_b
+  JOIN verts v1 ON v1.chain_id = p.chain_b AND v1.vi = v0.vi + 1
+),
+mat AS MATERIALIZED (
+  SELECT ea.chain_a, ea.chain_b, ea.i, eb.j,
+         a0x, a0y, a0z, a1x, a1y, a1z, b0x, b0y, b0z, b1x, b1y, b1z,
+         (a0y*a1z - a0z*a1y) AS nx, (a0z*a1x - a0x*a1z) AS ny,
+         (a0x*a1y - a0y*a1x) AS nz,
+         (b0y*b1z - b0z*b1y) AS mx, (b0z*b1x - b0x*b1z) AS my,
+         (b0x*b1y - b0y*b1x) AS mz
+  FROM ea JOIN eb ON eb.chain_a = ea.chain_a AND eb.chain_b = ea.chain_b
+),
+sg AS MATERIALIZED (
+  SELECT chain_a, chain_b, i, j,
+         a0x, a0y, a0z, a1x, a1y, a1z, b0x, b0y, b0z, b1x, b1y, b1z,
+         CASE WHEN abs((nx*b0x + ny*b0y) + nz*b0z) <= 1e-15 THEN 0
+              ELSE sign((nx*b0x + ny*b0y) + nz*b0z) END AS db0s,
+         CASE WHEN abs((nx*b1x + ny*b1y) + nz*b1z) <= 1e-15 THEN 0
+              ELSE sign((nx*b1x + ny*b1y) + nz*b1z) END AS db1s,
+         CASE WHEN abs((mx*a0x + my*a0y) + mz*a0z) <= 1e-15 THEN 0
+              ELSE sign((mx*a0x + my*a0y) + mz*a0z) END AS da0s,
+         CASE WHEN abs((mx*a1x + my*a1y) + mz*a1z) <= 1e-15 THEN 0
+              ELSE sign((mx*a1x + my*a1y) + mz*a1z) END AS da1s
+  FROM mat
+),
+dist AS MATERIALIZED (
+  SELECT chain_a, chain_b, i, j,
+         CASE WHEN db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s
+              THEN 0.0
+              ELSE least(least(({d1}), ({d2})), least(({d3}), ({d4})))
+         END AS d
+  FROM sg
+),
+best AS (
+  SELECT chain_a, chain_b, d AS min_chord2, i AS a_edge, j AS b_edge,
+         row_number() OVER (
+           PARTITION BY chain_a, chain_b ORDER BY d, i, j
+         ) AS rnk
+  FROM dist
+),
+cnt AS (SELECT chain_id, count(*) AS n FROM verts GROUP BY chain_id)
+SELECT b.chain_a, b.chain_b, ca.n AS n_a, cb.n AS n_b,
+       b.min_chord2, b.a_edge, b.b_edge
+FROM best b
+JOIN cnt ca ON ca.chain_id = b.chain_a
+JOIN cnt cb ON cb.chain_id = b.chain_b
+WHERE b.rnk = 1
+ORDER BY b.chain_a, b.chain_b"""

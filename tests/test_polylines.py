@@ -149,3 +149,42 @@ def test_chain_true_centroids(spark):
         c = np.array([r.cx, r.cy, r.cz])
         c = c / np.linalg.norm(c)
         assert min(float(c @ v) for v in V) > math.cos(0.5)
+
+
+def test_chain_pair_min_distance(spark):
+    """Crossing pair -> exactly 0; separated pair -> min of the four
+    endpoint-to-edge distances over all edge pairs, argmin lexicographic."""
+    from s2geometry_spark.kernels.measures import point_edge_chord2
+    from s2geometry_spark.operators.polylines import chain_pair_min_distance
+
+    # chain 0 and chain 1 cross at the equator; chain 2 / 3 are disjoint
+    rows = (
+        _chain_rows(0, [_pt(-5, 0), _pt(5, 0.5), _pt(-5, 1.0)])
+        + _chain_rows(1, [_pt(0.2, -1), _pt(-0.2, 2)])
+        + _chain_rows(2, [_pt(20, 10), _pt(21, 11), _pt(22, 12)])
+        + _chain_rows(3, [_pt(30, 10), _pt(31, 11)])
+    )
+    chains = spark.createDataFrame(rows, "chain_id long, seq long, x double, y double, z double")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "chain_a long, chain_b long")
+    out = {
+        (r.chain_a, r.chain_b): r
+        for r in chain_pair_min_distance(spark, chains, pairs).collect()
+    }
+    assert out[(0, 1)].min_chord2 == 0.0
+    # brute-force replay for the disjoint pair
+    A = np.stack([_pt(20, 10), _pt(21, 11), _pt(22, 12)])
+    B = np.stack([_pt(30, 10), _pt(31, 11)])
+    best = None
+    for i in range(2):
+        for j in range(1):
+            d = min(
+                point_edge_chord2(B[j][None], A[i][None], A[i + 1][None])[0],
+                point_edge_chord2(B[j + 1][None], A[i][None], A[i + 1][None])[0],
+                point_edge_chord2(A[i][None], B[j][None], B[j + 1][None])[0],
+                point_edge_chord2(A[i + 1][None], B[j][None], B[j + 1][None])[0],
+            )
+            if best is None or d < best[0]:
+                best = (d, i, j)
+    r = out[(2, 3)]
+    assert r.min_chord2 == best[0] and (r.a_edge, r.b_edge) == (best[1], best[2])
+    assert (r.n_a, r.n_b) == (3, 2)
