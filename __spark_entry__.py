@@ -911,6 +911,44 @@ def _chain_pair_distance_oracle() -> str:
     return chain_pair_min_distance_oracle_sql(verts_sql, pairs_sql)
 
 
+def q_loop_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Loop::FindValidationError (s2loop.cc FindValidationErrorNoIndex +
+    s2shapeutil::FindSelfIntersection; s2loop_test.cc validity cases):
+    close each customer chain into a loop and report the first validation
+    error in the reference's check order — vertex count, adjacent
+    duplicate, adjacent antipodal, first self-intersecting edge pair."""
+    from s2geometry_spark.operators.validate import loop_validation, star_order_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    # two loop families: the raw closed chains (scattered walks — nearly
+    # all self-intersect) and their star-shaped angular reorderings
+    # (simple loops by the gnomonic wedge argument), ids offset by 1e5
+    star = star_order_chains(spark, ca).withColumn(
+        "chain_id", F.col("chain_id") + F.lit(100000)
+    )
+    return loop_validation(spark, ca.unionByName(star))
+
+
+def _loop_validate_oracle() -> str:
+    from s2geometry_spark.operators.validate import (
+        loop_validation_oracle_sql,
+        star_order_cte_sql,
+    )
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    star = star_order_cte_sql(raw)
+    union = (
+        f"SELECT chain_id, seq, x, y, z FROM ({raw}) "
+        f"UNION ALL SELECT chain_id + 100000 AS chain_id, seq, x, y, z FROM ({star})"
+    )
+    return loop_validation_oracle_sql(union)
+
+
 # --- S2Builder iterative site merging (ChooseInitialSites,
 # s2builder.cc:727) for the IDENTITY snap function — the non-grid snap
 # path.  sep = 1 degree merges ~42% of the fixture's vertices without
@@ -1929,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_nearly_covers": q_polyline_nearly_covers,
         "builder_sites": q_builder_sites,
         "chain_pair_distance": q_chain_pair_distance,
+        "loop_validate": q_loop_validate,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
@@ -2207,6 +2246,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "polyline_nearly_covers": _polyline_nearly_covers_oracle(),
         "builder_sites": _builder_sites_oracle(),
         "chain_pair_distance": _chain_pair_distance_oracle(),
+        "loop_validate": _loop_validate_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),
