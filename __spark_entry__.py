@@ -949,6 +949,72 @@ def _loop_validate_oracle() -> str:
     return loop_validation_oracle_sql(union)
 
 
+def q_loop_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ClosestEdgeQuery with a ShapeIndexTarget / S2Polygon::GetDistance
+    (s2closest_edge_query.h, s2min_distance_targets.cc): distance between
+    simple-loop pairs with interior semantics — 0 when boundaries cross or
+    one loop contains the other, else the min closed-edge-pair distance.
+    Fixture: all pairs of star-ordered customer loops (crossing + disjoint
+    rows) plus each loop against its shrunk copy (containment rows)."""
+    from s2geometry_spark.operators.polygon_distance import (
+        loop_pair_distance,
+        shrink_loops,
+    )
+    from s2geometry_spark.operators.validate import star_order_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    star = star_order_chains(spark, ca)
+    shr = shrink_loops(spark, star).withColumn(
+        "chain_id", F.col("chain_id") + F.lit(100000)
+    )
+    loops = star.unionByName(shr)
+    ids = star.select("chain_id").distinct()
+    pairs_all = ids.select(F.col("chain_id").alias("chain_a")).join(
+        ids.select(F.col("chain_id").alias("chain_b")),
+        F.col("chain_b") > F.col("chain_a"),
+    )
+    # alternate orientation by parity so both containment codes occur
+    pairs_shr = ids.select(
+        F.when(F.col("chain_id") % 2 == 0, F.col("chain_id"))
+        .otherwise(F.col("chain_id") + F.lit(100000))
+        .alias("chain_a"),
+        F.when(F.col("chain_id") % 2 == 0, F.col("chain_id") + F.lit(100000))
+        .otherwise(F.col("chain_id"))
+        .alias("chain_b"),
+    )
+    return loop_pair_distance(spark, loops, pairs_all.unionByName(pairs_shr))
+
+
+def _loop_pair_distance_oracle() -> str:
+    from s2geometry_spark.operators.polygon_distance import (
+        loop_pair_distance_oracle_sql,
+        shrink_loops_cte_sql,
+    )
+    from s2geometry_spark.operators.validate import star_order_cte_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    star = star_order_cte_sql(raw)
+    shr = shrink_loops_cte_sql(star)
+    verts_sql = (
+        f"SELECT chain_id, seq, x, y, z FROM ({star}) "
+        f"UNION ALL SELECT chain_id + 100000 AS chain_id, seq, x, y, z FROM ({shr})"
+    )
+    pairs_sql = """SELECT a.chain_id AS chain_a, b.chain_id AS chain_b
+  FROM (SELECT DISTINCT chain_id FROM verts WHERE chain_id < 100000) a
+  JOIN (SELECT DISTINCT chain_id FROM verts WHERE chain_id < 100000) b
+    ON b.chain_id > a.chain_id
+  UNION ALL
+  SELECT CASE WHEN chain_id % 2 = 0 THEN chain_id ELSE chain_id + 100000 END AS chain_a,
+         CASE WHEN chain_id % 2 = 0 THEN chain_id + 100000 ELSE chain_id END AS chain_b
+  FROM (SELECT DISTINCT chain_id FROM verts WHERE chain_id < 100000)"""
+    return loop_pair_distance_oracle_sql(verts_sql, pairs_sql)
+
+
 # --- S2Builder iterative site merging (ChooseInitialSites,
 # s2builder.cc:727) for the IDENTITY snap function — the non-grid snap
 # path.  sep = 1 degree merges ~42% of the fixture's vertices without
@@ -1968,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "builder_sites": q_builder_sites,
         "chain_pair_distance": q_chain_pair_distance,
         "loop_validate": q_loop_validate,
+        "loop_pair_distance": q_loop_pair_distance,
         "cap_join": q_cap_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
@@ -2247,6 +2314,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "builder_sites": _builder_sites_oracle(),
         "chain_pair_distance": _chain_pair_distance_oracle(),
         "loop_validate": _loop_validate_oracle(),
+        "loop_pair_distance": _loop_pair_distance_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),

@@ -64,3 +64,46 @@ def test_star_order_makes_loops_simple(spark):
     a = sorted(map(tuple, chains.select("chain_id", "x", "y", "z").collect()))
     b = sorted(map(tuple, star.select("chain_id", "x", "y", "z").collect()))
     assert a == b
+
+
+def test_loop_pair_distance_relations(spark):
+    """Crossing -> (1, 0); nested -> (2/3, 0); disjoint -> positive min
+    distance matching a brute-force four-way replay."""
+    from s2geometry_spark.kernels.measures import point_edge_chord2
+    from s2geometry_spark.operators.polygon_distance import loop_pair_distance
+
+    sq = [_pt(0, 0), _pt(0, 10), _pt(10, 10), _pt(10, 0)]
+    sq_in = [_pt(3, 3), _pt(3, 7), _pt(7, 7), _pt(7, 3)]
+    sq_cross = [_pt(5, 5), _pt(5, 15), _pt(15, 15), _pt(15, 5)]
+    sq_far = [_pt(40, 40), _pt(40, 50), _pt(50, 50), _pt(50, 40)]
+    rows = _rows(1, sq) + _rows(2, sq_in) + _rows(3, sq_cross) + _rows(4, sq_far)
+    loops = spark.createDataFrame(
+        rows, "chain_id long, seq long, x double, y double, z double"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (1, 2), (2, 1), (1, 4)], "chain_a long, chain_b long"
+    )
+    out = {
+        (r.chain_a, r.chain_b): r
+        for r in loop_pair_distance(spark, loops, pairs).collect()
+    }
+    assert (out[(1, 3)].relation, out[(1, 3)].min_chord2) == (1, 0.0)
+    assert (out[(1, 2)].relation, out[(1, 2)].min_chord2) == (2, 0.0)
+    assert (out[(2, 1)].relation, out[(2, 1)].min_chord2) == (3, 0.0)
+    r = out[(1, 4)]
+    assert r.relation == 0 and r.min_chord2 > 0
+    A = np.stack(sq)
+    B = np.stack(sq_far)
+    best = np.inf
+    for i in range(4):
+        a0, a1 = A[i], A[(i + 1) % 4]
+        for j in range(4):
+            b0, b1 = B[j], B[(j + 1) % 4]
+            best = min(
+                best,
+                point_edge_chord2(a0[None], b0[None], b1[None])[0],
+                point_edge_chord2(a1[None], b0[None], b1[None])[0],
+                point_edge_chord2(b0[None], a0[None], a1[None])[0],
+                point_edge_chord2(b1[None], a0[None], a1[None])[0],
+            )
+    assert r.min_chord2 == best
