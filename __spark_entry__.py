@@ -36,6 +36,23 @@ CAPS = {
     "sydney": (-33.87, 151.20, 0.5),
     "equator": (0.0, 0.0, 0.2),
 }
+# (lat_lo, lng_lo, lat_hi, lng_hi) degrees; "dateline" wraps the
+# antimeridian, "north_polar" spans the full longitude ring
+RECTS = {
+    "alps_box": (44.7, 5.3, 48.9, 12.1),
+    "dateline": (-21.3, 169.7, 4.9, -164.3),
+    "north_polar": (76.3, -180.0, 90.0, 180.0),
+    "south_band": (-59.7, -119.3, -40.1, -60.7),
+}
+
+
+def _rects():
+    from s2geometry_spark.kernels.regions import LatLngRect
+
+    return {
+        rid: LatLngRect.from_degrees(lat_lo, lng_lo, lat_hi, lng_hi)
+        for rid, (lat_lo, lng_lo, lat_hi, lng_hi) in RECTS.items()
+    }
 KNN_K = 3
 _QUERY_KEY = "c_custkey*7+3"  # distinct from the orders point set
 # hausdorff needs query points NOT coincident with any order point, so its
@@ -1680,6 +1697,27 @@ def q_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_join(spark, pts, _caps())
 
 
+def q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2LatLngRect::Contains(S2Point) join (s2latlng_rect.cc:248-262,
+    s2latlng_rect_test.cc), incl. an antimeridian-wrapping rect and a
+    full-longitude polar rect; covering-term candidates + atan2-free SQL
+    refinement (z = sin(lat) bounds, meridian half-plane signs)."""
+    from s2geometry_spark.operators.contains_join import rect_join
+
+    pts = _order_points_xyz(spark, sf_dir)
+    return rect_join(spark, pts, _rects())
+
+
+def _rect_join_oracle() -> str:
+    xyz_cte = oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
+    parts = " UNION ALL ".join(
+        f"SELECT pid, '{rid}' AS poly_id FROM xyz WHERE "
+        + oracle.rect_predicate_sql(rect)
+        for rid, rect in _rects().items()
+    )
+    return f"WITH {xyz_cte} {parts}"
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN join: staged cell-neighbor ring expansion + windowed top-k."""
     points = _order_points_xyz(spark, sf_dir).toDF("pid", "px", "py", "pz", "p_cell")
@@ -2036,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loop_validate": q_loop_validate,
         "loop_pair_distance": q_loop_pair_distance,
         "cap_join": q_cap_join,
+        "rect_join": q_rect_join,
         "knn": q_knn,
         "hausdorff": q_hausdorff,
         "tile_hulls": q_tile_hulls,
@@ -2384,6 +2423,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "pip_join": f"WITH {xyz_cte} {pip_parts}",
         "pip_polygon_holes": f"WITH {xyz_cte} {poly_parts}",
         "cap_join": f"WITH {xyz_cte} {cap_parts}",
+        "rect_join": _rect_join_oracle(),
         "knn": knn_sql,
     }
 

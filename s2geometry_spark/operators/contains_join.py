@@ -220,6 +220,58 @@ def cap_join(
     return cand.where(expr).select(point_id, "poly_id")
 
 
+def rect_join(
+    spark: SparkSession,
+    points: DataFrame,
+    rects: dict[str, object],
+    point_id: str = "pid",
+    cell: str = "cell",
+    xyz: tuple[str, str, str] = ("x", "y", "z"),
+    **index_opts,
+) -> DataFrame:
+    """S2LatLngRect::Contains(S2Point) as a distributed join
+    (s2latlng_rect.cc:248-262, tested throughout s2latlng_rect_test.cc),
+    including antimeridian-wrapping and full-longitude polar rects.
+
+    Candidates via the same covering term join as every region join;
+    refinement is pure SQL (JVM codegen, no Python) and avoids atan2
+    (bit-portability): latitude via the monotone z = sin(lat) bounds,
+    longitude via the two meridian half-plane signs — exact for spans
+    <= pi, which covers every rect a coverer-backed join should broadcast
+    (wider rects belong in a cell-union join)."""
+    import math
+
+    index = RegionIndex(rects, **index_opts)
+    terms = F.broadcast(index.terms_df(spark))
+    q = point_query_terms(points, index, cell=cell)
+    cand = (
+        q.join(terms, ["term_cell", "is_covering"], "inner")
+        .select(point_id, *xyz, "poly_id")
+        .dropDuplicates([point_id, "poly_id"])
+    )
+    x, y, z = xyz
+    expr = None
+    for rid, rect in rects.items():
+        pred = (F.col(z) >= F.lit(math.sin(rect.lat.lo))) & (
+            F.col(z) <= F.lit(math.sin(rect.lat.hi))
+        )
+        if not rect.lng.is_full():
+            if rect.lng.get_length() > math.pi:
+                raise ValueError(f"rect_join: lng span > pi for {rid!r}")
+            lo, hi = rect.lng.lo, rect.lng.hi
+            pred = pred & (
+                F.col(y) * F.lit(math.cos(lo)) - F.col(x) * F.lit(math.sin(lo))
+                >= F.lit(0.0)
+            )
+            pred = pred & (
+                F.col(x) * F.lit(math.sin(hi)) - F.col(y) * F.lit(math.cos(hi))
+                >= F.lit(0.0)
+            )
+        pred = pred & (F.col("poly_id") == rid)
+        expr = pred if expr is None else (expr | pred)
+    return cand.where(expr).select(point_id, "poly_id")
+
+
 def cell_union_contains_join(
     spark: SparkSession,
     points: DataFrame,

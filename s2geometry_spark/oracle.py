@@ -143,6 +143,25 @@ def cap_predicate_sql(center, radius_chord2: float) -> str:
     )
 
 
+def rect_predicate_sql(rect) -> str:
+    """S2LatLngRect containment over unit (x, y, z) WITHOUT atan2 (libm
+    atan2 is not vetted bit-portable across engines): latitude via the
+    monotone z = sin(lat) bounds, longitude via the two meridian
+    half-plane signs — valid for longitude spans <= pi (and trivially for
+    full longitude).  Constants are computed once driver-side so engine
+    and oracle compare against the identical doubles."""
+    import math
+
+    parts = [f"z >= {math.sin(rect.lat.lo)!r}", f"z <= {math.sin(rect.lat.hi)!r}"]
+    if not rect.lng.is_full():
+        if rect.lng.get_length() > math.pi:
+            raise ValueError("rect_predicate_sql: lng span > pi unsupported")
+        lo, hi = rect.lng.lo, rect.lng.hi
+        parts.append(f"(y * {math.cos(lo)!r} - x * {math.sin(lo)!r}) >= 0.0")
+        parts.append(f"(x * {math.sin(hi)!r} - y * {math.cos(hi)!r}) >= 0.0")
+    return "(" + " AND ".join(parts) + ")"
+
+
 def token_sql_expr(cell_expr: str) -> str:
     """ToToken (s2cell_id.cc:217-254) of a biased int64 cell id in DuckDB
     SQL: unbias to uint64 via HUGEINT, 16-digit lower hex, strip trailing

@@ -171,3 +171,28 @@ class TestBoundaryDistance:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_rect_join_matches_brute_force(spark):
+    """rect_join (covering candidates + atan2-free SQL refinement) equals
+    the per-point LatLngRect.contains_point scan, including the
+    antimeridian-wrapping and full-longitude polar rects."""
+    from s2geometry_spark.kernels.regions import LatLngRect
+    from s2geometry_spark.operators.contains_join import rect_join
+
+    rects = {
+        "box": LatLngRect.from_degrees(10.0, 20.0, 35.0, 55.0),
+        "wrap": LatLngRect.from_degrees(-30.0, 160.0, 10.0, -150.0),
+        "polar": LatLngRect.from_degrees(70.0, -180.0, 90.0, 180.0),
+    }
+    df, pts, keys = _points_df(spark, n=3000)
+    got = {
+        (r.pid, r.poly_id) for r in rect_join(spark, df, rects).collect()
+    }
+    want = {
+        (int(k), rid)
+        for k, p in zip(keys, pts)
+        for rid, rect in rects.items()
+        if rect.contains_point(p)
+    }
+    assert got == want and len(want) > 0
