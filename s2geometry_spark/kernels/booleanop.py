@@ -442,6 +442,23 @@ def polygon_area(loops: list[np.ndarray]) -> float:
     return area
 
 
+def overlap_fractions(
+    a_loops: list, b_loops: list
+) -> tuple[float, float]:
+    """S2Polygon::GetOverlapFractions (s2polygon.cc:600-611): the pair
+    (area(A∩B)/area(A), area(A∩B)/area(B)), returning exactly 1.0 when
+    the intersection area reaches the denominator (including the empty /
+    empty case, matching s2polygon_test.cc OverlapFractions)."""
+    inter = overlay(a_loops, b_loops, "intersection") if a_loops and b_loops else []
+    inter_area = polygon_area(inter)
+    a_area = polygon_area(a_loops)
+    b_area = polygon_area(b_loops)
+    return (
+        1.0 if inter_area >= a_area else inter_area / a_area,
+        1.0 if inter_area >= b_area else inter_area / b_area,
+    )
+
+
 def normalize_loops(
     loops: list[np.ndarray], ref: np.ndarray, ref_winding: int = 0
 ) -> list[np.ndarray]:

@@ -348,3 +348,27 @@ def test_vertex_touch_union_is_two_simple_loops():
     for v in res:
         keys = {p.tobytes() for p in v}
         assert len(keys) == len(v)  # no repeated vertex inside one loop
+
+
+def test_overlap_fractions():
+    """Mirrors s2polygon_test.cc OverlapFractions: empty/empty -> (1, 1);
+    empty vs non-empty -> (1, 0); half-overlapping congruent loops ->
+    (~0.5, ~0.5); nested -> (small/big, 1)."""
+    from s2geometry_spark.kernels.booleanop import overlap_fractions, polygon_area
+    from s2geometry_spark.kernels.regions import Loop
+
+    assert overlap_fractions([], []) == (1.0, 1.0)
+    big = [Loop.make_regular(10.0, 20.0, 0.4, 64).vertices]
+    assert overlap_fractions([], big) == (1.0, 0.0)
+    assert overlap_fractions(big, []) == (0.0, 1.0)
+    assert overlap_fractions(big, [v.copy() for v in big]) == (1.0, 1.0)
+    # two congruent caps whose centers are offset: fractions equal, in (0,1)
+    sh = [Loop.make_regular(10.0, 20.0 + 0.4 * 57.29577951308232 * 0.9, 0.4, 64).vertices]
+    fa, fb = overlap_fractions(big, sh)
+    assert 0.0 < fa < 1.0 and abs(fa - fb) < 1e-9
+    # nested: small inside big
+    small = [Loop.make_regular(10.0, 20.0, 0.1, 64).vertices]
+    fa, fb = overlap_fractions(big, small)
+    assert fb == 1.0
+    import pytest as _pt
+    assert fa == _pt.approx(polygon_area(small) / polygon_area(big), rel=1e-9)
