@@ -130,6 +130,27 @@ def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.tile_rollup(df, [2, 5, 8], cell="cell")
 
 
+def q_tile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified per-tile sampling (training-data pipeline
+    primitive): the 5 smallest-hash orders per level-5 tile, reproducible
+    across runs and cluster sizes."""
+    df = _order_points(spark, sf_dir)
+    return tiling.tile_sample(df, 5, 5)
+
+
+def _tile_sample_oracle() -> str:
+    from s2geometry_spark.operators.dedup import md5_h32_sql
+
+    p5 = oracle.parent_sql_expr("cell_leaf", 5)
+    h = md5_h32_sql("'s2sample:' || CAST(pid AS VARCHAR)")
+    return _leaf_sql(f"""
+SELECT cell_l5, pid, h, rnk FROM (
+  SELECT {p5} AS cell_l5, pid, {h} AS h,
+         row_number() OVER (PARTITION BY {p5} ORDER BY {h}, pid) AS rnk
+  FROM leaf
+) WHERE rnk <= 5""")
+
+
 def q_cell_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leaf encode + ToToken surface; oracle derives the hex token from
     the SQL-encoded leaf id independently."""
@@ -2052,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_l5": q_tile_counts_l5,
         "tile_counts_l12": q_tile_counts_l12,
         "tile_rollup": q_tile_rollup,
+        "tile_sample": q_tile_sample,
         "cell_tokens": q_cell_tokens,
         "cellunion_join": q_cellunion_join,
         "pip_join": q_pip_join,
@@ -2420,6 +2442,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
             f"SELECT {p12} AS cell_l12, COUNT(*) AS cnt FROM leaf GROUP BY 1"
         ),
         "tile_rollup": _leaf_sql(rollup_parts),
+        "tile_sample": _tile_sample_oracle(),
         "pip_join": f"WITH {xyz_cte} {pip_parts}",
         "pip_polygon_holes": f"WITH {xyz_cte} {poly_parts}",
         "cap_join": f"WITH {xyz_cte} {cap_parts}",

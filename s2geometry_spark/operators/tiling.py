@@ -60,6 +60,39 @@ def tile_counts(df: DataFrame, level: int, cell: str = "cell") -> DataFrame:
     )
 
 
+def tile_sample(
+    df: DataFrame,
+    level: int,
+    k: int,
+    cell: str = "cell",
+    point_id: str = "pid",
+    salt: str = "s2sample",
+) -> DataFrame:
+    """Deterministic stratified sampling: the k rows with the smallest
+    portable md5-h32 hash per tile at ``level`` — spatially balanced
+    subsampling for training-data pipelines, equivalent in distribution
+    to uniform-without-replacement per stratum but reproducible across
+    runs, retries, and cluster sizes (no RNG state).
+
+    One shuffle on the tile key; the rank window runs per tile with
+    map-side partial sort.  At skewed scale, cap per-tile group size
+    upstream with the density-tree sharder (operators/density.py) — the
+    sample itself is insensitive to salting because the hash order is a
+    global property of the rows."""
+    from .dedup import md5_h32
+
+    from pyspark.sql import Window
+
+    tile_col = f"cell_l{level}"
+    h = md5_h32(F.concat(F.lit(salt + ":"), F.col(point_id).cast("string")))
+    w = Window.partitionBy(tile_col).orderBy(F.col("h"), F.col(point_id))
+    return (
+        df.select(s2f.parent_expr(cell, level).alias(tile_col), point_id, h.alias("h"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def per_tile_hulls(df: DataFrame, level: int, cell: str = "cell") -> DataFrame:
     """Convex hull of the points in each tile (S2ConvexHullQuery per
     group): shuffle once on the tile key, hull + area per group in NumPy.
