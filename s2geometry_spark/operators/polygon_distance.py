@@ -69,6 +69,10 @@ def loop_pair_distance(
     from .alignment import _verts_to_np, chains_as_arrays
 
     arrs = chains_as_arrays(loops, chain_col)
+    # the pair list is tiny relative to the kernel work it fans out, and
+    # AQE coalesces the join output to ~1 partition — repartition on the
+    # pair key so the O(n*m) per-pair kernels actually run in parallel
+    n_slices = spark.sparkContext.defaultParallelism * 2
     joined = (
         pairs.select("chain_a", "chain_b")
         .join(
@@ -79,6 +83,7 @@ def loop_pair_distance(
             arrs.select(F.col(chain_col).alias("chain_b"), F.col("verts").alias("vb")),
             "chain_b",
         )
+        .repartition(n_slices, "chain_a", "chain_b")
     )
 
     def batches(it):

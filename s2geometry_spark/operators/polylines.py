@@ -596,10 +596,14 @@ def chain_pair_min_distance(
     from .alignment import _verts_to_np, chains_as_arrays
 
     arrs = chains_as_arrays(chains, chain_col)
+    # small pair list fanning out O(n*m) kernel work: repartition on the
+    # pair key so AQE's coalesced join output doesn't serialize the kernels
+    n_slices = spark.sparkContext.defaultParallelism * 2
     joined = (
         pairs.select("chain_a", "chain_b")
         .join(arrs.select(F.col("chain_id").alias("chain_a"), F.col("verts").alias("va")), "chain_a")
         .join(arrs.select(F.col("chain_id").alias("chain_b"), F.col("verts").alias("vb")), "chain_b")
+        .repartition(n_slices, "chain_a", "chain_b")
     )
 
     def batches(it):
