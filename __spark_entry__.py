@@ -1817,6 +1817,38 @@ def q_img_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ip.tile_image_stats(_images_geo(spark, sf_dir), 5)
 
 
+def q_img_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-IMAGE query (the north rule's third named operator, over
+    the image+caption input table directly): for each customer query
+    point, the 3 nearest geotagged images via the staged cell-neighbor
+    ring-expansion kNN.  Rows-only check: the image geotag derives from
+    the generated table's phash (splitmix64 is not portably expressible
+    in SQL); the kNN mechanism itself is oracle-proven bit-exact by the
+    `knn` query, and this query is brute-force-verified in
+    tests/test_images.py."""
+    from s2geometry_spark.operators import image_pipeline as ip
+
+    imgs = ip.with_xyz(_images_geo_narrow(spark, sf_dir))
+    # the kNN kernel keys on int64 pids; the zero-padded "img%012d" id
+    # maps to its numeric suffix with the SAME sort order (tie-breaks
+    # unchanged), and is formatted back after the join — no extra join
+    points = imgs.select(
+        F.substring("image_id", 4, 12).cast("long").alias("pid"),
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        F.col("z").alias("pz"),
+        F.col("cell").alias("p_cell"),
+    )
+    q = _customer_queries(spark, sf_dir, _QUERY_KEY)
+    out = knn_join(spark, points, q, KNN_K, start_level=5, num_stages=2)
+    return out.select(
+        "qid",
+        F.col("rank").cast("long").alias("rank"),
+        F.format_string("img%012d", F.col("pid")).alias("image_id"),
+        "dist_chord2",
+    )
+
+
 def q_img_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geotagged images x broadcast polygon set containment join."""
     from s2geometry_spark.operators import image_pipeline as ip
@@ -2114,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vectorize": q_raster_vectorize,
         "polyline_crossings": q_polyline_crossings,
         "img_tile_stats": q_img_tile_stats,
+        "img_knn": q_img_knn,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
         "img_quality": q_img_quality,

@@ -253,3 +253,47 @@ def test_image_quality_screening(spark):
     assert abs(got["flat"].entropy_bits) == 0.0
     assert got["ok"].entropy_bits > 5.0
     assert all(r.n_px == 24 * 24 for r in got.values())
+
+
+def test_img_knn_matches_brute_force(spark):
+    """The k-nearest-image query (staged ring-expansion kNN over the
+    geotagged generated images) equals the NumPy brute-force top-k with
+    the same (dist, pid) tie-break."""
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sf = "/root/testdata/sf0.001"
+    out = mod.q_img_knn(spark, sf).toPandas()
+
+    from s2geometry_spark.operators import image_pipeline as ip
+
+    imgs = ip.with_xyz(mod._images_geo_narrow(spark, sf)).select(
+        "image_id", "x", "y", "z"
+    ).toPandas()
+    qs = mod._customer_queries(spark, sf, mod._QUERY_KEY).select(
+        "qid", "qx", "qy", "qz"
+    ).toPandas()
+    P = imgs[["x", "y", "z"]].to_numpy()
+    pid = imgs["image_id"].to_numpy()
+    order_pid = np.argsort(pid, kind="stable")
+    want = {}
+    for _, row in qs.iterrows():
+        q = np.array([row.qx, row.qy, row.qz])
+        d = ((P - q) ** 2).sum(axis=1)
+        idx = sorted(range(len(d)), key=lambda i: (d[i], pid[i]))[: mod.KNN_K]
+        want[row.qid] = [(r + 1, pid[i], d[i]) for r, i in enumerate(idx)]
+    got = {}
+    for _, r in out.iterrows():
+        got.setdefault(r.qid, []).append((r["rank"], r.image_id, r.dist_chord2))
+    for k in got:
+        got[k] = sorted(got[k])
+    assert len(got) == len(want)
+    for qid, rows in want.items():
+        assert got[qid] == rows, (qid, got[qid], rows)
