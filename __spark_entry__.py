@@ -1840,7 +1840,11 @@ def q_img_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("p_cell"),
     )
     q = _customer_queries(spark, sf_dir, _QUERY_KEY)
-    out = knn_join(spark, points, q, KNN_K, start_level=5, num_stages=2)
+    # the image table is ~10x sparser than the orders point set, so the
+    # first ring stage starts 2 levels coarser (~30 images per L3 cell at
+    # sf0.1 certifies most queries in stage 1; L5 was 3x slower) — at real
+    # scale pick start_level from measured density (density.py sharder)
+    out = knn_join(spark, points, q, KNN_K, start_level=3, num_stages=2)
     return out.select(
         "qid",
         F.col("rank").cast("long").alias("rank"),
