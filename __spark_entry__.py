@@ -1053,6 +1053,94 @@ def _loop_pair_distance_oracle() -> str:
     return loop_pair_distance_oracle_sql(verts_sql, pairs_sql)
 
 
+_BMATCH_TOL = 1e-8  # chord^2 tolerance (~1e-4 rad)
+_BMATCH_KEY = "(chain_id * 1000003 + seq)"
+_BMATCH_EPS = (
+    "(CASE WHEN chain_id % 2 = 0 THEN CAST(2e-6 AS DOUBLE)"
+    " ELSE CAST(2e-4 AS DOUBLE) END)"
+)
+
+
+def _bmatch_partner_exprs() -> tuple[str, str, str, str]:
+    """(seq, wx, wy, wz) SQL strings building the partner loop from a
+    star-loop row (chain_id, seq, x, y, z, n): rotate by chain_id %% n and
+    jitter by eps(chain) along the key-derived unit triplet — identical
+    text evaluates in Spark and DuckDB, so engine and oracle agree
+    bitwise."""
+    from s2geometry_spark.kernels.geotag import sql_xyz_exprs
+
+    e = sql_xyz_exprs(_BMATCH_KEY)
+    nrm = (
+        f"sqrt(CAST(({e['x0']})*({e['x0']}) + ({e['y0']})*({e['y0']})"
+        f" + ({e['z0']})*({e['z0']}) AS DOUBLE))"
+    )
+    seq = "(seq - (chain_id % n) + n) % n"
+    wx = f"(x + {_BMATCH_EPS} * (CAST(({e['x0']}) AS DOUBLE)/{nrm}))"
+    wy = f"(y + {_BMATCH_EPS} * (CAST(({e['y0']}) AS DOUBLE)/{nrm}))"
+    wz = f"(z + {_BMATCH_EPS} * (CAST(({e['z0']}) AS DOUBLE)/{nrm}))"
+    return seq, wx, wy, wz
+
+
+def q_loop_boundary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Loop::BoundaryApproxEquals as a distributed per-pair query
+    (s2loop.cc BoundaryApproxEquals; the backtracking BoundaryNear /
+    MatchBoundaries variant is kernel-level, mirrored against the
+    s2loop_test.cc goldens in tests/test_nearcover.py): each star loop
+    vs a rotated copy jittered within tol (even chains) or beyond tol
+    (odd chains); emits the smallest matching rotation offset or -1."""
+    from pyspark.sql import Window
+
+    from s2geometry_spark.operators.validate import (
+        loop_pair_approx_match,
+        star_order_chains,
+    )
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    star = star_order_chains(spark, ca)
+    star_n = star.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("chain_id")))
+    seq, wx, wy, wz = _bmatch_partner_exprs()
+    w = star_n.selectExpr(
+        "chain_id", f"{seq} AS seq", f"{wx} AS wx", f"{wy} AS wy", f"{wz} AS wz"
+    )
+    b = w.selectExpr(
+        "chain_id",
+        "seq",
+        "wx / sqrt((wx*wx + wy*wy) + wz*wz) AS x",
+        "wy / sqrt((wx*wx + wy*wy) + wz*wz) AS y",
+        "wz / sqrt((wx*wx + wy*wy) + wz*wz) AS z",
+    )
+    return loop_pair_approx_match(spark, star, b, _BMATCH_TOL)
+
+
+def _loop_boundary_match_oracle() -> str:
+    from s2geometry_spark.operators.validate import (
+        loop_pair_approx_match_oracle_sql,
+        star_order_cte_sql,
+    )
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    star = star_order_cte_sql(raw)
+    seq, wx, wy, wz = _bmatch_partner_exprs()
+    b_sql = f"""
+WITH sstar AS MATERIALIZED ({star}),
+scnt AS (SELECT chain_id AS cid, count(*) AS n FROM sstar GROUP BY chain_id),
+sw AS (
+  SELECT chain_id, {seq} AS seq, {wx} AS wx, {wy} AS wy, {wz} AS wz
+  FROM (SELECT s.*, c.n FROM sstar s JOIN scnt c ON c.cid = s.chain_id)
+)
+SELECT chain_id, seq,
+       wx / sqrt((wx*wx + wy*wy) + wz*wz) AS x,
+       wy / sqrt((wx*wx + wy*wy) + wz*wz) AS y,
+       wz / sqrt((wx*wx + wy*wy) + wz*wz) AS z
+FROM sw"""
+    return loop_pair_approx_match_oracle_sql(star, b_sql, _BMATCH_TOL)
+
+
 # --- S2Builder iterative site merging (ChooseInitialSites,
 # s2builder.cc:727) for the IDENTITY snap function — the non-grid snap
 # path.  sep = 1 degree merges ~42% of the fixture's vertices without
@@ -2131,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_pair_distance": q_chain_pair_distance,
         "loop_validate": q_loop_validate,
         "loop_pair_distance": q_loop_pair_distance,
+        "loop_boundary_match": q_loop_boundary_match,
         "cap_join": q_cap_join,
         "rect_join": q_rect_join,
         "knn": q_knn,
@@ -2413,6 +2502,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "chain_pair_distance": _chain_pair_distance_oracle(),
         "loop_validate": _loop_validate_oracle(),
         "loop_pair_distance": _loop_pair_distance_oracle(),
+        "loop_boundary_match": _loop_boundary_match_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),

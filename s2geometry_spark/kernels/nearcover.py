@@ -218,3 +218,100 @@ def nearly_covers(A: np.ndarray, B: np.ndarray, ch2_tol: float) -> bool:
         ):
             break
     return bool(R[:, :, m - 1].any())
+
+
+# ---------- S2Loop::BoundaryNear / BoundaryApproxEquals ----------
+
+
+def _vertex_edge_gates(A: np.ndarray, B: np.ndarray, ch2_tol: float) -> np.ndarray:
+    """D[v, e] = (distance from vertex A[v] to CLOSED edge e of loop B)
+    <= tol, for every vertex x edge pair (chord^2 against the pinned
+    point-edge kernel; monotone-equivalent to the reference's
+    S2::GetDistance <= max_error)."""
+    from .measures import point_edge_chord2
+
+    na, nb = len(A), len(B)
+    vv, ee = np.meshgrid(np.arange(na), np.arange(nb), indexing="ij")
+    vv, ee = vv.ravel(), ee.ravel()
+    d = point_edge_chord2(A[vv], B[ee], B[(ee + 1) % nb])
+    return (d <= ch2_tol).reshape(na, nb)
+
+
+def _match_boundaries(
+    ga: np.ndarray, gb: np.ndarray, na: int, nb: int, offset: int
+) -> bool:
+    """MatchBoundaries (s2loop.cc): reachability of state (na, nb) from
+    (0, 0), where i increments iff a(i+1+offset) is near b-edge j and j
+    increments iff b(j+1) is near a-edge (i+offset).  The reference
+    explores with an explicit stack + done-set; transitions only ever
+    increment i or j, so a forward row sweep with a run-fill along j is
+    the same reachability, vectorized."""
+    idx = np.arange(nb + 1)
+    reach = np.zeros(nb + 1, bool)
+    reach[0] = True
+    for i in range(na + 1):
+        if i > 0:
+            # from_above[j]: R[i-1, j] & gate_i[i-1, j]
+            gate_i = ga[(i + offset) % na, idx % nb]
+            reach = prev & gate_i
+        # within-row fill: R[i, j] |= R[i, j-1] & gate_j[i, j-1]
+        gate_j = gb[(idx[:-1] + 1) % nb, (i + offset) % na]
+        seg = np.concatenate(([0], np.cumsum(~gate_j)))
+        last_seed = np.maximum.accumulate(np.where(reach, idx, -1))
+        seg_at_seed = np.where(last_seed >= 0, seg[np.maximum(last_seed, 0)], -1)
+        reach = (last_seed >= 0) & (seg_at_seed == seg)
+        prev = reach
+    return bool(reach[nb])
+
+
+def loop_boundary_near(A: np.ndarray, B: np.ndarray, ch2_tol: float) -> bool:
+    """S2Loop::BoundaryNear (s2loop.cc BoundaryNear + MatchBoundaries,
+    golden cases s2loop_test.cc TEST(S2Loop, BoundaryNear)): the loop
+    boundaries stay within tol of each other under some rotation offset,
+    allowing local backtracking that defeats greedy matching."""
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    na, nb = len(A), len(B)
+    if na == 0 or nb == 0:
+        return na == nb
+    ga = _vertex_edge_gates(A, B, ch2_tol)  # a-vertex near b-edge
+    gb = _vertex_edge_gates(B, A, ch2_tol)  # b-vertex near a-edge
+    return any(_match_boundaries(ga, gb, na, nb, off) for off in range(na))
+
+
+def loop_boundary_approx_equals(
+    A: np.ndarray, B: np.ndarray, ch2_tol: float
+) -> bool:
+    """S2Loop::BoundaryApproxEquals: same vertex count and some rotation
+    offset matching every vertex pairwise within tol."""
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    na = len(A)
+    if na != len(B):
+        return False
+    if na == 0:
+        return True
+    for off in range(na):
+        if (_chord2(np.roll(A, -off, axis=0), B) <= ch2_tol).all():
+            return True
+    return False
+
+
+def polygon_boundary_near(
+    a_loops: list, b_loops: list, ch2_tol: float
+) -> bool:
+    """S2Polygon::BoundaryNear (s2polygon.cc:1463-1482): same loop count,
+    and every A loop has a same-depth B loop with BoundaryNear."""
+    from .booleanop import nesting_depths
+
+    if len(a_loops) != len(b_loops):
+        return False
+    da = nesting_depths(a_loops)
+    db = nesting_depths(b_loops)
+    for la, depth_a in zip(a_loops, da):
+        if not any(
+            depth_b == depth_a and loop_boundary_near(lb, la, ch2_tol)
+            for lb, depth_b in zip(b_loops, db)
+        ):
+            return False
+    return True

@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..kernels import predicates
 
@@ -290,3 +291,93 @@ LEFT JOIN dup ON dup.loop_id = c.loop_id
 LEFT JOIN antip ON antip.loop_id = c.loop_id
 LEFT JOIN crx ON crx.loop_id = c.loop_id AND crx.rnk = 1
 ORDER BY c.loop_id"""
+
+
+def loop_pair_approx_match(
+    spark: SparkSession,
+    loops_a: DataFrame,
+    loops_b: DataFrame,
+    ch2_tol: float,
+    chain_col: str = "chain_id",
+) -> DataFrame:
+    """S2Loop::BoundaryApproxEquals as a distributed per-pair query
+    (s2loop.cc BoundaryApproxEquals; loops paired by chain id): the
+    smallest rotation offset under which every vertex of A matches the
+    same-index vertex of B within tol, or -1.  Output
+    (chain_id, n_vertices, matched_offset).
+
+    chord^2 comparisons use the pinned ((dx*dx + dy*dy) + dz*dz) order so
+    the SQL oracle replays every verdict bit-for-bit."""
+    from .alignment import _verts_to_np, chains_as_arrays
+
+    arrs_a = chains_as_arrays(loops_a, chain_col)
+    arrs_b = chains_as_arrays(loops_b, chain_col).select(
+        chain_col, F.col("verts").alias("verts_b")
+    )
+    joined = arrs_a.join(arrs_b, chain_col)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for cid, va, vb in zip(pdf[chain_col], pdf["verts"], pdf["verts_b"]):
+                A = _verts_to_np(va)
+                B = _verts_to_np(vb)
+                n = len(A)
+                matched = -1
+                if n == len(B):
+                    for off in range(n):
+                        R = np.roll(A, -off, axis=0)
+                        dx, dy, dz = (R - B).T
+                        d = (dx * dx + dy * dy) + dz * dz
+                        if (d <= ch2_tol).all():
+                            matched = off
+                            break
+                rows.append((cid, n, matched))
+            yield pd.DataFrame(
+                rows, columns=[chain_col, "n_vertices", "matched_offset"]
+            )
+
+    return joined.mapInPandas(
+        batches, f"{chain_col} long, n_vertices long, matched_offset long"
+    )
+
+
+def loop_pair_approx_match_oracle_sql(
+    a_sql: str, b_sql: str, ch2_tol: float
+) -> str:
+    """DuckDB replay: offsets from each chain's own seq values; an offset
+    matches iff no vertex pair exceeds tol; emit the min matching offset
+    else -1.  ``a_sql``/``b_sql`` yield (chain_id, seq, x, y, z)."""
+    tol = f"CAST({ch2_tol!r} AS DOUBLE)"
+    return f"""
+WITH asrc AS MATERIALIZED ({a_sql}),
+bsrc AS MATERIALIZED ({b_sql}),
+av AS MATERIALIZED (
+  SELECT chain_id, row_number() OVER (PARTITION BY chain_id ORDER BY seq) - 1 AS vi,
+         x, y, z FROM asrc
+),
+bv AS MATERIALIZED (
+  SELECT chain_id, row_number() OVER (PARTITION BY chain_id ORDER BY seq) - 1 AS vi,
+         x, y, z FROM bsrc
+),
+cnt AS MATERIALIZED (SELECT chain_id, count(*) AS n FROM av GROUP BY chain_id),
+offs AS (SELECT chain_id, vi AS o FROM av),
+bad AS (
+  SELECT f.chain_id, f.o,
+         max(CASE WHEN ((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y))
+                        + (a.z - b.z)*(a.z - b.z) > {tol}
+                  THEN 1 ELSE 0 END) AS any_bad
+  FROM offs f
+  JOIN cnt c ON c.chain_id = f.chain_id
+  JOIN bv b ON b.chain_id = f.chain_id
+  JOIN av a ON a.chain_id = f.chain_id AND a.vi = (b.vi + f.o) % c.n
+  GROUP BY f.chain_id, f.o
+),
+m AS (
+  SELECT chain_id, min(o) AS matched_offset FROM bad WHERE any_bad = 0
+  GROUP BY chain_id
+)
+SELECT c.chain_id, c.n AS n_vertices,
+       COALESCE(m.matched_offset, -1) AS matched_offset
+FROM cnt c LEFT JOIN m ON m.chain_id = c.chain_id
+ORDER BY c.chain_id"""

@@ -136,3 +136,60 @@ def test_operator_matches_kernel(spark):
         for b in range(6):
             exp = int(nearly_covers(chains[a], chains[b], ct))
             assert got[a, b] == (len(chains[a]), len(chains[b]), exp)
+
+
+# ---------- S2Loop::BoundaryNear golden cases (s2loop_test.cc) ----------
+
+
+def _near(a_str: str, b_str: str, tol_deg_or_ch2: float, expected: bool, ch2=None):
+    from s2geometry_spark.kernels.nearcover import loop_boundary_near
+    from s2geometry_spark.kernels.textformat import make_points
+
+    A = make_points(a_str)
+    B = make_points(b_str)
+    tol = ch2 if ch2 is not None else _ch2(tol_deg_or_ch2)
+    assert loop_boundary_near(A, B, tol) == expected
+    assert loop_boundary_near(B, A, tol) == expected  # symmetric, like TestNear
+
+
+def test_boundary_near_golden():
+    """The four TEST(S2Loop, BoundaryNear) cases, both directions each."""
+    _near("0:0, 0:10, 5:5", "0:0.1, -0.1:9.9, 5:5.2", 0.5, True)
+    _near(
+        "0:0, 0:3, 0:7, 0:10, 3:7, 5:5",
+        "0:0, 0:10, 2:8, 5:5, 4:4, 3:3, 1:1",
+        0.0, True, ch2=_ch2(np.degrees(1e-3)),
+    )
+    # all vertices close to some edge, but not equivalent
+    _near("0:0, 0:2, 2:2, 2:0", "0:0, 1.9999:1, 0:2, 2:2, 2:0", 0.5, False)
+    # backtracking triangles that defeat greedy matching
+    t1 = ("0.1:0, 0.1:1, 0.1:2, 0.1:3, 0.1:4, 1:4, 2:4, 3:4, "
+          "2:4.1, 1:4.1, 2:4.2, 3:4.2, 4:4.2, 5:4.2")
+    t2 = ("0:0, 0:1, 0:2, 0:3, 0.1:2, 0.1:1, 0.2:2, 0.2:3, "
+          "0.2:4, 1:4.1, 2:4, 3:4, 4:4, 5:4")
+    _near(t1, t2, 1.5, True)
+    _near(t1, t2, 0.5, False)
+
+
+def test_boundary_approx_equals_and_polygon_near():
+    from s2geometry_spark.kernels.nearcover import (
+        loop_boundary_approx_equals,
+        polygon_boundary_near,
+    )
+    from s2geometry_spark.kernels.regions import Loop
+    from s2geometry_spark.kernels.textformat import make_points
+
+    A = make_points("0:0, 0:10, 10:10, 10:0")
+    # rotated copy matches under some offset; perturbed beyond tol fails
+    B = np.roll(A.copy(), -2, axis=0)
+    assert loop_boundary_approx_equals(A, B, _ch2(1e-9))
+    assert not loop_boundary_approx_equals(A, make_points("0:0, 0:10, 10:10"), _ch2(1.0))
+    assert not loop_boundary_approx_equals(
+        A, make_points("0:0, 0:10, 10:10, 11.5:0"), _ch2(1.0)
+    )
+    # polygon: shell+hole vs the same with loops listed in the other order
+    shell = Loop.make_regular(10.0, 20.0, 0.4, 16).vertices
+    hole = Loop.make_regular(10.0, 20.0, 0.15, 12).vertices
+    assert polygon_boundary_near([shell, hole], [hole, shell], _ch2(0.01))
+    other = Loop.make_regular(10.0, 24.0, 0.4, 16).vertices
+    assert not polygon_boundary_near([shell, hole], [other, hole], _ch2(0.01))
