@@ -1549,6 +1549,57 @@ def _builder_snap_oracle() -> str:
     )
 
 
+# E1 (0.1-degree grid) actually merges vertices at this data density
+# (24 multi-point grid cells at sf0.01) and keeps the oracle's rounding
+# boundary ~1e-13 grid units away from any last-ulp asin/atan2
+# disagreement between NumPy and DuckDB (measured: ~30% of rows differ
+# in the final ulp, zero integer flips on 165k points at E2-E7)
+INT_LATLNG_EXPONENT = 1
+
+
+def q_builder_snap_latlng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntLatLngSnapFunction (s2builderutil_snap_functions.cc:327-414):
+    snap every orders point to the integer E1 lat/lng grid
+    (degrees * 10, ties-to-even) and merge coincident vertices —
+    (ilat, ilng, keeper_id, n_merged).  The grid key is exact-integer,
+    so DuckDB replays asin/atan2 -> degrees -> scale -> round-half-even
+    literally."""
+    from s2geometry_spark.operators.builder_ops import snap_latlng_dedup
+
+    pts = _order_points_xyz(spark, sf_dir).select("pid", "x", "y", "z")
+    return snap_latlng_dedup(pts, INT_LATLNG_EXPONENT)
+
+
+def _builder_snap_latlng_oracle() -> str:
+    scale = "%.1f" % (10.0 ** INT_LATLNG_EXPONENT)
+    xyz_cte = oracle.xyz_sql_cte(
+        "orders", "o_orderkey", keep_cols="o_orderkey AS pid"
+    )
+
+    def rnd(col: str) -> str:
+        # FastInt64Round / np.rint: round half to even, sign-safe
+        return (
+            f"CAST(floor({col}) + (CASE WHEN {col} - floor({col}) > 0.5 THEN 1 "
+            f"WHEN {col} - floor({col}) < 0.5 THEN 0 "
+            f"ELSE ((CAST(floor({col}) AS BIGINT) % 2) + 2) % 2 END) AS BIGINT)"
+        )
+
+    return f"""
+WITH {xyz_cte},
+d AS MATERIALIZED (
+  SELECT pid,
+         (asin(z) * (180.0/pi())) * {scale} AS slat,
+         (atan2(y, x) * (180.0/pi())) * {scale} AS slng
+  FROM xyz
+),
+r AS (
+  SELECT pid, {rnd("slat")} AS ilat, {rnd("slng")} AS ilng FROM d
+)
+SELECT ilat, ilng, min(pid) AS keeper_id, count(*) AS n_merged
+FROM r GROUP BY 1, 2
+"""
+
+
 CLOSEST_CELL_K = 2
 
 
@@ -2232,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_interpolate": q_chain_interpolate,
         "closest_cell": q_closest_cell,
         "builder_snap": q_builder_snap,
+        "builder_snap_latlng": q_builder_snap_latlng,
         "winding_number": q_winding_number,
         "winding_build": q_winding_build,
         "builder_snap_round": q_builder_snap_round,
@@ -2506,6 +2558,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "builder_snap": _builder_snap_oracle(),
+        "builder_snap_latlng": _builder_snap_latlng_oracle(),
         "winding_number": _winding_oracle(),
         "winding_build": _winding_build_oracle(),
         "builder_snap_round": _builder_snap_round_oracle(),

@@ -24,6 +24,8 @@ the SQL oracle recomputes.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from . import cellid
@@ -156,6 +158,93 @@ def snap_round_chain(xyz: np.ndarray, level: int) -> np.ndarray:
         out.append(snapped[i + 1])
     W = simplify_chain(np.stack(out))
     return W if W.shape[0] >= 2 else W[:0]
+
+
+# ---------------------------------------------------------------------------
+# IntLatLngSnapFunction (s2builderutil_snap_functions.cc:327-414): snap
+# vertices to a uniform integer (lat, lng) grid in degrees * 10^exponent —
+# the snap function used when output must round-trip through E5/E6/E7
+# integer-degree storage (the other non-grid... rather non-CELL grid the
+# reference ships next to S2CellIdSnapFunction).
+# ---------------------------------------------------------------------------
+
+_DEG_PER_RAD = 180.0 / np.pi
+INT_LATLNG_MIN_EXPONENT = 0
+INT_LATLNG_MAX_EXPONENT = 10
+_DBL_EPS = float(np.finfo(np.float64).eps)
+
+
+def int_latlng_snap(xyz: np.ndarray, exponent: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ilat, ilng) int64 grid coordinates per vertex —
+    IntLatLngSnapFunction::SnapPoint's integer stage
+    (s2builderutil_snap_functions.cc:387-393): degrees scaled by
+    10^exponent, rounded ties-to-even (np.rint == MathUtil::FastInt64Round
+    semantics).  The degree conversion is the pinned product
+    (asin(z) * (180/pi)) * scale so the SQL oracle replays it literally.
+    """
+    P = np.asarray(xyz, np.float64)
+    scale = 1.0
+    for _ in range(exponent):  # reference builds the power by repeated *10
+        scale *= 10.0
+    lat = (np.arcsin(np.clip(P[:, 2], -1.0, 1.0)) * _DEG_PER_RAD) * scale
+    lng = (np.arctan2(P[:, 1], P[:, 0]) * _DEG_PER_RAD) * scale
+    return np.rint(lat).astype(np.int64), np.rint(lng).astype(np.int64)
+
+
+def int_latlng_snap_point(
+    ilat: np.ndarray, ilng: np.ndarray, exponent: int
+) -> np.ndarray:
+    """(n,3) unit vectors of the snapped grid coordinates —
+    S2LatLng::FromDegrees(i * 10^-e).ToPoint() (s2latlng.h ToPoint:
+    (cos(lat)cos(lng), cos(lat)sin(lng), sin(lat)))."""
+    scale = 1.0
+    for _ in range(exponent):
+        scale *= 10.0
+    to_deg = 1.0 / scale
+    lat = np.radians(np.asarray(ilat, np.float64) * to_deg)
+    lng = np.radians(np.asarray(ilng, np.float64) * to_deg)
+    cl = np.cos(lat)
+    return np.stack([cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)], axis=1)
+
+
+def min_snap_radius_for_exponent(exponent: int) -> float:
+    """Radians upper bound on SnapPoint movement
+    (s2builderutil_snap_functions.cc:248-277): rounding can move a point
+    by up to sqrt(2)/2 grid units diagonally, plus the conversion error
+    budget (9*sqrt(2) + 1.5) * DBL_EPSILON."""
+    power = 1.0
+    for _ in range(exponent):
+        power *= 10.0
+    return math.radians(math.sqrt(0.5) / power) + (
+        9.0 * math.sqrt(2.0) + 1.5
+    ) * _DBL_EPS
+
+
+def exponent_for_max_snap_radius(snap_radius_rad: float) -> int:
+    """Largest exponent whose min snap radius fits within ``snap_radius``
+    (s2builderutil_snap_functions.cc:279-298) — the inverse of
+    min_snap_radius_for_exponent up to its documented error tolerance."""
+    r = snap_radius_rad - (9.0 * math.sqrt(2.0) + 1.5) * _DBL_EPS
+    r = max(r, 1e-30)
+    exponent = math.log10(math.sqrt(0.5) / math.degrees(r))
+    return max(
+        INT_LATLNG_MIN_EXPONENT,
+        min(INT_LATLNG_MAX_EXPONENT, int(math.ceil(exponent - 2 * _DBL_EPS))),
+    )
+
+
+def int_latlng_min_vertex_separation(exponent: int, snap_radius_rad: float) -> float:
+    """Radians lower bound on output vertex separation after the builder's
+    site selection (s2builderutil_snap_functions.cc:294-312): max of the
+    proportional bound 0.471 * r and the asymptotic r - sqrt(1/2) grid
+    units."""
+    power = 1.0
+    for _ in range(exponent):
+        power *= 10.0
+    return max(
+        0.471 * snap_radius_rad,
+        snap_radius_rad - math.radians(math.sqrt(0.5) / power),
+    )
 
 
 def choose_sites(V: np.ndarray, sep_chord2: float) -> tuple[np.ndarray, np.ndarray]:

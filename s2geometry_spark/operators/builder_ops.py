@@ -65,6 +65,56 @@ def snap_dedup(
     )
 
 
+def snap_latlng_points(
+    points: DataFrame, exponent: int, xyz: tuple[str, str, str] = ("x", "y", "z")
+) -> DataFrame:
+    """Adds (ilat, ilng) integer grid coordinates + snapped unit vector
+    (sx, sy, sz) per point — IntLatLngSnapFunction::SnapPoint as one
+    Arrow-batched pass, no shuffle."""
+    x, y, z = xyz
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields
+    )
+    schema += ", ilat long, ilng long, sx double, sy double, sz double"
+
+    def batches(it):
+        for pdf in it:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                for c, dt in [("ilat", "int64"), ("ilng", "int64"),
+                              ("sx", "float64"), ("sy", "float64"),
+                              ("sz", "float64")]:
+                    out[c] = pd.Series(dtype=dt)
+                yield out
+                continue
+            P = pdf[[x, y, z]].to_numpy(np.float64)
+            ilat, ilng = builder.int_latlng_snap(P, exponent)
+            S = builder.int_latlng_snap_point(ilat, ilng, exponent)
+            out["ilat"], out["ilng"] = ilat, ilng
+            out["sx"], out["sy"], out["sz"] = S[:, 0], S[:, 1], S[:, 2]
+            yield out
+
+    return points.mapInPandas(batches, schema)
+
+
+def snap_latlng_dedup(
+    points: DataFrame,
+    exponent: int,
+    id_col: str = "pid",
+    xyz: tuple[str, str, str] = ("x", "y", "z"),
+) -> DataFrame:
+    """(ilat, ilng, keeper_id, n_merged): vertices merged by the integer
+    lat/lng grid — IntLatLngSnapFunction's vertex-merging as one hash
+    agg (same dataflow shape as snap_dedup; the grid key is two int64s
+    instead of a cell id, so the shuffle and the oracle replay stay
+    exact-integer)."""
+    snapped = snap_latlng_points(points, exponent, xyz)
+    return snapped.groupBy("ilat", "ilng").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )
+
+
 def snap_chains(
     chains: DataFrame,
     level: int,

@@ -86,3 +86,87 @@ def test_snap_chains_operator(spark):
     want = builder.build_polyline(big, 6)
     got = np.array([[r.sx, r.sy, r.sz] for r in out])
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# IntLatLngSnapFunction (s2builderutil_snap_functions.cc:327-414)
+# ---------------------------------------------------------------------------
+
+
+def test_int_latlng_snap_idempotent():
+    """Snapping a snapped point returns the same grid coordinates
+    (SnapPoint is a projection, s2builder_test.cc snap idempotence)."""
+    P = _rand_points(2000, seed=3)
+    for e in (0, 2, 5, 7):
+        ilat, ilng = builder.int_latlng_snap(P, e)
+        S = builder.int_latlng_snap_point(ilat, ilng, e)
+        ilat2, ilng2 = builder.int_latlng_snap(S, e)
+        assert (ilat2 == ilat).all()
+        # lng of a snapped pole degenerates; compare only off-pole rows
+        off_pole = np.abs(ilat) < 90 * 10**e
+        assert (ilng2[off_pole] == ilng[off_pole]).all()
+
+
+def test_int_latlng_snap_within_snap_radius():
+    """SnapPoint moves each vertex by at most MinSnapRadiusForExponent
+    (the defining guarantee, s2builderutil_snap_functions.cc:248-277)."""
+    P = _rand_points(2000, seed=4)
+    for e in (1, 3, 5):
+        r = builder.min_snap_radius_for_exponent(e)
+        ilat, ilng = builder.int_latlng_snap(P, e)
+        S = builder.int_latlng_snap_point(ilat, ilng, e)
+        d = np.arccos(np.clip((P * S).sum(axis=1), -1.0, 1.0))
+        assert (d <= r).all(), (e, float(d.max()), r)
+
+
+def test_exponent_for_max_snap_radius_inverse():
+    """ExponentForMaxSnapRadius is the inverse of MinSnapRadiusForExponent
+    (s2builderutil_snap_functions_test.cc ExponentForMaxSnapRadius)."""
+    for e in range(0, 11):
+        r = builder.min_snap_radius_for_exponent(e)
+        assert builder.exponent_for_max_snap_radius(r) == e
+        # a slightly smaller movement budget needs a finer grid (e+1)
+        assert builder.exponent_for_max_snap_radius(0.9 * r) == min(e + 1, 10)
+        # a larger budget still admits the same grid
+        assert builder.exponent_for_max_snap_radius(2.0 * r) <= e
+
+
+def test_int_latlng_min_vertex_separation_bounds():
+    """min_vertex_separation stays within (0, snap_radius] and equals the
+    max of the proportional and asymptotic bounds."""
+    for e in (0, 4, 8):
+        r = builder.min_snap_radius_for_exponent(e)
+        sep = builder.int_latlng_min_vertex_separation(e, r)
+        assert 0.0 < sep <= r
+        assert sep >= 0.471 * r - 1e-18
+
+
+def test_snap_latlng_dedup_operator(spark):
+    """Distributed IntLatLng snap-dedup: every input point appears in
+    exactly one grid bucket, keeper is the min id, and the kernel's
+    integers match a local recomputation."""
+    from s2geometry_spark.operators.builder_ops import snap_latlng_dedup
+
+    P = _rand_points(500, seed=5)
+    pdf_rows = [
+        (int(i), float(P[i, 0]), float(P[i, 1]), float(P[i, 2]))
+        for i in range(len(P))
+    ]
+    df = spark.createDataFrame(pdf_rows, "pid long, x double, y double, z double")
+    out = snap_latlng_dedup(df, 5).toPandas()
+    assert int(out.n_merged.sum()) == len(P)
+    ilat, ilng = builder.int_latlng_snap(P, 5)
+    import pandas as pd
+
+    local = (
+        pd.DataFrame({"ilat": ilat, "ilng": ilng, "pid": np.arange(len(P))})
+        .groupby(["ilat", "ilng"])
+        .agg(keeper_id=("pid", "min"), n_merged=("pid", "size"))
+        .reset_index()
+    )
+    merged = out.sort_values(["ilat", "ilng"]).reset_index(drop=True)
+    local = local.sort_values(["ilat", "ilng"]).reset_index(drop=True)
+    assert (merged.ilat.to_numpy() == local.ilat.to_numpy()).all()
+    assert (merged.ilng.to_numpy() == local.ilng.to_numpy()).all()
+    assert (merged.keeper_id.to_numpy() == local.keeper_id.to_numpy()).all()
+    assert (merged.n_merged.to_numpy() == local.n_merged.to_numpy()).all()
