@@ -1025,6 +1025,62 @@ def q_loop_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loop_pair_distance(spark, loops, pairs_all.unionByName(pairs_shr))
 
 
+_NEST_SHRINKS = (0.66, 0.30)  # concentric homothety factors -> depths 0/1/2
+
+
+def q_loop_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ShapeNestingQuery (s2shape_nesting_query.h ComputeShapeNesting):
+    depth + immediate parent of every loop in a family.  Fixture: each
+    star-ordered customer loop plus two concentric shrunk copies (pinned
+    homothety, factors 0.66/0.30) — a 3-deep nest per family; containment
+    replays via the banded south-pole crossing parity."""
+    from s2geometry_spark.operators.nesting import loop_nesting
+    from s2geometry_spark.operators.polygon_distance import shrink_loops
+    from s2geometry_spark.operators.validate import star_order_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    star = star_order_chains(spark, ca)
+    parts = [star.withColumn("member_id", F.lit(0))]
+    for m, t in enumerate(_NEST_SHRINKS, start=1):
+        parts.append(
+            shrink_loops(spark, star, t=t).withColumn("member_id", F.lit(m))
+        )
+    loops = parts[0]
+    for p in parts[1:]:
+        loops = loops.unionByName(p)
+    loops = loops.select(
+        F.col("chain_id").alias("family_id"),
+        F.col("member_id").cast("long"),
+        "seq", "x", "y", "z",
+    )
+    return loop_nesting(spark, loops)
+
+
+def _loop_nesting_oracle() -> str:
+    from s2geometry_spark.operators.nesting import loop_nesting_oracle_sql
+    from s2geometry_spark.operators.polygon_distance import shrink_loops_cte_sql
+    from s2geometry_spark.operators.validate import star_order_cte_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    star = star_order_cte_sql(raw)
+    parts = [
+        f"SELECT chain_id AS family_id, 0 AS member_id, seq, x, y, z FROM ({star})"
+    ]
+    for m, t in enumerate(_NEST_SHRINKS, start=1):
+        shr = shrink_loops_cte_sql(star, t=t, prefix=f"sh{m}_")
+        parts.append(
+            f"SELECT chain_id AS family_id, {m} AS member_id, seq, x, y, z"
+            f" FROM ({shr})"
+        )
+    verts_sql = " UNION ALL ".join(parts)
+    return loop_nesting_oracle_sql(verts_sql)
+
+
 def _loop_pair_distance_oracle() -> str:
     from s2geometry_spark.operators.polygon_distance import (
         loop_pair_distance_oracle_sql,
@@ -2270,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_pair_distance": q_chain_pair_distance,
         "loop_validate": q_loop_validate,
         "loop_pair_distance": q_loop_pair_distance,
+        "loop_nesting": q_loop_nesting,
         "loop_boundary_match": q_loop_boundary_match,
         "cap_join": q_cap_join,
         "rect_join": q_rect_join,
@@ -2554,6 +2611,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "chain_pair_distance": _chain_pair_distance_oracle(),
         "loop_validate": _loop_validate_oracle(),
         "loop_pair_distance": _loop_pair_distance_oracle(),
+        "loop_nesting": _loop_nesting_oracle(),
         "loop_boundary_match": _loop_boundary_match_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),

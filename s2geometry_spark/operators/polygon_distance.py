@@ -190,38 +190,40 @@ def shrink_loops(
     )
 
 
-def shrink_loops_cte_sql(verts_sql: str, t: float = 0.35) -> str:
+def shrink_loops_cte_sql(verts_sql: str, t: float = 0.35, prefix: str = "sh") -> str:
     """DuckDB replay of ``shrink_loops`` from a (chain_id, seq, x, y, z)
-    source; output shape identical."""
+    source; output shape identical.  ``prefix`` namespaces the CTEs so
+    several shrink factors can coexist in one oracle."""
     tl = f"CAST({t!r} AS DOUBLE)"
+    p = prefix
     return f"""
-WITH shsrc AS MATERIALIZED ({verts_sql}),
-shbox AS MATERIALIZED (
+WITH {p}src AS MATERIALIZED ({verts_sql}),
+{p}box AS MATERIALIZED (
   SELECT chain_id,
          (min(x) + max(x)) * 0.5 AS m0,
          (min(y) + max(y)) * 0.5 AS m1,
          (min(z) + max(z)) * 0.5 AS m2
-  FROM shsrc GROUP BY chain_id
+  FROM {p}src GROUP BY chain_id
 ),
-shc AS MATERIALIZED (
+{p}c AS MATERIALIZED (
   SELECT chain_id,
          m0 / sqrt((m0*m0 + m1*m1) + m2*m2) AS c0,
          m1 / sqrt((m0*m0 + m1*m1) + m2*m2) AS c1,
          m2 / sqrt((m0*m0 + m1*m1) + m2*m2) AS c2
-  FROM shbox
+  FROM {p}box
 ),
-shw AS MATERIALIZED (
+{p}w AS MATERIALIZED (
   SELECT s.chain_id, s.seq,
          (c.c0 + {tl} * (s.x - c.c0)) AS wx,
          (c.c1 + {tl} * (s.y - c.c1)) AS wy,
          (c.c2 + {tl} * (s.z - c.c2)) AS wz
-  FROM shsrc s JOIN shc c ON c.chain_id = s.chain_id
+  FROM {p}src s JOIN {p}c c ON c.chain_id = s.chain_id
 )
 SELECT chain_id, seq,
        wx / sqrt((wx*wx + wy*wy) + wz*wz) AS x,
        wy / sqrt((wx*wx + wy*wy) + wz*wz) AS y,
        wz / sqrt((wx*wx + wy*wy) + wz*wz) AS z
-FROM shw"""
+FROM {p}w"""
 
 
 def _sgn(expr: str) -> str:
