@@ -666,6 +666,33 @@ def q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_chains(ca, SIMPLIFY_TOL)
 
 
+def q_polyline_simplify_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disc-constraint polyline simplification (S2PolylineSimplifier,
+    s2polyline_simplifier.cc — the simplifier S2Builder's
+    simplify_edge_chains is built on): maximal output edges whose
+    bearing window intersects every skipped vertex's tolerance disc,
+    with GetSemiwidth's conservative error rounding.  INTEGER-only
+    output; the DuckDB oracle replays the state machine as a lambda-free
+    recursive CTE (DuckDB 1.0's list_reduce is batch-sensitively wrong
+    for CASE-struct folds)."""
+    from s2geometry_spark.operators.simplify import simplify_chains_disc
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    return simplify_chains_disc(ca, SIMPLIFY_TOL)
+
+
+def _polyline_simplify_disc_oracle() -> str:
+    from s2geometry_spark.operators.simplify import disc_simplify_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    table_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    return disc_simplify_oracle_sql(table_sql, SIMPLIFY_TOL)
+
+
 def q_chain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-chain true centroid + arc length (S2Polyline::GetCentroid,
     s2polyline.cc:221; S2::TrueCentroid(a,b), s2centroids.cc:76) over the
@@ -2316,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_difference": q_poly_difference,
         "poly_boolean_shared": q_poly_boolean_shared,
         "polyline_simplify": q_polyline_simplify,
+        "polyline_simplify_disc": q_polyline_simplify_disc,
         "chain_centroids": q_chain_centroids,
         "polyline_alignment": q_polyline_alignment,
         "polyline_medoid": q_polyline_medoid,
@@ -2601,6 +2629,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "poly_difference": _poly_bool_oracle("difference"),
         "poly_boolean_shared": _poly_boolean_shared_oracle(),
         "polyline_simplify": _polyline_simplify_oracle(),
+        "polyline_simplify_disc": _polyline_simplify_disc_oracle(),
         "chain_centroids": _chain_centroids_oracle(),
         "polyline_alignment": _polyline_alignment_oracle(),
         "polyline_medoid": _polyline_medoid_oracle(),
