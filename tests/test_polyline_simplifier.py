@@ -200,3 +200,32 @@ def test_simplify_straight_line_keeps_two():
     V = np.stack([np.cos(t), np.sin(t), np.zeros(n)], axis=1)
     kept = simplify_polyline(V[:, 0], V[:, 1], V[:, 2], 1e-6)
     assert kept == [0, n - 1]
+
+
+def test_builder_snap_then_simplify_composition():
+    """The S2Builder simplify_edge_chains pipeline shape (s2builder.cc):
+    snap a chain to level-L cell centers, then disc-simplify the snapped
+    chain.  Outputs are a subset of the snap sites, and for a
+    forward-progressing chain every dropped site stays within the
+    simplification tolerance of the output edge that replaced it."""
+    from s2geometry_spark.kernels import builder
+
+    level = 12
+    V = _forward_walk(150, 0.004, 0.1, seed=9)
+    S = builder.build_polyline(V, level)
+    assert S.shape[0] >= 2
+    # tolerance: the snap radius at this level (vertex already moved by
+    # up to that much, the reference budgets max_edge_deviation above it)
+    tol = 2.0 * math.asin(0.5 * math.sqrt(builder.snap_radius_chord2(level)))
+    kept = simplify_polyline(S[:, 0], S[:, 1], S[:, 2], tol)
+    assert kept[0] == 0 and kept[-1] == len(S) - 1
+    sites = {tuple(p) for p in S}
+    r2 = chord2_of_radius(tol)
+    for a, b in zip(kept, kept[1:]):
+        assert tuple(S[a]) in sites and tuple(S[b]) in sites
+        if b - a < 2:
+            continue
+        mids = S[a + 1:b]
+        A = np.broadcast_to(S[a], mids.shape)
+        B = np.broadcast_to(S[b], mids.shape)
+        assert (point_edge_chord2(mids, A, B) <= r2 * (1 + 1e-9)).all()
