@@ -1065,10 +1065,14 @@ def q_loop_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators.polygon_distance import shrink_loops
     from s2geometry_spark.operators.validate import star_order_chains
 
+    from pyspark import StorageLevel
+
     ca = _chain_points_df(
         spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
     )
-    star = star_order_chains(spark, ca)
+    # the star ordering feeds all three family members; without the
+    # persist the union re-runs the angular-sort pipeline once per member
+    star = star_order_chains(spark, ca).persist(StorageLevel.MEMORY_AND_DISK)
     parts = [star.withColumn("member_id", F.lit(0))]
     for m, t in enumerate(_NEST_SHRINKS, start=1):
         parts.append(
