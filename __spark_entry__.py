@@ -2193,6 +2193,26 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+LSH_AUDIT_BANDS = 4  # 8 rows/band: strict collisions, so recall < 1 is live
+
+
+def q_dedup_lsh_recall(spark, sf_dir):
+    """Banding-recall audit: MinHash-LSH pairs (num_hashes=32, bands=4 —
+    deliberately strict so misses occur) vs the exact n-gram-Jaccard
+    ground truth; one row of (n_exact, n_lsh, tp, fn, fp, recall).  The
+    parameter-qualification measurement a pipeline runs before trusting
+    LSH at scale; both pair oracles compose bit-exactly in DuckDB."""
+    from s2geometry_spark.operators import dedup
+
+    return dedup.lsh_recall_audit(
+        _docs(spark, sf_dir),
+        num_hashes=32,
+        bands=LSH_AUDIT_BANDS,
+        n=JACCARD_N,
+        tau=JACCARD_TAU,
+    )
+
+
 BM25_TERMS = ("join", "spark", "stream", "vector")
 
 
@@ -2389,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         "dedup_components": q_dedup_components,
         "sessionize": q_sessionize,
         "text_bm25": q_text_bm25,
@@ -2663,6 +2684,9 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle_sql(JACCARD_N, JACCARD_TAU),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle_sql(
             num_hashes=32, bands=16, n=JACCARD_N, tau=JACCARD_TAU
+        ),
+        "dedup_lsh_recall": dedup.lsh_recall_oracle_sql(
+            num_hashes=32, bands=LSH_AUDIT_BANDS, n=JACCARD_N, tau=JACCARD_TAU
         ),
         "sessionize": _sessions_oracle(),
         "text_bm25": text.bm25_oracle_sql(BM25_TERMS),

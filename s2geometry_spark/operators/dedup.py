@@ -504,3 +504,69 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """
+
+
+def lsh_recall_audit(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Banding-recall audit of the MinHash-LSH scale path against the
+    exact n-gram-Jaccard ground truth — the data-quality measurement a
+    pipeline runs before trusting LSH parameters at scale.
+
+    One row: (n_exact, n_lsh, tp, fn, fp, recall).  Both pair sets use
+    the same exact-Jaccard refinement at ``tau``, so fp is structurally
+    0 and recall isolates what the banding misses (a pair of near-dups
+    whose signatures collide in no band).  recall is the pinned
+    double/double division so the DuckDB oracle matches bit-for-bit.
+    """
+    ex = ngram_jaccard_join(docs, n, tau).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_exact")
+    )
+    ls = minhash_lsh_pairs(docs, num_hashes, bands, n, tau).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_lsh")
+    )
+    j = ex.join(ls, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.count(F.col("in_exact")).alias("n_exact"),
+        F.count(F.col("in_lsh")).alias("n_lsh"),
+        F.count(F.when(F.col("in_exact") & F.col("in_lsh"), 1)).alias("tp"),
+        F.count(F.when(F.col("in_exact") & F.col("in_lsh").isNull(), 1)).alias("fn"),
+        F.count(F.when(F.col("in_lsh") & F.col("in_exact").isNull(), 1)).alias("fp"),
+    )
+    recall = F.when(F.col("n_exact") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / F.col("n_exact").cast("double")
+    )
+    return agg.select("n_exact", "n_lsh", "tp", "fn", "fp", recall.alias("recall"))
+
+
+def lsh_recall_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, n: int = 3, tau: float = 0.5
+) -> str:
+    """DuckDB replay of lsh_recall_audit: the two pair oracles as CTEs,
+    full outer join, identical count/division arithmetic."""
+    ex = ngram_jaccard_oracle_sql(n, tau)
+    ls = minhash_lsh_oracle_sql(num_hashes, bands, n, tau)
+    return f"""
+WITH exq AS MATERIALIZED ({ex}),
+lsq AS MATERIALIZED ({ls}),
+j AS (
+  SELECT e.doc_a AS ea, l.doc_a AS la
+  FROM exq e FULL OUTER JOIN lsq l
+    ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+),
+c AS (
+  SELECT count(ea) AS n_exact, count(la) AS n_lsh,
+         count(CASE WHEN ea IS NOT NULL AND la IS NOT NULL THEN 1 END) AS tp,
+         count(CASE WHEN ea IS NOT NULL AND la IS NULL THEN 1 END) AS fn,
+         count(CASE WHEN la IS NOT NULL AND ea IS NULL THEN 1 END) AS fp
+  FROM j
+)
+SELECT n_exact, n_lsh, tp, fn, fp,
+       CASE WHEN n_exact = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall
+FROM c
+"""

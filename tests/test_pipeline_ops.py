@@ -251,3 +251,21 @@ def test_split_assign_stability(spark):
     c = Counter(full.values())
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > 200
+
+
+def test_lsh_recall_audit_accounting(docs):
+    """The recall audit's counters satisfy their defining identities at
+    any banding: fp == 0 (both sides share the exact-Jaccard refinement),
+    n_exact == tp + fn, recall == tp / n_exact."""
+    for bands in (16, 2):
+        row = dedup.lsh_recall_audit(
+            docs, num_hashes=32, bands=bands, n=3, tau=TAU
+        ).collect()[0]
+        assert row.fp == 0
+        assert row.n_exact == row.tp + row.fn
+        assert row.n_lsh == row.tp
+        if row.n_exact:
+            assert row.recall == row.tp / row.n_exact
+        # generous banding on planted dups: full recall
+        if bands == 16:
+            assert row.recall == 1.0
