@@ -483,3 +483,69 @@ def polygon_union(a, b):
 
 def polygon_difference(a, b):
     return overlay(a, b, "difference")
+
+
+def boolean_operation(
+    op: str,
+    a: dict,
+    b_loops: list[np.ndarray],
+) -> dict:
+    """S2BooleanOperation over a MIXED-dimension geometry collection A
+    against a polygon B (s2boolean_operation.h:60-130: regions are
+    closed under boolean operations only if lower-dimensional geometry
+    is carried through; polylines/points of A inside the result region
+    are absorbed, outside are kept).
+
+    a: {'loops': [...], 'polylines': [(n,3) chains], 'points': (n,3)} —
+    any subset of keys.  Returns the same structure:
+
+    * ``loops``     — overlay(a.loops, B, op) (empty-side identities
+                      handled directly).
+    * ``polylines`` — op == intersection keeps the sub-polylines INSIDE
+                      B; union/difference keep the sub-polylines OUTSIDE
+                      (inside parts are absorbed by the union region /
+                      erased by the subtraction).
+    * ``points``    — same in/out selection, via Polygon containment.
+
+    Boundary-model-aware semi-open/open/closed polyline clipping lives
+    in kernels/clipmodels (clip_chain_models); this dispatcher uses the
+    transversal closed-model clip (operators/polylines.clip_to_polygon),
+    matching the reference's default SEMI_OPEN behavior away from
+    boundary degeneracies.
+    """
+    from ..operators.polylines import clip_to_polygon
+
+    if op not in ("intersection", "union", "difference"):
+        raise ValueError(f"unknown op {op!r}")
+    a_loops = a.get("loops") or []
+    out: dict = {}
+    if not a_loops:
+        out["loops"] = _normalize_small(b_loops) if op == "union" else []
+    elif not b_loops:
+        out["loops"] = [] if op == "intersection" else _normalize_small(a_loops)
+    else:
+        out["loops"] = overlay(a_loops, b_loops, op)
+    keep_inside = op == "intersection"
+    pb = Polygon([Loop(v) for v in _normalize_small(b_loops)]) if b_loops else None
+    chains = a.get("polylines") or []
+    clipped: list[np.ndarray] = []
+    for V in chains:
+        if pb is None:
+            if not keep_inside:
+                clipped.append(np.asarray(V, np.float64))
+            continue
+        clipped.extend(clip_to_polygon(np.asarray(V, np.float64), pb, keep_inside))
+    out["polylines"] = clipped
+    pts = a.get("points")
+    if pts is None or len(pts) == 0:
+        out["points"] = np.zeros((0, 3), np.float64)
+    elif pb is None:
+        out["points"] = (
+            np.asarray(pts, np.float64)[:0] if keep_inside
+            else np.asarray(pts, np.float64)
+        )
+    else:
+        P = np.asarray(pts, np.float64)
+        inside = pb.contains_points(P)
+        out["points"] = P[inside if keep_inside else ~inside]
+    return out

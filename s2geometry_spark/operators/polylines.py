@@ -124,10 +124,14 @@ def polyline_self_crossing_join(
     return pairs.where(F.col("eid_a") < F.col("eid_b"))
 
 
-def clip_to_polygon(V: np.ndarray, poly: Polygon) -> list[np.ndarray]:
+def clip_to_polygon(
+    V: np.ndarray, poly: Polygon, keep_inside: bool = True
+) -> list[np.ndarray]:
     """S2Polyline::IntersectWithPolygon: the sub-polylines of chain V
-    inside ``poly``.  Splits each edge at boundary crossings (midpoint
-    classification per sub-arc), merging consecutive kept sub-arcs."""
+    inside ``poly`` (or outside it with ``keep_inside=False`` — the
+    SubtractFromPolyline direction).  Splits each edge at boundary
+    crossings (midpoint classification per sub-arc), merging consecutive
+    kept sub-arcs."""
     if V.shape[0] < 2:
         return []
     b_edges = []
@@ -157,7 +161,7 @@ def clip_to_polygon(V: np.ndarray, poly: Polygon) -> list[np.ndarray]:
             u, v = chain[s], chain[s + 1]
             mid = u + v
             mid = mid / np.linalg.norm(mid)
-            if bool(poly.contains_point(mid)):
+            if bool(poly.contains_point(mid)) == keep_inside:
                 if not cur:
                     cur = [u, v]
                 elif np.array_equal(cur[-1], u):

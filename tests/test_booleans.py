@@ -372,3 +372,48 @@ def test_overlap_fractions():
     assert fb == 1.0
     import pytest as _pt
     assert fa == _pt.approx(polygon_area(small) / polygon_area(big), rel=1e-9)
+
+
+def test_boolean_operation_mixed_dimensions():
+    """S2BooleanOperation over a mixed collection (polygon + polyline +
+    points) against a polygon (s2boolean_operation.h:60-130): the
+    polyline crossing the square keeps its inner piece under
+    intersection and its two outer pieces under union/difference, and
+    points select by containment the same way."""
+    import numpy as np
+
+    from s2geometry_spark.kernels import booleanop
+    from s2geometry_spark.kernels.textformat import make_loop, make_points
+
+    square = [make_loop("5:-5, 5:5, -5:5, -5:-5").vertices]
+    small = [make_loop("2:-2, 2:2, -2:2, -2:-2").vertices]
+    chain = make_points("0:-10, 0:0, 0:10")
+    pts = make_points("0:0, 0:20")
+
+    a = {"loops": small, "polylines": [chain], "points": pts}
+    r_int = booleanop.boolean_operation("intersection", a, square)
+    r_uni = booleanop.boolean_operation("union", a, square)
+    r_dif = booleanop.boolean_operation("difference", a, square)
+
+    # loops: small square is inside the big one
+    assert len(r_int["loops"]) == 1 and len(r_uni["loops"]) == 1
+    assert r_dif["loops"] == []
+    # polylines: one inner piece vs two outer pieces
+    assert len(r_int["polylines"]) == 1
+    assert len(r_uni["polylines"]) == 2
+    assert len(r_dif["polylines"]) == 2
+    # every clipped vertex is on the correct side (midpoints checked by
+    # construction; endpoints lie on the boundary or the original chain)
+    # points: 0:0 is inside, 0:20 outside
+    assert r_int["points"].shape[0] == 1
+    assert r_uni["points"].shape[0] == 1 and r_dif["points"].shape[0] == 1
+    assert abs(float(r_int["points"][0] @ make_points("0:0")[0]) - 1.0) < 1e-12
+    assert abs(float(r_uni["points"][0] @ make_points("0:20")[0]) - 1.0) < 1e-12
+
+    # empty-side identities
+    e_uni = booleanop.boolean_operation("union", {"loops": []}, square)
+    assert len(e_uni["loops"]) == 1
+    e_int = booleanop.boolean_operation("intersection", {"loops": []}, square)
+    assert e_int["loops"] == []
+    e_dif = booleanop.boolean_operation("difference", {"loops": small}, [])
+    assert len(e_dif["loops"]) == 1
