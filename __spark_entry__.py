@@ -125,6 +125,40 @@ def q_tile_counts_l12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.tile_counts(df, 12)
 
 
+def q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of tile_counts_l5: the orders parquet is
+    consumed as a FILE STREAM (trigger availableNow), the identical
+    triplet -> leaf-cell derivation runs inside the streaming plan, and a
+    complete-mode aggregation counts per level-5 tile into a memory
+    sink.  Returning the sink table makes stream-vs-batch equivalence a
+    driver-checked ORACLE row (the oracle is tile_counts_l5's SQL
+    verbatim), not just a pytest property."""
+    import uuid
+
+    schema = _load(spark, sf_dir, "orders").schema
+    # the file stream source needs a DIRECTORY; select the one table
+    # file out of the sf dir with a glob filter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    pts = stream.select(
+        F.col("o_orderkey").alias("pid"), *tiling.triplet_exprs("o_orderkey")
+    )
+    counts = tiling.tile_counts(tiling.with_cell_from_triplet(pts), 5)
+    name = "stc_" + uuid.uuid4().hex[:10]
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _order_points(spark, sf_dir)
     return tiling.tile_rollup(df, [2, 5, 8], cell="cell")
@@ -2353,6 +2387,7 @@ def q_ann_topk_sq8(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_counts_l5": q_tile_counts_l5,
+        "streaming_tile_counts": q_streaming_tile_counts,
         "tile_counts_l12": q_tile_counts_l12,
         "tile_rollup": q_tile_rollup,
         "tile_sample": q_tile_sample,
@@ -2735,6 +2770,10 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "tile_counts_l12": _leaf_sql(
             f"SELECT {p12} AS cell_l12, COUNT(*) AS cnt FROM leaf GROUP BY 1"
+        ),
+        # the streaming twin must equal the batch tile counts bit-for-bit
+        "streaming_tile_counts": _leaf_sql(
+            f"SELECT {p5} AS cell_l5, COUNT(*) AS cnt FROM leaf GROUP BY 1"
         ),
         "tile_rollup": _leaf_sql(rollup_parts),
         "tile_sample": _tile_sample_oracle(),
