@@ -1086,6 +1086,123 @@ def q_loop_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loop_pair_distance(spark, loops, pairs_all.unionByName(pairs_shr))
 
 
+def q_polygon_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Polygon::FindValidationError at the POLYGON level (s2polygon.cc
+    FindValidationError: every loop valid AND no two loops cross):
+    per family of four loops — star_f, its shrink (nested), the next
+    chain's star (often crossing), and the raw closed chain (usually
+    self-intersecting) — count invalid loops and transversally-crossing
+    loop pairs; is_valid iff both are zero.  Composes the oracled
+    loop-validation and pair-relation machinery, so the polygon verdict
+    is bit-replayable."""
+    from pyspark import StorageLevel
+
+    from s2geometry_spark.operators.polygon_distance import (
+        loop_pair_distance,
+        shrink_loops,
+    )
+    from s2geometry_spark.operators.validate import loop_validation, star_order_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    star = star_order_chains(spark, ca).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def member(df, m, shift=0, even_only=False):
+        src = df
+        if shift:
+            src = df.where(F.col("chain_id") >= shift)
+        if even_only:
+            src = src.where(F.col("chain_id") % 2 == 0)
+        return src.select(
+            ((F.col("chain_id") - F.lit(shift)) * 4 + F.lit(m)).alias("chain_id"),
+            "seq", "x", "y", "z",
+        )
+
+    # the raw (self-crossing) member joins EVEN families only, so both
+    # verdicts occur: even families are invalid, odd ones usually valid
+    loops = (
+        member(star, 0)
+        .unionByName(member(shrink_loops(spark, star, t=0.66), 1))
+        .unionByName(member(star, 2, shift=1))
+        .unionByName(member(ca, 3, even_only=True))
+    )
+    lv = loop_validation(spark, loops)
+    inv = lv.groupBy((F.col("loop_id") / 4).cast("long").alias("family_id")).agg(
+        F.count(F.when(F.col("error_code") != 0, 1)).alias("n_invalid_loops")
+    )
+    ids = lv.select("loop_id", (F.col("loop_id") / 4).cast("long").alias("fam"))
+    pairs = (
+        ids.select(F.col("loop_id").alias("chain_a"), "fam")
+        .join(
+            ids.select(F.col("loop_id").alias("chain_b"), F.col("fam").alias("famb")),
+            (F.col("fam") == F.col("famb")) & (F.col("chain_b") > F.col("chain_a")),
+        )
+        .select("chain_a", "chain_b")
+    )
+    rel = loop_pair_distance(spark, loops, pairs)
+    crx = rel.groupBy((F.col("chain_a") / 4).cast("long").alias("family_id")).agg(
+        F.count(F.when(F.col("relation") == 1, 1)).alias("n_crossing_pairs")
+    )
+    return inv.join(crx, "family_id").select(
+        "family_id",
+        "n_invalid_loops",
+        "n_crossing_pairs",
+        (
+            (F.col("n_invalid_loops") == 0) & (F.col("n_crossing_pairs") == 0)
+        ).alias("is_valid"),
+    )
+
+
+def _polygon_validate_oracle() -> str:
+    from s2geometry_spark.operators.polygon_distance import (
+        loop_pair_distance_oracle_sql,
+        shrink_loops_cte_sql,
+    )
+    from s2geometry_spark.operators.validate import (
+        loop_validation_oracle_sql,
+        star_order_cte_sql,
+    )
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    star = star_order_cte_sql(raw)
+    shr = shrink_loops_cte_sql(star, t=0.66)
+    verts_sql = (
+        f"SELECT chain_id * 4 AS chain_id, seq, x, y, z FROM ({star}) "
+        f"UNION ALL SELECT chain_id * 4 + 1 AS chain_id, seq, x, y, z FROM ({shr}) "
+        f"UNION ALL SELECT (chain_id - 1) * 4 + 2 AS chain_id, seq, x, y, z"
+        f" FROM ({star}) WHERE chain_id >= 1 "
+        f"UNION ALL SELECT chain_id * 4 + 3 AS chain_id, seq, x, y, z"
+        f" FROM ({raw}) WHERE chain_id % 2 = 0"
+    )
+    pairs_sql = """SELECT a.chain_id AS chain_a, b.chain_id AS chain_b
+  FROM (SELECT DISTINCT chain_id FROM verts) a
+  JOIN (SELECT DISTINCT chain_id FROM verts) b
+    ON a.chain_id // 4 = b.chain_id // 4 AND b.chain_id > a.chain_id"""
+    lv = loop_validation_oracle_sql(verts_sql)
+    rel = loop_pair_distance_oracle_sql(verts_sql, pairs_sql)
+    return f"""
+WITH lvres AS MATERIALIZED ({lv}),
+relres AS MATERIALIZED ({rel}),
+inv AS (
+  SELECT loop_id // 4 AS family_id,
+         count(CASE WHEN error_code != 0 THEN 1 END) AS n_invalid_loops
+  FROM lvres GROUP BY 1
+),
+crx AS (
+  SELECT chain_a // 4 AS family_id,
+         count(CASE WHEN relation = 1 THEN 1 END) AS n_crossing_pairs
+  FROM relres GROUP BY 1
+)
+SELECT i.family_id, i.n_invalid_loops, c.n_crossing_pairs,
+       (i.n_invalid_loops = 0 AND c.n_crossing_pairs = 0) AS is_valid
+FROM inv i JOIN crx c ON c.family_id = i.family_id
+"""
+
+
 _NEST_SHRINKS = (0.66, 0.30)  # concentric homothety factors -> depths 0/1/2
 
 
@@ -2414,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loop_validate": q_loop_validate,
         "loop_pair_distance": q_loop_pair_distance,
         "loop_nesting": q_loop_nesting,
+        "polygon_validate": q_polygon_validate,
         "loop_boundary_match": q_loop_boundary_match,
         "cap_join": q_cap_join,
         "rect_join": q_rect_join,
@@ -2701,6 +2819,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "loop_validate": _loop_validate_oracle(),
         "loop_pair_distance": _loop_pair_distance_oracle(),
         "loop_nesting": _loop_nesting_oracle(),
+        "polygon_validate": _polygon_validate_oracle(),
         "loop_boundary_match": _loop_boundary_match_oracle(),
         "chain_interpolate": _chain_interpolate_oracle(),
         "closest_cell": _closest_cell_oracle(),
