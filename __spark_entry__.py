@@ -2124,6 +2124,48 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_knn_furthest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Furthest-point kNN (S2FurthestEdgeQuery's max-distance-target
+    family, s2max_distance_targets.h, applied to points): the k furthest
+    points from q are the k nearest to -q (chord2(q,p) = 4 -
+    chord2(-q,p)), so the certified staged ring expansion runs around
+    the ANTIPODES, and the final ranking recomputes chord2(q, p) in the
+    pinned polynomial form (+,* only — portable bitwise), ordering DESC.
+    The candidate set is selected by the antipodal metric and re-ranked
+    by the direct one; a set discrepancy needs two true distances within
+    ~1 ulp of each other at the k boundary (measure-zero for these
+    fixtures)."""
+    from pyspark.sql import Window
+
+    points = _order_points_xyz(spark, sf_dir).toDF("pid", "px", "py", "pz", "p_cell")
+    q = _customer_queries(spark, sf_dir, _QUERY_KEY)
+    anti = q.select(
+        "qid",
+        (-F.col("qx")).alias("qx"),
+        (-F.col("qy")).alias("qy"),
+        (-F.col("qz")).alias("qz"),
+    ).withColumn("q_cell", s2f.cell_from_xyz(F.col("qx"), F.col("qy"), F.col("qz")))
+    cand = knn_join(spark, points, anti, KNN_K, start_level=5, num_stages=2).select(
+        "qid", "pid"
+    )
+    # rejoin coordinates (candidate set is tiny: k rows per query)
+    joined = (
+        F.broadcast(cand)
+        .join(points.select("pid", "px", "py", "pz"), "pid")
+        .join(q.select("qid", "qx", "qy", "qz"), "qid")
+    )
+    dd = (
+        (F.col("qx") - F.col("px")) * (F.col("qx") - F.col("px"))
+        + (F.col("qy") - F.col("py")) * (F.col("qy") - F.col("py"))
+    ) + (F.col("qz") - F.col("pz")) * (F.col("qz") - F.col("pz"))
+    w = Window.partitionBy("qid").orderBy(F.col("dist_chord2").desc(), F.col("pid").asc())
+    return (
+        joined.withColumn("dist_chord2", dd)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("qid", "rank", "pid", "dist_chord2")
+    )
+
+
 def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed Hausdorff distance h(customers -> orders): kNN(k=1) + max
     (S2HausdorffDistanceQuery over point sets)."""
@@ -2536,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_join": q_cap_join,
         "rect_join": q_rect_join,
         "knn": q_knn,
+        "knn_furthest": q_knn_furthest,
         "hausdorff": q_hausdorff,
         "tile_hulls": q_tile_hulls,
         "edge_crossings": q_edge_crossings,
@@ -2761,6 +2804,18 @@ SELECT qid, rank, pid, dist_chord2 FROM (
          ) AS rank
   FROM qxyz q CROSS JOIN xyz p
 ) WHERE rank <= {KNN_K}"""
+    knn_far_sql = f"""WITH {xyz_cte}, {q_xyz_cte}
+SELECT qid, rank, pid, dist_chord2 FROM (
+  SELECT q.qid AS qid, p.pid AS pid,
+         ((q.x - p.x)*(q.x - p.x) + (q.y - p.y)*(q.y - p.y))
+           + (q.z - p.z)*(q.z - p.z) AS dist_chord2,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY ((q.x - p.x)*(q.x - p.x) + (q.y - p.y)*(q.y - p.y))
+                      + (q.z - p.z)*(q.z - p.z) DESC, p.pid ASC
+         ) AS rank
+  FROM qxyz q CROSS JOIN xyz p
+) WHERE rank <= {KNN_K}"""
     from s2geometry_spark.operators import ann, dedup, graph, text
 
     dim = 64
@@ -2901,6 +2956,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "cap_join": f"WITH {xyz_cte} {cap_parts}",
         "rect_join": _rect_join_oracle(),
         "knn": knn_sql,
+        "knn_furthest": knn_far_sql,
     }
 
 
