@@ -91,6 +91,26 @@ def build_loops(loops: list[np.ndarray], level: int) -> list[np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def min_snap_radius_for_level(level: int) -> float:
+    """Radians upper bound on S2CellIdSnapFunction snap movement at
+    ``level`` (s2builderutil_snap_functions.cc:111-121: half the max
+    cell diagonal plus the 4-eps conversion error budget)."""
+    from . import metrics
+
+    return 0.5 * metrics.MAX_DIAG.get_value(level) + 4.0 * np.finfo(np.float64).eps
+
+
+def level_for_max_snap_radius(snap_radius_rad: float) -> int:
+    """Finest level whose min snap radius fits within ``snap_radius``
+    (s2builderutil_snap_functions.cc:123-128) — the inverse of
+    min_snap_radius_for_level up to its error allowance."""
+    from . import metrics
+
+    return metrics.MAX_DIAG.get_level_for_max_value(
+        2.0 * (snap_radius_rad - 4.0 * float(np.finfo(np.float64).eps))
+    )
+
+
 def snap_radius_chord2(level: int) -> float:
     """Squared chord length of the S2CellIdSnapFunction snap radius at
     ``level`` (half the max cell diagonal,

@@ -170,3 +170,52 @@ def test_snap_latlng_dedup_operator(spark):
     assert (merged.ilng.to_numpy() == local.ilng.to_numpy()).all()
     assert (merged.keeper_id.to_numpy() == local.keeper_id.to_numpy()).all()
     assert (merged.n_merged.to_numpy() == local.n_merged.to_numpy()).all()
+
+
+def test_cellid_snap_level_roundtrip():
+    """S2CellIdSnapFunction LevelToFromSnapRadius
+    (s2builderutil_snap_functions_test.cc): the level<->radius pair
+    round-trips, a slightly smaller radius forces the next finer level,
+    and huge/tiny radii clamp to 0 / max level."""
+    from s2geometry_spark.kernels.builder import (
+        level_for_max_snap_radius,
+        min_snap_radius_for_level,
+    )
+
+    MAX_LEVEL = 30
+    for level in range(0, MAX_LEVEL + 1):
+        radius = min_snap_radius_for_level(level)
+        assert level_for_max_snap_radius(radius) == level, level
+        assert level_for_max_snap_radius(0.999 * radius) == min(
+            level + 1, MAX_LEVEL
+        ), level
+    # a radius larger than level 0's minimum clamps to level 0; a tiny
+    # one clamps to the max level
+    assert level_for_max_snap_radius(2.0) == 0
+    assert level_for_max_snap_radius(1e-30) == MAX_LEVEL
+
+
+def test_int_latlng_snap_fixed_points():
+    """IntLatLngSnapFunction SnapPoint fixed points
+    (s2builderutil_snap_functions_test.cc SnapPoint): points generated
+    from integer E5/E6/E7 coordinates snap to themselves at the matching
+    exponent, and an E7 point with a trailing 1 digit is NOT a fixed
+    point at E6."""
+    rng = np.random.default_rng(21)
+    for _ in range(200):
+        p = rng.normal(size=3)
+        p /= np.linalg.norm(p)
+        ilat, ilng = builder.int_latlng_snap(p[None, :], 7)
+        for e in (5, 6, 7):
+            il, ig = builder.int_latlng_snap(p[None, :], e)
+            pe = builder.int_latlng_snap_point(il, ig, e)
+            il2, ig2 = builder.int_latlng_snap(pe, e)
+            assert il2[0] == il[0] and ig2[0] == ig[0], e
+        # E7 coordinates ending in ...1 are not on the E6 grid
+        il6, ig6 = builder.int_latlng_snap(p[None, :], 6)
+        p7n6 = builder.int_latlng_snap_point(
+            il6 * 10 + 1, ig6 * 10 + 1, 7
+        )
+        jl, jg = builder.int_latlng_snap(p7n6, 6)
+        q = builder.int_latlng_snap_point(jl, jg, 6)
+        assert not np.array_equal(q, p7n6)
