@@ -1169,12 +1169,16 @@ def _polygon_validate_oracle() -> str:
     )
     raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
     star = star_order_cte_sql(raw)
-    shr = shrink_loops_cte_sql(star, t=0.66)
+    shr = shrink_loops_cte_sql("SELECT chain_id, seq, x, y, z FROM star_m", t=0.66)
+    # the star pipeline is the expensive part and feeds three of the four
+    # members AND both sub-oracles; materialize it ONCE in a nested WITH
+    # (the sub-oracle builders each wrap this string in their own vsrc)
     verts_sql = (
-        f"SELECT chain_id * 4 AS chain_id, seq, x, y, z FROM ({star}) "
+        f"WITH star_m AS MATERIALIZED ({star}) "
+        f"SELECT chain_id * 4 AS chain_id, seq, x, y, z FROM star_m "
         f"UNION ALL SELECT chain_id * 4 + 1 AS chain_id, seq, x, y, z FROM ({shr}) "
         f"UNION ALL SELECT (chain_id - 1) * 4 + 2 AS chain_id, seq, x, y, z"
-        f" FROM ({star}) WHERE chain_id >= 1 "
+        f" FROM star_m WHERE chain_id >= 1 "
         f"UNION ALL SELECT chain_id * 4 + 3 AS chain_id, seq, x, y, z"
         f" FROM ({raw}) WHERE chain_id % 2 = 0"
     )
@@ -1250,16 +1254,21 @@ def _loop_nesting_oracle() -> str:
     )
     raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
     star = star_order_cte_sql(raw)
+    # materialize the star pipeline ONCE; all members derive from it
     parts = [
-        f"SELECT chain_id AS family_id, 0 AS member_id, seq, x, y, z FROM ({star})"
+        "SELECT chain_id AS family_id, 0 AS member_id, seq, x, y, z FROM star_m"
     ]
     for m, t in enumerate(_NEST_SHRINKS, start=1):
-        shr = shrink_loops_cte_sql(star, t=t, prefix=f"sh{m}_")
+        shr = shrink_loops_cte_sql(
+            "SELECT chain_id, seq, x, y, z FROM star_m", t=t, prefix=f"sh{m}_"
+        )
         parts.append(
             f"SELECT chain_id AS family_id, {m} AS member_id, seq, x, y, z"
             f" FROM ({shr})"
         )
-    verts_sql = " UNION ALL ".join(parts)
+    verts_sql = (
+        f"WITH star_m AS MATERIALIZED ({star}) " + " UNION ALL ".join(parts)
+    )
     return loop_nesting_oracle_sql(verts_sql)
 
 
