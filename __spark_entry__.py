@@ -2415,6 +2415,16 @@ def q_dedup_lsh_recall(spark, sf_dir):
     )
 
 
+def q_text_length_quantiles(spark, sf_dir):
+    """Exact token-count quantiles (p50/p90/p99) over the corpus — the
+    sequence-length planning numbers a training pipeline needs before
+    tokenizing at scale; k-th order statistics with pinned integer rank
+    arithmetic, no approximate sketches, so the oracle is bit-exact."""
+    from s2geometry_spark.operators import text
+
+    return text.token_length_quantiles(_docs(spark, sf_dir))
+
+
 BM25_TERMS = ("join", "spark", "stream", "vector")
 
 
@@ -2620,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "dedup_simhash": q_dedup_simhash,
         "text_token_stats": q_text_token_stats,
+        "text_length_quantiles": q_text_length_quantiles,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
@@ -2931,6 +2942,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
             "COUNT(*) AS n_points, COUNT(*) AS n_inside FROM leaf GROUP BY 1"
         ),
         "text_token_stats": text.token_stats_oracle_sql(),
+        "text_length_quantiles": text.token_length_quantiles_oracle_sql(),
         "text_quality": text.quality_score_oracle_sql(),
         "text_lang_id": text.lang_id_oracle_sql(),
         "ann_topk": ann_sql,

@@ -510,3 +510,69 @@ def split_assign_oracle_sql(salt: str = "s2split") -> str:
 WITH b AS (SELECT doc_id, ({h}) % 1000 AS bucket FROM documents)
 SELECT doc_id, bucket, {case} AS split FROM b
 """
+
+
+#: quantiles for the length-distribution audit (permille, exact order
+#: statistics — approximate percentile sketches differ across engines)
+LENGTH_QUANTILES = (500, 900, 990)
+
+
+def token_length_quantiles(docs: DataFrame) -> DataFrame:
+    """Exact token-count quantiles over the corpus — the sequence-length
+    planning numbers (truncation budget, packing efficiency) a training
+    pipeline derives before tokenizing at scale.
+
+    For quantile q (permille), the value is the k-th smallest n_tokens
+    with k = ceil(q/1000 * n) (the k-th ORDER STATISTIC, tie-insensitive)
+    — pinned integer arithmetic, so the DuckDB oracle replays it exactly;
+    no approximate sketches.  The plan never globally sorts the fact
+    table: one hash-agg shuffle builds the length HISTOGRAM (cardinality
+    bounded by the max document length, not the corpus), and the
+    cumulative window runs over that tiny table only.
+    """
+    from pyspark.sql import Window
+
+    hist = token_stats(docs).groupBy("n_tokens").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("n_tokens").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n_tokens",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum_hi"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    ).withColumn("cum_lo", F.col("cum_hi") - F.col("cnt"))
+    qs = F.array(*[F.lit(int(q)) for q in LENGTH_QUANTILES])
+    exploded = cum.select(
+        "n_tokens", "cum_lo", "cum_hi", "n",
+        F.explode(qs).alias("quantile_permille"),
+    )
+    # k = ceil(q * n / 1000); the k-th order statistic falls in the
+    # histogram bucket whose cumulative range covers k
+    k = -F.floor((-F.col("quantile_permille") * F.col("n")) / F.lit(1000))
+    return (
+        exploded.where((F.col("cum_lo") < k) & (k <= F.col("cum_hi")))
+        .select("quantile_permille", "n_tokens")
+    )
+
+
+def token_length_quantiles_oracle_sql() -> str:
+    """DuckDB replay: identical rank + integer ceil(k) selection."""
+    qvals = ", ".join(str(int(q)) for q in LENGTH_QUANTILES)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+ranked AS MATERIALIZED (
+  SELECT n_tokens,
+         row_number() OVER (ORDER BY n_tokens ASC) AS rk,
+         count(*) OVER () AS n
+  FROM toks
+),
+q AS (SELECT unnest([{qvals}]) AS quantile_permille)
+SELECT q.quantile_permille, r.n_tokens
+FROM ranked r JOIN q
+  ON r.rk = -floor((-q.quantile_permille * r.n) / 1000)
+"""
