@@ -1880,7 +1880,7 @@ def _closest_cell_oracle() -> str:
     )
 
 
-CHAIN_FRACTIONS = (0.25, 0.5, 0.75)
+CHAIN_FRACTIONS = (0.0, 0.25, 0.5, 0.75, 1.0)
 
 
 def q_chain_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2564,6 +2564,46 @@ def q_ann_topk_sq8(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- never driver-checked (r3 additions): the driver's 50-query correctness
+        # budget runs in dict order, so these MUST come first (VERDICT r3 #2) ---
+        "dedup_lsh_recall": q_dedup_lsh_recall,
+        "dedup_components": q_dedup_components,
+        "sessionize": q_sessionize,
+        "text_bm25": q_text_bm25,
+        "text_length_quantiles": q_text_length_quantiles,
+        "text_repetition": q_text_repetition,
+        "split_assign": q_split_assign,
+        "ann_topk_sq8": q_ann_topk_sq8,
+        "img_knn": q_img_knn,
+        "img_quality": q_img_quality,
+        "img_dedup_clusters": q_img_dedup_clusters,
+        "img_phash_near_dup": q_img_phash_near_dup,
+        # --- r3's one red row — oracle dtype CAST-pinned in r4, re-prove it ---
+        "loop_nesting": q_loop_nesting,
+        # --- new round-4 queries are inserted here ---
+        # --- code paths touched in r4 (strict-gate/oracle/kernel edits) ---
+        "knn_edges": q_knn_edges,
+        "polyline_nearly_covers": q_polyline_nearly_covers,
+        "loop_validate": q_loop_validate,
+        "polygon_validate": q_polygon_validate,
+        "chain_interpolate": q_chain_interpolate,
+        # --- last driver-checked in r2; code has moved since ---
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_topk": q_ann_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "img_tile_stats": q_img_tile_stats,
+        "img_pip_join": q_img_pip_join,
+        "img_invariant_violations": q_img_invariant_violations,
+        # --- green in r3 and unchanged — safe at the tail beyond the 50-query budget ---
         "tile_counts_l5": q_tile_counts_l5,
         "streaming_tile_counts": q_streaming_tile_counts,
         "tile_counts_l12": q_tile_counts_l12,
@@ -2586,13 +2626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_medoid": q_polyline_medoid,
         "polyline_clip_models": q_polyline_clip_models,
         "polyline_consensus": q_polyline_consensus,
-        "polyline_nearly_covers": q_polyline_nearly_covers,
         "builder_sites": q_builder_sites,
         "chain_pair_distance": q_chain_pair_distance,
-        "loop_validate": q_loop_validate,
         "loop_pair_distance": q_loop_pair_distance,
-        "loop_nesting": q_loop_nesting,
-        "polygon_validate": q_polygon_validate,
         "loop_boundary_match": q_loop_boundary_match,
         "cap_join": q_cap_join,
         "rect_join": q_rect_join,
@@ -2601,10 +2637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "tile_hulls": q_tile_hulls,
         "edge_crossings": q_edge_crossings,
-        "knn_edges": q_knn_edges,
         "project_to_edges": q_project_to_edges,
         "dist_to_boundary": q_dist_to_boundary,
-        "chain_interpolate": q_chain_interpolate,
         "closest_cell": q_closest_cell,
         "builder_snap": q_builder_snap,
         "builder_snap_latlng": q_builder_snap_latlng,
@@ -2614,33 +2648,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_self_crossings": q_polyline_self_crossings,
         "raster_vectorize": q_raster_vectorize,
         "polyline_crossings": q_polyline_crossings,
-        "img_tile_stats": q_img_tile_stats,
-        "img_knn": q_img_knn,
-        "img_pip_join": q_img_pip_join,
-        "img_invariant_violations": q_img_invariant_violations,
-        "img_quality": q_img_quality,
-        "img_dedup_clusters": q_img_dedup_clusters,
-        "img_phash_near_dup": q_img_phash_near_dup,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_lsh_recall": q_dedup_lsh_recall,
-        "dedup_components": q_dedup_components,
-        "sessionize": q_sessionize,
-        "text_bm25": q_text_bm25,
-        "dedup_simhash": q_dedup_simhash,
-        "text_token_stats": q_text_token_stats,
-        "text_length_quantiles": q_text_length_quantiles,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "split_assign": q_split_assign,
-        "ann_topk": q_ann_topk,
-        "emb_near_dup": q_emb_near_dup,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_sq8": q_ann_topk_sq8,
     }
 
 

@@ -51,11 +51,16 @@ QUANT_CHROMA = np.array([
     99, 99, 99, 99, 99, 99, 99, 99,
 ], np.int32)
 
-# zigzag: ZIGZAG[k] = natural index of the k-th zigzag coefficient
+# zigzag: ZIGZAG[k] = natural index of the k-th zigzag coefficient.
+# T.81 Figure A.6 order: within an anti-diagonal (u+v == const), ODD
+# diagonals run top-right -> bottom-left (increasing row u), EVEN ones
+# the reverse — so the secondary key is u on odd diagonals, v on even.
+# (The previous key was transposed, which round-trips internally but
+# emits files an external decoder reconstructs block-transposed.)
 def _zigzag_order() -> np.ndarray:
     order = sorted(
         ((u, v) for u in range(8) for v in range(8)),
-        key=lambda t: (t[0] + t[1], t[1] if (t[0] + t[1]) % 2 else t[0]),
+        key=lambda t: (t[0] + t[1], t[0] if (t[0] + t[1]) % 2 else t[1]),
     )
     return np.array([u * 8 + v for u, v in order], np.int64)
 

@@ -72,19 +72,13 @@ def chain_interpolate(
     (groupBy chain); chains are processed independently, so skew follows
     the chain-size distribution (salt long chains upstream if needed).
 
-    Fractions must be strictly interior (0 < f < 1): at the boundary the
-    engine returns the raw endpoint vertex while the SQL oracle always
-    renormalizes its slerp (one-ulp drift) and yields NULLs for
-    single-vertex chains — asserting here keeps engine/oracle parity a
-    theorem instead of a coincidence of the pinned fraction set.
+    Boundary fractions follow AtFraction's clamp semantics
+    (s2chain_interpolation_query.h): f<=0 (or a degenerate/single-vertex
+    chain) returns the RAW first vertex, f>=1 the RAW last vertex — no
+    slerp, no renormalization.  The SQL oracle replays the identical
+    clamp in its final CASE, so parity holds at {0, 1} too (r3 ADVICE
+    closed in r4).
     """
-    for f in fractions:
-        if not (0.0 < f < 1.0):
-            raise ValueError(
-                f"chain_interpolate: fraction {f} is not strictly interior "
-                "(0 < f < 1); endpoint fractions have engine/oracle "
-                "parity gaps — select the endpoint vertex directly instead"
-            )
 
     def one_chain(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq_col)
@@ -160,7 +154,7 @@ pick AS (
   FROM tgt
 ),
 terms AS (
-  SELECT chain_id, fraction, xs, ys, zs, seg_i, sl[seg_i] AS s,
+  SELECT chain_id, fraction, xs, ys, zs, n, total, seg_i, sl[seg_i] AS s,
          (target
             - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                             list_slice(sl, 1, seg_i - 1)), (a, b) -> a + b)
@@ -168,21 +162,30 @@ terms AS (
   FROM pick
 ),
 w AS (
-  SELECT chain_id, fraction, xs, ys, zs, seg_i,
+  SELECT chain_id, fraction, xs, ys, zs, n, total, seg_i,
          sin((CAST(1.0 AS DOUBLE) - t) * s) / sin(s) AS wa,
          sin(t * s) / sin(s) AS wb
   FROM terms
 ),
 o AS (
-  SELECT chain_id, fraction,
+  SELECT chain_id, fraction, xs, ys, zs, n, total,
          wa * xs[seg_i] + wb * xs[seg_i + 1] AS ox,
          wa * ys[seg_i] + wb * ys[seg_i + 1] AS oy,
          wa * zs[seg_i] + wb * zs[seg_i + 1] AS oz
   FROM w
 )
+-- AtFraction clamp: f<=0 / degenerate chain -> RAW first vertex,
+-- f>=1 -> RAW last vertex (no slerp, no renormalization), mirroring
+-- _interp_chain term for term
 SELECT chain_id, fraction,
-       ox / sqrt((ox*ox + oy*oy) + oz*oz) AS x,
-       oy / sqrt((ox*ox + oy*oy) + oz*oz) AS y,
-       oz / sqrt((ox*ox + oy*oy) + oz*oz) AS z
+       CASE WHEN n = 1 OR total = CAST(0.0 AS DOUBLE) OR fraction <= CAST(0.0 AS DOUBLE) THEN xs[1]
+            WHEN fraction >= CAST(1.0 AS DOUBLE) THEN xs[n]
+            ELSE ox / sqrt((ox*ox + oy*oy) + oz*oz) END AS x,
+       CASE WHEN n = 1 OR total = CAST(0.0 AS DOUBLE) OR fraction <= CAST(0.0 AS DOUBLE) THEN ys[1]
+            WHEN fraction >= CAST(1.0 AS DOUBLE) THEN ys[n]
+            ELSE oy / sqrt((ox*ox + oy*oy) + oz*oz) END AS y,
+       CASE WHEN n = 1 OR total = CAST(0.0 AS DOUBLE) OR fraction <= CAST(0.0 AS DOUBLE) THEN zs[1]
+            WHEN fraction >= CAST(1.0 AS DOUBLE) THEN zs[n]
+            ELSE oz / sqrt((ox*ox + oy*oy) + oz*oz) END AS z
 FROM o
 """

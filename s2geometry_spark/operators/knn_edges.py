@@ -78,6 +78,23 @@ def _edge_keys_for_levels(edges: DataFrame, stage_levels: list[int]) -> DataFram
          block cell it touches).
     """
     stage_levels = sorted(set(stage_levels))
+    return edges.select("eid", *E_COLS).mapInPandas(
+        _edge_cover_batches(stage_levels), _edge_cover_schema(stage_levels)
+    )
+
+
+def _edge_cover_schema(stage_levels: list[int]) -> str:
+    g_cols = ", ".join(f"g_{sl} long" for sl in stage_levels)
+    return (
+        f"eid long, key long, lv int, is_cov boolean, {g_cols}, "
+        + ", ".join(f"{c} double" for c in E_COLS)
+    )
+
+
+def _edge_cover_batches(stage_levels: list[int]):
+    """mapInPandas generator for the edge-covering key table; exposed at
+    module level so the zero-row-Arrow-batch path is unit-testable (an
+    empty batch must still emit every ``g_<level>`` schema column)."""
 
     def batches(it):
         for pdf in it:
@@ -133,12 +150,7 @@ def _edge_keys_for_levels(edges: DataFrame, stage_levels: list[int]) -> DataFram
             )
             yield out
 
-    g_cols = ", ".join(f"g_{sl} long" for sl in stage_levels)
-    return edges.select("eid", *E_COLS).mapInPandas(
-        batches,
-        f"eid long, key long, lv int, is_cov boolean, {g_cols}, "
-        + ", ".join(f"{c} double" for c in E_COLS),
-    )
+    return batches
 
 
 def _auto_start_level(n_edges: int, k: int) -> int:

@@ -305,19 +305,39 @@ def nearly_covers_oracle_sql(
     tr_sql, tr_last = _emit("tr_src", tr_stages)
     return f"""WITH RECURSIVE
 vsrc AS MATERIALIZED ({verts_sql}),
+-- adjacent-duplicate collapse, mirroring the kernel's simplify_chain
+-- (the reference's NextDistinctVertex walk): without it a chain with a
+-- repeated vertex would produce degenerate edges only on this side and
+-- could flip the covers verdict (ADVICE r3)
+vdis AS MATERIALIZED (
+  SELECT chain_id, seq, x, y, z
+  FROM (
+    SELECT chain_id, seq, x, y, z,
+           lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz
+    FROM vsrc
+    WINDOW w AS (PARTITION BY chain_id ORDER BY seq)
+  )
+  WHERE px IS NULL OR x != px OR y != py OR z != pz
+),
 verts AS MATERIALIZED (
   SELECT chain_id,
          row_number() OVER (PARTITION BY chain_id ORDER BY seq) - 1 AS vi,
          x, y, z
-  FROM vsrc
+  FROM vdis
 ),
 pairs AS MATERIALIZED ({pairs_sql}),
+-- collapsed counts drive the search (start dedup / acceptance);
+-- raw counts are what the engine reports as n_a/n_b
 cnt AS (SELECT chain_id, count(*) AS n FROM verts GROUP BY chain_id),
+cnt_raw AS (SELECT chain_id, count(*) AS n FROM vsrc GROUP BY chain_id),
 psz AS MATERIALIZED (
-  SELECT p.pair_id, p.chain_a, p.chain_b, p.kind, ca.n AS na, cb.n AS nb
+  SELECT p.pair_id, p.chain_a, p.chain_b, p.kind, ca.n AS na, cb.n AS nb,
+         ra.n AS na_raw, rb.n AS nb_raw
   FROM pairs p
   JOIN cnt ca ON ca.chain_id = p.chain_a
   JOIN cnt cb ON cb.chain_id = p.chain_b
+  JOIN cnt_raw ra ON ra.chain_id = p.chain_a
+  JOIN cnt_raw rb ON rb.chain_id = p.chain_b
 ),
 ea AS MATERIALIZED (
   SELECT p.pair_id, v0.vi AS i,
@@ -376,7 +396,7 @@ reach AS (
 ),
 hit AS (SELECT DISTINCT pair_id, j FROM reach)
 SELECT p.chain_a, p.chain_b, p.kind,
-       CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b,
+       CAST(p.na_raw AS BIGINT) AS n_a, CAST(p.nb_raw AS BIGINT) AS n_b,
        CAST(CASE WHEN h.pair_id IS NULL THEN 0 ELSE 1 END AS INT) AS covers
 FROM psz p
 LEFT JOIN hit h ON h.pair_id = p.pair_id AND h.j = p.nb - 1

@@ -155,8 +155,10 @@ parents AS (
   JOIN depth dc ON dc.family_id = p.family_id AND dc.member_id = p.container
   WHERE p.inside = 1
 )
-SELECT d.family_id, d.member_id, d.depth,
-       COALESCE(pr.container, -1) AS parent_id
+SELECT CAST(d.family_id AS BIGINT) AS family_id,
+       CAST(d.member_id AS BIGINT) AS member_id,
+       CAST(d.depth AS BIGINT) AS depth,
+       CAST(COALESCE(pr.container, -1) AS BIGINT) AS parent_id
 FROM depth d
 LEFT JOIN parents pr ON pr.family_id = d.family_id
                     AND pr.member_id = d.member_id AND pr.rnk = 1

@@ -83,8 +83,9 @@ sess AS (
                  ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, count(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
        min(ts_us) AS t_start_us, max(ts_us) AS t_end_us,
-       sum(cents) AS sum_value_cents
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
 FROM sess GROUP BY 1, 2
 """

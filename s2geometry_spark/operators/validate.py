@@ -93,6 +93,32 @@ def loop_validation(
     return arrs.mapInPandas(batches, _SCHEMA)
 
 
+def _star_sector_key(u: np.ndarray, v: np.ndarray):
+    """8-sector angular sort key over tangent-plane coordinates.
+
+    Axis-aligned bearings (u==0 or v==0) get dedicated EVEN sectors so
+    v/u's ±inf/NaN never decides the order (ADVICE r3: a bearing-90
+    vertex used to get r=+inf and sort LAST in its quadrant).  Interior
+    sectors are odd; within them r = v/u is monotone ascending in angle.
+    The degenerate u==v==0 point lands in sector 7 with r=0 (a loop
+    vertex projecting exactly onto the frame center is outside the
+    star-shaped contract anyway).  Mirrored term-for-term by the CASE
+    expression in ``star_order_cte_sql``."""
+    q = np.where(
+        (u > 0) & (v == 0), 0,
+        np.where((u > 0) & (v > 0), 1,
+        np.where((u == 0) & (v > 0), 2,
+        np.where((u < 0) & (v > 0), 3,
+        np.where((u < 0) & (v == 0), 4,
+        np.where((u < 0) & (v < 0), 5,
+        np.where((u == 0) & (v < 0), 6, 7)))))),
+    )
+    r = np.zeros(len(u), np.float64)
+    interior = (q % 2 == 1) & (u != 0)
+    r[interior] = v[interior] / u[interior]
+    return q, r
+
+
 def star_order_chains(
     spark: SparkSession, chains: DataFrame, chain_col: str = "chain_id"
 ) -> DataFrame:
@@ -132,12 +158,7 @@ def star_order_chains(
                 e2x, e2y, e2z = -c2 * e1y, c2 * e1x, c0 * e1y - c1 * e1x
                 u = V[:, 0] * e1x + V[:, 1] * e1y
                 v = (V[:, 0] * e2x + V[:, 1] * e2y) + V[:, 2] * e2z
-                q = np.where(
-                    (u > 0) & (v >= 0),
-                    0,
-                    np.where((u <= 0) & (v > 0), 1, np.where((u < 0) & (v <= 0), 2, 3)),
-                )
-                r = v / u
+                q, r = _star_sector_key(u, v)
                 order = np.lexsort((np.arange(n), r, q))
                 out_cid.extend([cid] * n)
                 out_seq.extend(range(n))
@@ -195,11 +216,15 @@ keyed AS MATERIALIZED (
 SELECT chain_id,
        row_number() OVER (
          PARTITION BY chain_id
-         ORDER BY CASE WHEN u > 0 AND v >= 0 THEN 0
-                       WHEN u <= 0 AND v > 0 THEN 1
-                       WHEN u < 0 AND v <= 0 THEN 2
-                       ELSE 3 END,
-                  v / u, seq
+         ORDER BY CASE WHEN u > 0 AND v = 0 THEN 0
+                       WHEN u > 0 AND v > 0 THEN 1
+                       WHEN u = 0 AND v > 0 THEN 2
+                       WHEN u < 0 AND v > 0 THEN 3
+                       WHEN u < 0 AND v = 0 THEN 4
+                       WHEN u < 0 AND v < 0 THEN 5
+                       WHEN u = 0 AND v < 0 THEN 6
+                       ELSE 7 END,
+                  CASE WHEN u = 0 OR v = 0 THEN 0.0 ELSE v / u END, seq
        ) - 1 AS seq,
        x, y, z
 FROM keyed"""

@@ -58,9 +58,19 @@ def compare_frames(spark_df, duck_rel, sort_cols=None):
     assert len(pdf_s) == len(pdf_d), f"row counts differ: {len(pdf_s)} vs {len(pdf_d)}"
     for c in cols:
         s, d = pdf_s[c], pdf_d[c]
-        if s.dtype.kind == "f" or d.dtype.kind == "f":
+        # dtype-strict: the driver hashes rendered values, so an oracle
+        # column that surfaces float64 (e.g. DuckDB sum -> HUGEINT ->
+        # pandas float) against a Spark long hashes `2.0` vs `2` and goes
+        # red even when every value is identical.  Mixed int/float is a
+        # failure here, before the driver sees it.
+        if s.dtype.kind == "f" and d.dtype.kind == "f":
             pd.testing.assert_series_equal(
                 s.astype(float), d.astype(float), check_names=False, check_exact=True
+            )
+        elif (s.dtype.kind == "f") != (d.dtype.kind == "f"):
+            raise AssertionError(
+                f"column {c}: dtype drift spark={s.dtype} vs oracle={d.dtype} "
+                "(pin the oracle with CAST(... AS BIGINT) or match the Spark type)"
             )
         else:
             sv = s.astype(object).where(pd.notna(s), None)

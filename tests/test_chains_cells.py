@@ -102,3 +102,58 @@ def test_closest_cells_join_vs_bruteforce(spark):
         order = np.argsort(D[qi], kind="stable")[:2]
         for rk, ci in enumerate(order, 1):
             assert out[(qi, rk)] == (labels[ci], biased[ci], D[qi, ci])
+
+def test_chain_interpolate_boundary_fractions_oracle_parity(spark):
+    """r3 ADVICE: engine and oracle must agree BIT-EXACTLY at f=0 and
+    f=1 (raw endpoint vertices, no slerp renorm), and on single-vertex
+    and fully-degenerate (zero-length) chains."""
+    import duckdb
+
+    from s2geometry_spark.operators.chains import chain_interpolate_oracle_sql
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for cid in range(3):
+        lat, lng = rng.uniform(-50, 50), rng.uniform(-150, 150)
+        for s in range(6):
+            # degree-scale steps: sub-milliradian segments hit the known
+            # last-ulp acos/sin libm divergence vs DuckDB (BENCH.md
+            # transcendental-portability note); fixtures use coarse steps
+            lat += rng.uniform(2.0, 8.0)
+            lng += rng.uniform(2.0, 8.0)
+            p = _pt(lat, lng)
+            rows.append((cid, s, float(p[0]), float(p[1]), float(p[2])))
+    # single-vertex chain
+    p = rng.randn(3); p /= np.linalg.norm(p)
+    rows.append((90, 0, float(p[0]), float(p[1]), float(p[2])))
+    # zero-length chain (all vertices identical -> total == 0)
+    q = rng.randn(3); q /= np.linalg.norm(q)
+    for s in range(3):
+        rows.append((91, s, float(q[0]), float(q[1]), float(q[2])))
+
+    fracs = (0.0, 0.25, 1.0)
+    pts = spark.createDataFrame(
+        rows, "chain_id long, seq long, x double, y double, z double"
+    )
+    got = {
+        (r.chain_id, r.fraction): (r.x, r.y, r.z)
+        for r in chain_interpolate(pts, fracs).collect()
+    }
+
+    # %.17e: bare decimal literals parse as DECIMAL in DuckDB (lossy
+    # before the CAST); E-notation parses as DOUBLE
+    verts_sql = "SELECT * FROM (VALUES " + ",".join(
+        "(%d, %d, CAST(%.17e AS DOUBLE), CAST(%.17e AS DOUBLE), CAST(%.17e AS DOUBLE))"
+        % (cid, s, x, y, z)
+        for cid, s, x, y, z in rows
+    ) + ") AS t(chain_id, seq, x, y, z)"
+    con = duckdb.connect()
+    want = {
+        (cid, f): (x, y, z)
+        for cid, f, x, y, z in con.sql(
+            chain_interpolate_oracle_sql(verts_sql, fracs)
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == want[k], (k, got[k], want[k])

@@ -121,3 +121,23 @@ def test_generator_mix_invariant():
             assert imagecodec.psnr_db(src, px) >= imagecodec.PSNR_MIN_DB
         saw_jpeg |= fmt == "jpeg"
     assert saw_jpeg
+
+
+def test_zigzag_matches_t81_spec_table():
+    """ADVICE r3 regression: ZIGZAG must be the ITU-T T.81 Figure A.6
+    order (NOT its transpose) so externally-decoded files aren't
+    block-transposed."""
+    from s2geometry_spark.kernels.jpegcodec import UNZIGZAG, ZIGZAG
+
+    spec = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert list(ZIGZAG) == spec
+    assert list(ZIGZAG[UNZIGZAG]) == list(range(64))

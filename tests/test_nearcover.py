@@ -193,3 +193,63 @@ def test_boundary_approx_equals_and_polygon_near():
     assert polygon_boundary_near([shell, hole], [hole, shell], _ch2(0.01))
     other = Loop.make_regular(10.0, 24.0, 0.4, 16).vertices
     assert not polygon_boundary_near([shell, hole], [other, hole], _ch2(0.01))
+
+
+def test_oracle_collapses_adjacent_duplicates(spark):
+    """ADVICE r3: the kernel collapses adjacent duplicate vertices
+    (simplify_chain) before the search; the oracle must do the same or a
+    repeated vertex creates degenerate edges only on the oracle side and
+    can flip the covers verdict.  Chains here include exact adjacent
+    duplicates; n_a/n_b must still report RAW vertex counts."""
+    import duckdb
+    import pandas as pd
+
+    from s2geometry_spark.operators.nearcover import (
+        nearly_covers_oracle_sql,
+        nearly_covers_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    raw_len = {}
+    for cid in range(4):
+        V = _random_chain(rng, 8)
+        # inject an adjacent duplicate mid-chain (and a doubled head on
+        # odd chains) — exactly the degenerate-edge shape snapping makes
+        V = np.insert(V, 3, V[3], axis=0)
+        if cid % 2:
+            V = np.insert(V, 0, V[0], axis=0)
+        raw_len[cid] = len(V)
+        for s, (x, y, z) in enumerate(V):
+            rows.append((cid, s, float(x), float(y), float(z)))
+    pairs = [(a, b, "t") for a in range(4) for b in range(4)]
+    ct = _ch2(1.0)
+
+    cdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["chain_id", "seq", "x", "y", "z"])
+    )
+    pdf = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["chain_a", "chain_b", "kind"])
+    )
+    got = {
+        (r.chain_a, r.chain_b): (r.n_a, r.n_b, r.covers)
+        for r in nearly_covers_pairs(spark, cdf, pdf, ct).collect()
+    }
+
+    verts_sql = "SELECT * FROM (VALUES " + ",".join(
+        f"({cid}, {s}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE), CAST({z!r} AS DOUBLE))"
+        for cid, s, x, y, z in rows
+    ) + ") AS t(chain_id, seq, x, y, z)"
+    pairs_sql = "SELECT * FROM (VALUES " + ",".join(
+        f"({i}, {a}, {b}, 't')" for i, (a, b, _) in enumerate(pairs)
+    ) + ") AS t(pair_id, chain_a, chain_b, kind)"
+    con = duckdb.connect()
+    want = {
+        (a, b): (na, nb, cov)
+        for a, b, _, na, nb, cov in con.sql(
+            nearly_covers_oracle_sql(verts_sql, pairs_sql, ct)
+        ).fetchall()
+    }
+    assert got == want
+    for (a, b), (na, nb, _) in got.items():
+        assert (na, nb) == (raw_len[a], raw_len[b])

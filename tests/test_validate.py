@@ -107,3 +107,30 @@ def test_loop_pair_distance_relations(spark):
                 point_edge_chord2(b1[None], a0[None], a1[None])[0],
             )
     assert r.min_chord2 == best
+
+
+def test_star_sector_key_axis_cases():
+    """ADVICE r3: exact u==0 / v==0 bearings must sort at the sector
+    boundaries, not wherever ±inf/NaN lands them."""
+    import numpy as np
+
+    from s2geometry_spark.operators.validate import _star_sector_key
+
+    # bearings every 45 degrees, in angular order starting at +u axis
+    ang = np.radians([0, 45, 90, 135, 180, 225, 270, 315])
+    u = np.cos(ang)
+    v = np.sin(ang)
+    # force EXACT zeros on the axes (cos(pi/2) is only ~6e-17)
+    u[[2, 6]] = 0.0
+    v[[0, 4]] = 0.0
+    q, r = _star_sector_key(u, v)
+    assert list(q) == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert np.all(np.isfinite(r))
+    # shuffled input sorts back to angular order
+    perm = np.array([3, 6, 0, 5, 2, 7, 1, 4])
+    q2, r2 = _star_sector_key(u[perm], v[perm])
+    order = np.lexsort((np.arange(8), r2, q2))
+    assert list(perm[order]) == list(range(8))
+    # degenerate center point: finite key, no NaN
+    q3, r3 = _star_sector_key(np.array([0.0]), np.array([0.0]))
+    assert q3[0] == 7 and r3[0] == 0.0
