@@ -1010,6 +1010,49 @@ def _chain_pair_distance_oracle() -> str:
     return chain_pair_min_distance_oracle_sql(verts_sql, pairs_sql)
 
 
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2HausdorffDistanceQuery per shape pair
+    (s2hausdorff_distance_query.h:30-90): discrete directed Hausdorff
+    chord2 (max over A's vertices of the closest-edge distance to B) in
+    both directions plus the undirected max, with the achieving vertex
+    index, for every (even, odd) customer-chain pair.  Distinct from the
+    single-aggregate `hausdorff` query (one global point-set row): this
+    is the reference's actual per-pair query shape."""
+    from s2geometry_spark.operators.hausdorff import hausdorff_pairs
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    ids = ca.select("chain_id").distinct()
+    # each even chain vs its next 4 odd neighbours: a pair fan-out that
+    # grows linearly with the chain count (not quadratically)
+    pairs = (
+        ids.where(F.col("chain_id") % 2 == 0)
+        .select(F.col("chain_id").alias("chain_a"))
+        .join(
+            ids.select(F.col("chain_id").alias("chain_b")),
+            (F.col("chain_b") - F.col("chain_a")).isin(1, 3, 5, 7)
+            & (F.col("chain_b") % 2 == 1),
+        )
+    )
+    return hausdorff_pairs(spark, ca, pairs)
+
+
+def _hausdorff_pairs_oracle() -> str:
+    from s2geometry_spark.operators.hausdorff import hausdorff_pairs_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    verts_sql = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    pairs_sql = """SELECT a.chain_id AS chain_a, b.chain_id AS chain_b
+  FROM (SELECT DISTINCT chain_id FROM verts) a
+  JOIN (SELECT DISTINCT chain_id FROM verts) b
+    ON (b.chain_id - a.chain_id) IN (1, 3, 5, 7)
+   AND a.chain_id % 2 = 0 AND b.chain_id % 2 = 1"""
+    return hausdorff_pairs_oracle_sql(verts_sql, pairs_sql)
+
+
 def q_loop_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2Loop::FindValidationError (s2loop.cc FindValidationErrorNoIndex +
     s2shapeutil::FindSelfIntersection; s2loop_test.cc validity cases):
@@ -2580,7 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_phash_near_dup": q_img_phash_near_dup,
         # --- r3's one red row — oracle dtype CAST-pinned in r4, re-prove it ---
         "loop_nesting": q_loop_nesting,
-        # --- new round-4 queries are inserted here ---
+        # --- new round-4 queries ---
+        "hausdorff_pairs": q_hausdorff_pairs,
         # --- code paths touched in r4 (strict-gate/oracle/kernel edits) ---
         "knn_edges": q_knn_edges,
         "polyline_nearly_covers": q_polyline_nearly_covers,
@@ -2898,6 +2942,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "polyline_nearly_covers": _polyline_nearly_covers_oracle(),
         "builder_sites": _builder_sites_oracle(),
         "chain_pair_distance": _chain_pair_distance_oracle(),
+        "hausdorff_pairs": _hausdorff_pairs_oracle(),
         "loop_validate": _loop_validate_oracle(),
         "loop_pair_distance": _loop_pair_distance_oracle(),
         "loop_nesting": _loop_nesting_oracle(),
