@@ -605,6 +605,75 @@ SELECT DISTINCT eid_a, eid_b FROM sg0
 WHERE db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s"""
 
 
+def q_edge_crossings_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2CrossingEdgeQuery with CrossingType::ALL
+    (s2crossing_edge_query.cc:75, min_sign = 0): every edge pair within
+    the customer chain set that crosses transversally (sign 1) OR shares
+    a vertex exactly (sign 0) — in a polyline set the shared-vertex rows
+    are the adjacent edge pairs, per S2::CrossingSign's identity tests.
+    Same cogrouped term join as edge_crossings; the extra work is one
+    vectorized exact-equality pass in the refinement kernel."""
+    from s2geometry_spark.operators.polylines import polyline_self_crossing_join
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    return polyline_self_crossing_join(spark, ca, robust=False, crossing_type="all")
+
+
+def _edge_crossings_all_oracle() -> str:
+    """The self-crossings oracle widened to CrossingType::ALL: the same
+    pinned sign chain plus an exact shared-vertex disjunction; a shared
+    vertex forces sign 0 (CrossingSign's identity tests run before the
+    interior verdict)."""
+    a_cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    edges = """(
+  SELECT chain_id * 4294967296 + seq AS eid,
+         lag(x) OVER w AS e0x, lag(y) OVER w AS e0y, lag(z) OVER w AS e0z,
+         x AS e1x, y AS e1y, z AS e1z
+  FROM axyz WINDOW w AS (PARTITION BY chain_id ORDER BY seq)
+) WHERE e0x IS NOT NULL"""
+    return f"""WITH {a_cte},
+ed AS MATERIALIZED (SELECT * FROM {edges}),
+pr AS (
+  SELECT a.eid AS eid_a, b.eid AS eid_b,
+    (a.e0y*a.e1z - a.e0z*a.e1y) AS nx, (a.e0z*a.e1x - a.e0x*a.e1z) AS ny,
+    (a.e0x*a.e1y - a.e0y*a.e1x) AS nz,
+    (b.e0y*b.e1z - b.e0z*b.e1y) AS mx, (b.e0z*b.e1x - b.e0x*b.e1z) AS my,
+    (b.e0x*b.e1y - b.e0y*b.e1x) AS mz,
+    a.e0x AS a0x, a.e0y AS a0y, a.e0z AS a0z,
+    a.e1x AS a1x, a.e1y AS a1y, a.e1z AS a1z,
+    b.e0x AS b0x, b.e0y AS b0y, b.e0z AS b0z,
+    b.e1x AS b1x, b.e1y AS b1y, b.e1z AS b1z,
+    ((a.e0x = b.e0x AND a.e0y = b.e0y AND a.e0z = b.e0z)
+     OR (a.e0x = b.e1x AND a.e0y = b.e1y AND a.e0z = b.e1z)
+     OR (a.e1x = b.e0x AND a.e1y = b.e0y AND a.e1z = b.e0z)
+     OR (a.e1x = b.e1x AND a.e1y = b.e1y AND a.e1z = b.e1z)) AS shared
+  FROM ed a JOIN ed b ON a.eid < b.eid
+),
+dt AS (
+  SELECT eid_a, eid_b, shared,
+    (nx*b0x + ny*b0y) + nz*b0z AS db0, (nx*b1x + ny*b1y) + nz*b1z AS db1,
+    (mx*a0x + my*a0y) + mz*a0z AS da0, (mx*a1x + my*a1y) + mz*a1z AS da1
+  FROM pr
+),
+sg0 AS (
+  SELECT eid_a, eid_b, shared,
+    CASE WHEN abs(db0) <= 1e-15 THEN 0 ELSE sign(db0) END AS db0s,
+    CASE WHEN abs(db1) <= 1e-15 THEN 0 ELSE sign(db1) END AS db1s,
+    CASE WHEN abs(da0) <= 1e-15 THEN 0 ELSE sign(da0) END AS da0s,
+    CASE WHEN abs(da1) <= 1e-15 THEN 0 ELSE sign(da1) END AS da1s
+  FROM dt
+)
+SELECT DISTINCT eid_a, eid_b,
+       CAST(CASE WHEN shared THEN 0 ELSE 1 END AS INT) AS sign
+FROM sg0
+WHERE shared
+   OR (db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s)"""
+
+
 def _chain_cte_sql(name, table, chain_expr, base_key, seq_key):
     """DuckDB CTE deriving the same chain fixture points as
     _chain_points_df (bitwise: the SQL triplet derivation equals the
@@ -2625,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loop_nesting": q_loop_nesting,
         # --- new round-4 queries ---
         "hausdorff_pairs": q_hausdorff_pairs,
+        "edge_crossings_all": q_edge_crossings_all,
         # --- code paths touched in r4 (strict-gate/oracle/kernel edits) ---
         "knn_edges": q_knn_edges,
         "polyline_nearly_covers": q_polyline_nearly_covers,
@@ -2943,6 +3013,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "builder_sites": _builder_sites_oracle(),
         "chain_pair_distance": _chain_pair_distance_oracle(),
         "hausdorff_pairs": _hausdorff_pairs_oracle(),
+        "edge_crossings_all": _edge_crossings_all_oracle(),
         "loop_validate": _loop_validate_oracle(),
         "loop_pair_distance": _loop_pair_distance_oracle(),
         "loop_nesting": _loop_nesting_oracle(),

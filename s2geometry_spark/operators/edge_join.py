@@ -256,6 +256,7 @@ def edge_crossing_join_cogrouped(
     split_rounds: int = SPLIT_ROUNDS,
     group_level: int = 4,
     pair_shift: int = 0,
+    crossing_type: str = "interior",
 ) -> DataFrame:
     """edge_crossing_join without MATERIALIZING the candidate join.
 
@@ -273,14 +274,27 @@ def edge_crossing_join_cogrouped(
     chains_to_edges embeds the chain id in bits 32+, so pair_shift=32
     makes this emit DISTINCT CHAIN PAIRS directly — the post-cogroup
     dedup then touches ~5k rows instead of 422k edge crossings.
+
+    ``crossing_type``: "interior" (the default; CrossingSign > 0 only,
+    output (eid_a, eid_b)) or "all" (s2crossing_edge_query.cc:75
+    min_sign = 0: shared-vertex pairs qualify too, output gains a
+    ``sign`` column — 1 interior crossing, 0 shared vertex).  A shared
+    vertex is an EXACT coordinate match, per S2::CrossingSign's identity
+    tests; degenerate (zero-length) edges are outside the contract.
     """
+    if crossing_type not in ("interior", "all"):
+        raise ValueError(f"crossing_type must be 'interior' or 'all': {crossing_type}")
+    want_all = crossing_type == "all"
     ta = _term_table(edges_a, "eid_a", "a", "query", split_rounds, group_level)
     tb = _term_table(edges_b, "eid_b", "b", "index", split_rounds, group_level)
+    out_schema = "eid_a long, eid_b long" + (", sign int" if want_all else "")
 
     def group_cross(key, adf: pd.DataFrame, bdf: pd.DataFrame):
         empty = pd.DataFrame(
             {"eid_a": pd.Series(dtype="int64"), "eid_b": pd.Series(dtype="int64")}
         )
+        if want_all:
+            empty["sign"] = pd.Series(dtype="int32")
         if len(adf) == 0 or len(bdf) == 0:
             return empty
         # composite exact-match key: (cell bits << 1) | is_covering
@@ -308,20 +322,41 @@ def edge_crossing_join_cogrouped(
         A0 = adf[["a0x", "a0y", "a0z"]].to_numpy(np.float64)
         A1 = adf[["a1x", "a1y", "a1z"]].to_numpy(np.float64)
         a_ids = adf["eid_a"].to_numpy(np.int64)
-        hit = predicates.edges_cross_batch(
-            A0[ii], A1[ii], B0[jj], B1[jj], robust=robust
-        )
-        out = pd.DataFrame(
-            {
-                "eid_a": a_ids[ii[hit]] >> pair_shift,
-                "eid_b": b_ids[jj[hit]] >> pair_shift,
-            }
-        )
+        A0i, A1i, B0j, B1j = A0[ii], A1[ii], B0[jj], B1[jj]
+        cross = predicates.edges_cross_batch(A0i, A1i, B0j, B1j, robust=robust)
+        if want_all:
+            shared = (
+                (A0i == B0j).all(axis=1)
+                | (A0i == B1j).all(axis=1)
+                | (A1i == B0j).all(axis=1)
+                | (A1i == B1j).all(axis=1)
+            )
+            hit = shared | cross
+            out = pd.DataFrame(
+                {
+                    "eid_a": a_ids[ii[hit]] >> pair_shift,
+                    "eid_b": b_ids[jj[hit]] >> pair_shift,
+                    # shared vertex wins: CrossingSign returns 0 on any
+                    # exact vertex identity before the interior verdict
+                    "sign": np.where(shared[hit], 0, 1).astype(np.int32),
+                }
+            )
+        else:
+            out = pd.DataFrame(
+                {
+                    "eid_a": a_ids[ii[cross]] >> pair_shift,
+                    "eid_b": b_ids[jj[cross]] >> pair_shift,
+                }
+            )
         return out.drop_duplicates()
 
+    # in "all" mode a pair_shift-collapsed pair can legitimately carry
+    # both signs (some edge pairs share a vertex, others cross) — dedup
+    # on the full row; at pair_shift=0 sign is unique per edge pair
+    dedup_cols = ["eid_a", "eid_b"] + (["sign"] if want_all else [])
     return (
         ta.groupBy("g")
         .cogroup(tb.groupBy("g"))
-        .applyInPandas(group_cross, "eid_a long, eid_b long")
-        .dropDuplicates(["eid_a", "eid_b"])
+        .applyInPandas(group_cross, out_schema)
+        .dropDuplicates(dedup_cols)
     )

@@ -95,6 +95,7 @@ def polyline_self_crossing_join(
     spark: SparkSession,
     chains: DataFrame,
     robust: bool = True,
+    crossing_type: str = "interior",
 ) -> DataFrame:
     """Distinct transversally-crossing EDGE pairs (eid_a < eid_b) within
     ONE chain set — the validation query of s2shapeutil
@@ -108,7 +109,12 @@ def polyline_self_crossing_join(
     Same cogrouped term join as the two-set crossing join (each side's
     term rows ship once per coarse cell group); the B side is the A side
     renamed, and the final eid_a < eid_b filter keeps each unordered
-    pair once."""
+    pair once.
+
+    ``crossing_type="all"`` is S2CrossingEdgeQuery's CrossingType::ALL
+    (s2crossing_edge_query.cc:75, min_sign = 0): shared-vertex pairs —
+    in a chain set, every adjacent edge pair — are reported too, with a
+    ``sign`` column (1 interior, 0 shared vertex)."""
     ea = chains_to_edges(chains, prefix="a").drop("chain_a")
     eb = ea.select(
         F.col("eid_a").alias("eid_b"),
@@ -119,7 +125,8 @@ def polyline_self_crossing_join(
         ],
     )
     pairs = edge_crossing_join_cogrouped(
-        spark, ea, eb, robust=robust, split_rounds=3, group_level=4
+        spark, ea, eb, robust=robust, split_rounds=3, group_level=4,
+        crossing_type=crossing_type,
     )
     return pairs.where(F.col("eid_a") < F.col("eid_b"))
 

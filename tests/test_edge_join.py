@@ -122,3 +122,45 @@ def test_antipodal_pairs_do_not_cross():
         )
         assert not got.any(), f"antipodal false positives (robust={robust})"
     assert not brute_pairs(A0, A1, B0, B1)
+
+
+def test_crossing_type_all_vs_bruteforce(spark):
+    """CrossingType::ALL (s2crossing_edge_query.cc:75 min_sign=0):
+    shared-vertex pairs report sign 0, interior crossings sign 1, and
+    the sign-1 set equals the interior-mode result.  Brute-force oracle
+    = scalar CrossingSign >= 0."""
+    from s2geometry_spark.operators.edge_join import edge_crossing_join_cogrouped
+
+    rng = np.random.RandomState(17)
+    A0, A1 = random_edges(rng, 30)
+    # splice in shared-vertex structure: chain-like edges reusing endpoints
+    A0[10] = A1[9]
+    A0[11] = A1[10]
+    A0[12] = A1[9]  # two edges fanning out of the same vertex
+    da = to_df(spark, "a", np.arange(30), A0, A1)
+    db = to_df(spark, "b", np.arange(30), A0, A1)
+
+    got = {
+        (r.eid_a, r.eid_b): r.sign
+        for r in edge_crossing_join_cogrouped(
+            spark, da, db, robust=True, crossing_type="all"
+        ).collect()
+        if r.eid_a < r.eid_b
+    }
+    want = {}
+    for i in range(30):
+        for j in range(i + 1, 30):
+            s = predicates.crossing_sign(A0[i], A1[i], A0[j], A1[j])
+            if s >= 0:
+                want[(i, j)] = s
+    assert got == want
+    assert 0 in set(got.values()) and 1 in set(got.values())
+
+    interior = {
+        (r.eid_a, r.eid_b)
+        for r in edge_crossing_join_cogrouped(
+            spark, da, db, robust=True, crossing_type="interior"
+        ).collect()
+        if r.eid_a < r.eid_b
+    }
+    assert interior == {k for k, v in got.items() if v == 1}

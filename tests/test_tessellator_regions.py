@@ -102,3 +102,35 @@ def test_composites_work_with_coverer_and_index(spark):
     assert (covered | ~inside).all()  # inside => covered
     idx = RegionIndex({"u": u})
     assert "u" in idx.coverings
+
+
+@pytest.mark.parametrize("proj_cls", [ts.PlateCarree, ts.Mercator])
+def test_tessellate_antimeridian_seam(proj_cls):
+    """Geodesics crossing the +/-180 seam (s2edge_tessellator_test.cc's
+    wrapped-interpolation cases): the short-way lng wrap must make the
+    recursion CONVERGE (bounded depth => few vertices) with the error
+    bound intact — unwrapped interpolation sweeps the long way through
+    lng ~ 0 and bottoms out at depth 30 with wrong vertices."""
+    proj = proj_cls()
+    tol = 1e-4
+    cases = [
+        (_pt(10, 170), _pt(15, -170)),   # eastward across the seam
+        (_pt(-20, -175), _pt(-25, 175)),  # westward across the seam
+        (_pt(0, 179.5), _pt(0, -179.5)),  # near-equatorial short hop
+        (_pt(60, 150), _pt(55, -160)),    # high-lat long crossing
+    ]
+    for a, b in cases:
+        verts = ts.tessellate_projected(proj, a, b, tol)
+        # depth-30 blowup would emit up to 2^30 vertices; a converged
+        # seam edge needs only a handful
+        assert len(verts) <= 64, len(verts)
+        for i in range(len(verts) - 1):
+            for t in np.linspace(0, 1, 20):
+                p = proj.unproject(*proj.interpolate(float(t), verts[i], verts[i + 1]))
+                d = measures.distance_to_edge(p[None, :], a, b)[0]
+                assert d <= 2 * tol
+        assert np.allclose(proj.unproject(*verts[0]), a, atol=1e-12)
+        assert np.allclose(proj.unproject(*verts[-1]), b, atol=1e-12)
+        # the dual direction also converges across the seam
+        dual = ts.tessellate_unprojected(proj, proj.project(a), proj.project(b), tol)
+        assert len(dual) <= 64
