@@ -2431,17 +2431,18 @@ def q_img_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_img_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup CLUSTERS: the pHash pair join composed with
     distributed connected components (one keeper per transitive group);
-    rows-only check (binary decode)."""
+    rows-only check (binary decode).  Corpus + re-encoded-variant hashes
+    come from ONE fused decode pass (phash_with_reencoded) — the corpus
+    is generated and decoded once, not twice."""
     from s2geometry_spark.operators.image_dedup import (
         phash_dedup_clusters,
-        reencoded_variants,
+        phash_with_reencoded,
     )
     from s2geometry_spark.sources import images as imgsrc
 
     n = imgsrc.n_images_for_sf_dir(sf_dir)
     corpus = imgsrc.images_df(spark, n).select("image_id", "bytes")
-    both = corpus.unionByName(reencoded_variants(corpus, fmt="qnt"))
-    return phash_dedup_clusters(both, max_dist=2)
+    return phash_dedup_clusters(hashes=phash_with_reencoded(corpus, fmt="qnt"), max_dist=2)
 
 
 def q_img_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2456,10 +2457,25 @@ def q_img_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_img_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUST return 0 rows: every image decodes to PSNR>=40dB (lossy) or
-    exactly (lossless) vs its source, with caption exact-equality."""
+    exactly (lossless) vs its source with caption exact-equality, AND
+    every video container (real MJPEG: concatenated baseline JFIF frames)
+    demuxes to its metadata geometry with every frame at PSNR>=40dB."""
     from s2geometry_spark.operators import image_pipeline as ip
+    from s2geometry_spark.sources import images as imgsrc
 
-    return ip.invariant_violations(_images_geo(spark, sf_dir))
+    imgs = ip.invariant_violations(_images_geo(spark, sf_dir)).select(
+        F.col("image_id").alias("media_id"),
+        "fmt",
+        "psnr_db",
+        F.col("caption_ok").alias("meta_ok"),
+        "pixels_ok",
+    )
+    vids = ip.video_invariant_violations(
+        imgsrc.videos_df(spark, imgsrc.n_videos_for_sf_dir(sf_dir))
+    ).select(
+        F.col("video_id").alias("media_id"), "fmt", "psnr_db", "meta_ok", "pixels_ok"
+    )
+    return imgs.unionByName(vids)
 
 
 # ---------- training-data pipeline queries (documents / embeddings) ----------

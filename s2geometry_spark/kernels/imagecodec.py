@@ -331,15 +331,65 @@ def frame_sample_indices(n_frames: int, every: int) -> np.ndarray:
     return np.arange(0, max(n_frames, 0), max(every, 1), dtype=np.int64)
 
 
-def decode_video(buf: bytes) -> np.ndarray:  # pragma: no cover - stub
-    """STUB: real video decode needs a demuxer/codec library that is not
-    in this container.  The Spark-side plumbing (binary column, schema,
-    Arrow batching, frame-sample fan-out) is real and tested against the
-    deterministic fake in sources/ (gen_video_frames)."""
-    raise NotImplementedError(
-        "video decode requires an external codec library; use the "
-        "deterministic fake (sources.images.gen_video_frames) in tests"
-    )
+VIDEO_JPEG_QUALITY = 98  # same bar as the still-image jpeg path (PSNR>=40)
+
+
+def encode_video(frames: np.ndarray, quality: int = VIDEO_JPEG_QUALITY) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> MJPEG-style container (concatenated
+    baseline JFIF frames, kernels.jpegcodec.encode_mjpeg)."""
+    from .jpegcodec import encode_mjpeg
+
+    return encode_mjpeg(frames, quality)
+
+
+def decode_video(buf: bytes) -> np.ndarray:
+    """Video container bytes -> (n_frames, h, w, 3) uint8 RGB.
+
+    REAL for MJPEG-style payloads (concatenated baseline JFIF frames):
+    the demuxer walks the actual marker structure per frame
+    (kernels.jpegcodec.frame_extent/decode_mjpeg).  Other containers
+    (MP4/H.264 etc.) need codec libraries absent from this sandbox and
+    raise NotImplementedError — the dataflow above this call is
+    container-agnostic."""
+    from .jpegcodec import JPEG_SIG, decode_mjpeg
+
+    if bytes(buf[:2]) != JPEG_SIG:
+        raise NotImplementedError(
+            "only MJPEG-style (concatenated JFIF) containers are decodable "
+            "in this sandbox; other codecs need an external library"
+        )
+    return decode_mjpeg(buf)
+
+
+def video_frame_count(buf: bytes) -> int:
+    """Number of frames in an MJPEG container (extent walk, no decode)."""
+    from .jpegcodec import frame_offsets
+
+    return len(frame_offsets(buf))
+
+
+def decode_video_frames(
+    buf: bytes, indices: np.ndarray
+) -> list[tuple[int, np.ndarray]]:
+    """Selective demux: decode ONLY the requested frame indices of an
+    MJPEG-style container.  The extent walk indexes frame boundaries
+    without entering the Huffman/DCT pipeline, so sampling every k-th
+    frame costs one byte scan plus 1/k of the decode work — the reason a
+    frame sampler over 100 TB of video wants a real container, not a raw
+    frame stack."""
+    from .jpegcodec import JPEG_SIG, decode_jpeg, frame_offsets
+
+    if bytes(buf[:2]) != JPEG_SIG:
+        raise NotImplementedError(
+            "only MJPEG-style (concatenated JFIF) containers are decodable "
+            "in this sandbox; other codecs need an external library"
+        )
+    offsets = frame_offsets(buf)
+    out = []
+    for f in indices:
+        s, e = offsets[int(f)]
+        out.append((int(f), decode_jpeg(buf[s:e])))
+    return out
 
 
 def decode_real(buf: bytes, fmt: str) -> np.ndarray:  # pragma: no cover

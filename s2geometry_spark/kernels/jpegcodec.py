@@ -464,3 +464,80 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------- MJPEG-style container: concatenated JFIF frames ----------
+# The rawest real video interchange format there is: an .mjpg stream is
+# just complete baseline JPEGs back to back (what MJPEG-in-AVI/MOV
+# stores per frame, minus the RIFF index).  Using it makes
+# sample_video_frames exercise a real marker-parsing demuxer end to end
+# with zero new dependencies.
+
+
+def frame_extent(buf: bytes, start: int = 0) -> int:
+    """End offset (one past EOI) of the JPEG frame starting at ``start``.
+
+    Walks the marker segments to SOS, then scans the entropy-coded data
+    for the first 0xFF followed by a byte that is neither a stuffed 0x00
+    nor a restart marker (0xD0-0xD7) — in a baseline stream that marker
+    must be EOI."""
+    if buf[start : start + 2] != JPEG_SIG:
+        raise ValueError("not a JPEG frame (missing SOI)")
+    pos = start + 2
+    n = len(buf)
+    while pos < n:
+        if buf[pos] != 0xFF:
+            raise ValueError("marker expected in JPEG frame header")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # empty frame (no scan) — still well-formed
+            return pos
+        ln = struct.unpack_from(">H", buf, pos)[0]
+        seg_end = pos + ln
+        if marker == 0xDA:
+            pos = seg_end
+            while pos + 1 < n:
+                if buf[pos] == 0xFF and buf[pos + 1] != 0x00 and not (
+                    0xD0 <= buf[pos + 1] <= 0xD7
+                ):
+                    if buf[pos + 1] != 0xD9:
+                        raise ValueError(
+                            f"unexpected marker 0x{buf[pos + 1]:02x} in scan"
+                        )
+                    return pos + 2
+                pos += 1
+            raise ValueError("JPEG frame missing EOI")
+        pos = seg_end
+    raise ValueError("JPEG frame missing SOS/EOI")
+
+
+def frame_offsets(buf: bytes) -> list[tuple[int, int]]:
+    """All (start, end) frame extents in an MJPEG payload — the demux
+    index.  Walking extents touches only marker headers plus a byte scan
+    of the entropy data; it never runs the Huffman/DCT pipeline, so a
+    frame sampler can index frames and decode ONLY the ones it keeps."""
+    offsets = []
+    pos = 0
+    while pos < len(buf):
+        end = frame_extent(buf, pos)
+        offsets.append((pos, end))
+        pos = end
+    if not offsets:
+        raise ValueError("empty MJPEG payload")
+    return offsets
+
+
+def encode_mjpeg(frames: np.ndarray, quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> concatenated baseline JFIF frames."""
+    frames = np.asarray(frames, np.uint8)
+    return b"".join(encode_jpeg(f, quality) for f in frames)
+
+
+def decode_mjpeg(buf: bytes) -> np.ndarray:
+    """Concatenated JFIF frames -> (n, h, w, 3) uint8 RGB.  All frames
+    must share one geometry (the operator contract for a frame stack)."""
+    frames = [decode_jpeg(buf[s:e]) for s, e in frame_offsets(buf)]
+    shapes = {f.shape for f in frames}
+    if len(shapes) > 1:
+        raise ValueError(f"non-uniform frame geometry: {sorted(shapes)}")
+    return np.stack(frames)

@@ -101,11 +101,53 @@ def _banded(ph: DataFrame, id_col: str, suffix: str) -> DataFrame:
     ).select(f"id_{suffix}", f"ph_{suffix}", "b.bi", "b.bv")
 
 
+def phash_with_reencoded(
+    images: DataFrame,
+    fmt: str = "qnt",
+    id_col: str = "image_id",
+    id_prefix: str = "dup-",
+) -> DataFrame:
+    """(id_col, phash) for the corpus AND its re-encoded variant in ONE
+    decode pass: each image is decoded once, hashed, re-encoded through
+    ``fmt``, and the variant decoded+hashed in the same Arrow batch —
+    half the decode work and none of the variant binary ever shuffles,
+    vs composing reencoded_variants with phash_from_bytes (which
+    generates and decodes the corpus twice).  Feed the result to
+    phash_near_dup_pairs(hashes_a=...) / phash_dedup_clusters(hashes=...).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(dtype="object"),
+                        "phash": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            ids = []
+            hashes = []
+            for rid, buf in zip(pdf[id_col], pdf["bytes"]):
+                px, _ = imagecodec.decode(bytes(buf))
+                ids.append(rid)
+                hashes.append(imagecodec.phash64(px))
+                vpx, _ = imagecodec.decode(imagecodec.encode(px, fmt))
+                ids.append(id_prefix + rid)
+                hashes.append(imagecodec.phash64(vpx))
+            yield pd.DataFrame({id_col: ids, "phash": np.array(hashes, np.int64)})
+
+    return images.select(id_col, "bytes").mapInPandas(
+        batches, f"{id_col} string, phash long"
+    )
+
+
 def phash_near_dup_pairs(
-    images_a: DataFrame,
+    images_a: DataFrame | None = None,
     images_b: DataFrame | None = None,
     max_dist: int = 2,
     id_col: str = "image_id",
+    hashes_a: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (id_a, id_b, hamming) pairs with perceptual-hash Hamming
     distance <= ``max_dist``.
@@ -113,15 +155,19 @@ def phash_near_dup_pairs(
     One-table form (images_b=None): unordered pairs within the corpus,
     id_a < id_b.  Two-table form: A x B pairs (e.g. a corpus against a
     re-encoded / resized copy).  Lossless for ``max_dist < N_BANDS`` (= 4).
+    ``hashes_a``: a precomputed (id_col, phash) frame replacing the A-side
+    decode (e.g. from phash_with_reencoded).
     """
     if max_dist >= N_BANDS:
         raise ValueError(
             f"phash_near_dup_pairs: max_dist {max_dist} >= {N_BANDS} bands "
             "breaks the pigeonhole guarantee; raise N_BANDS instead"
         )
+    if (images_a is None) == (hashes_a is None):
+        raise ValueError("pass exactly one of images_a / hashes_a")
     from pyspark.storagelevel import StorageLevel
 
-    pa = phash_from_bytes(images_a, id_col)
+    pa = hashes_a if hashes_a is not None else phash_from_bytes(images_a, id_col)
     if images_b is None:
         # the hash table feeds BOTH legs of the self-join (and is the
         # product of the only expensive step, the binary decode) —
@@ -191,7 +237,10 @@ def reencoded_variants(
 
 
 def phash_dedup_clusters(
-    images: DataFrame, max_dist: int = 2, id_col: str = "image_id"
+    images: DataFrame | None = None,
+    max_dist: int = 2,
+    id_col: str = "image_id",
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(image_id, canonical_id, cluster_size): perceptual near-duplicate
     CLUSTERS — the keep-one-per-group step a dedup pipeline actually
@@ -214,7 +263,9 @@ def phash_dedup_clusters(
     # the edge list, the node table, and the final label join — without
     # this each consumer re-runs the decode -> pHash -> banded-join
     # pipeline (the round-2 minhash recompute lesson)
-    pairs = phash_near_dup_pairs(images, max_dist=max_dist, id_col=id_col).persist()
+    pairs = phash_near_dup_pairs(
+        images, max_dist=max_dist, id_col=id_col, hashes_a=hashes
+    ).persist()
     e = pairs.select(
         md5_h64(F.col("id_a")).alias("doc_a"),
         md5_h64(F.col("id_b")).alias("doc_b"),

@@ -154,12 +154,21 @@ def make_video_row(idx: int) -> dict:
     frames = gen_video_frames(idx, w, h, n_frames)
     return {
         "video_id": f"vid{idx:012d}",
-        "bytes": frames.tobytes(),  # opaque binary, like a real container
+        # REAL container: concatenated baseline JFIF frames (MJPEG) —
+        # the demuxer in imagecodec.decode_video parses actual marker
+        # streams, no external codec library needed
+        "bytes": imagecodec.encode_video(frames),
         "w": w,
         "h": h,
         "n_frames": n_frames,
         "fps": 24,
     }
+
+
+def n_videos_for_sf_dir(sf_dir: str) -> int:
+    """Video row count per scale factor — images//100 (videos carry ~20
+    frames each, so the decoded-frame volume stays comparable)."""
+    return max(16, n_images_for_sf_dir(sf_dir) // 100)
 
 
 def videos_df(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:

@@ -126,3 +126,36 @@ def test_phash_dedup_clusters(spark):
     for canon, members in by_canon.items():
         assert canon == min(members)
         assert all(size_of[m] == len(members) for m in members)
+
+
+def test_phash_with_reencoded_matches_composed_path(spark):
+    """The fused one-decode-pass hash producer yields EXACTLY the hashes
+    the two-pass composition (reencoded_variants + phash_from_bytes)
+    produces, and drives phash_dedup_clusters to the identical result."""
+    from s2geometry_spark.operators.image_dedup import (
+        phash_dedup_clusters,
+        phash_from_bytes,
+        phash_with_reencoded,
+        reencoded_variants,
+    )
+    from s2geometry_spark.sources import images as imgsrc
+
+    corpus = imgsrc.images_df(spark, 96).select("image_id", "bytes")
+    fused = {
+        r.image_id: r.phash for r in phash_with_reencoded(corpus, fmt="qnt").collect()
+    }
+    both = corpus.unionByName(reencoded_variants(corpus, fmt="qnt"))
+    composed = {r.image_id: r.phash for r in phash_from_bytes(both).collect()}
+    assert fused == composed
+
+    c_fused = {
+        (r.image_id, r.canonical_id, r.cluster_size)
+        for r in phash_dedup_clusters(
+            hashes=phash_with_reencoded(corpus, fmt="qnt"), max_dist=2
+        ).collect()
+    }
+    c_composed = {
+        (r.image_id, r.canonical_id, r.cluster_size)
+        for r in phash_dedup_clusters(both, max_dist=2).collect()
+    }
+    assert c_fused == c_composed

@@ -165,6 +165,17 @@ def test_invariants_all_pass(images_geo):
     assert ip.invariant_violations(images_geo).count() == 0
 
 
+def test_video_invariants_all_pass(spark):
+    """Every generated video row is a REAL MJPEG container that demuxes
+    to its metadata geometry with all frames at PSNR >= 40 dB."""
+    vids = imgsrc.videos_df(spark, 24, num_partitions=3)
+    rows = ip.verify_video_invariants(vids).collect()
+    assert len(rows) == 24
+    assert all(r.meta_ok and r.pixels_ok for r in rows)
+    assert all(r.fmt == "mjpg" and 40.0 <= r.psnr_db < 900 for r in rows)
+    assert ip.video_invariant_violations(vids).count() == 0
+
+
 def test_geotag_matches_kernel(images_geo):
     rows = images_geo.select("phash", "lat", "lng", "cell").collect()
     ph = np.array([r.phash for r in rows], np.int64).astype(np.uint64)

@@ -141,3 +141,39 @@ def test_zigzag_matches_t81_spec_table():
     ]
     assert list(ZIGZAG) == spec
     assert list(ZIGZAG[UNZIGZAG]) == list(range(64))
+
+
+def test_mjpeg_demux_and_decode():
+    """MJPEG container: frame_offsets tiles the payload exactly, each
+    extent is a complete JFIF frame, and decode_mjpeg equals per-frame
+    decode_jpeg."""
+    from s2geometry_spark.kernels.jpegcodec import (
+        decode_mjpeg,
+        encode_mjpeg,
+        frame_offsets,
+    )
+
+    frames = np.stack([gen_pixels(100 + f, 14, 11) for f in range(5)])
+    buf = encode_mjpeg(frames, 92)
+    offs = frame_offsets(buf)
+    assert len(offs) == 5
+    assert offs[0][0] == 0 and offs[-1][1] == len(buf)
+    for (s0, e0), (s1, _) in zip(offs, offs[1:]):
+        assert e0 == s1
+    dec = decode_mjpeg(buf)
+    for (s, e), d in zip(offs, dec):
+        assert buf[s : s + 2] == b"\xff\xd8" and buf[e - 2 : e] == b"\xff\xd9"
+        assert np.array_equal(decode_jpeg(buf[s:e]), d)
+
+
+def test_mjpeg_rejects_bad_payloads():
+    from s2geometry_spark.kernels.jpegcodec import decode_mjpeg, encode_mjpeg
+
+    with pytest.raises(ValueError):
+        decode_mjpeg(b"")
+    # non-uniform frame geometry is not a frame stack
+    mixed = encode_mjpeg(gen_pixels(1, 8, 8)[None]) + encode_mjpeg(
+        gen_pixels(2, 16, 8)[None]
+    )
+    with pytest.raises(ValueError):
+        decode_mjpeg(mixed)

@@ -36,6 +36,9 @@ def test_resize_images_operator(spark):
 
 
 def test_sample_video_frames_operator(spark):
+    """The sampler demuxes the REAL container: frame count and pixels come
+    from the MJPEG marker stream, and sampled-frame luma equals the luma of
+    the container's own decoded frames (bit-exact vs decode_video)."""
     from s2geometry_spark.operators.image_pipeline import sample_video_frames
 
     vids = imgsrc.videos_df(spark, 12, num_partitions=2)
@@ -47,7 +50,8 @@ def test_sample_video_frames_operator(spark):
     assert len(by_vid) == 12
     for idx in (0, 5):
         meta = imgsrc.make_video_row(idx)
-        frames = imgsrc.gen_video_frames(idx, meta["w"], meta["h"], meta["n_frames"])
+        frames = imagecodec.decode_video(meta["bytes"])
+        assert frames.shape == (meta["n_frames"], meta["h"], meta["w"], 3)
         want_idx = imagecodec.frame_sample_indices(meta["n_frames"], every)
         got = sorted(by_vid[meta["video_id"]])
         assert [f for f, _ in got] == want_idx.tolist()
@@ -57,9 +61,28 @@ def test_sample_video_frames_operator(spark):
             assert luma == pytest.approx(w, abs=0)
 
 
-def test_decode_video_is_stubbed():
+def test_decode_video_real_mjpeg_roundtrip():
+    """decode_video is REAL for MJPEG payloads: round-trips encode_video
+    at the invariant PSNR bar, selective demux decodes exactly the full
+    decoder's frames, and non-JPEG containers still raise (no codec libs
+    in this sandbox)."""
+    src = imgsrc.gen_video_frames(3, 12, 10, 6)
+    buf = imagecodec.encode_video(src)
+    dec = imagecodec.decode_video(buf)
+    assert dec.shape == src.shape
+    assert imagecodec.video_frame_count(buf) == 6
+    for s, d in zip(src, dec):
+        assert imagecodec.psnr_db(s, d) >= imagecodec.PSNR_MIN_DB
+    # selective demux: only the requested frames, bit-identical to the
+    # full decode at those indices
+    sel = imagecodec.decode_video_frames(buf, np.array([1, 4]))
+    assert [f for f, _ in sel] == [1, 4]
+    for f, px in sel:
+        assert np.array_equal(px, dec[f])
     with pytest.raises(NotImplementedError):
         imagecodec.decode_video(b"whatever")
+    with pytest.raises(NotImplementedError):
+        imagecodec.decode_video_frames(b"whatever", np.array([0]))
 
 
 @pytest.fixture()
