@@ -2680,6 +2680,19 @@ def q_ann_topk_ivf(spark, sf_dir):
     return ann.ivf_topk(emb, _emb_queries(emb), k=ANN_K, n_centroids=8, nprobe=4)
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@k audit of the IVF scale path vs exact brute-force ground
+    truth (deliberately lossy nprobe=2 so the audit measures a real
+    miss rate) — the qualification step before trusting (n_centroids,
+    nprobe) at 100 TB, the ANN analog of dedup_lsh_recall."""
+    from s2geometry_spark.operators import ann
+
+    emb = _emb(spark, sf_dir)
+    return ann.ivf_recall_audit(
+        emb, _emb_queries(emb), k=ANN_K, n_centroids=8, nprobe=2
+    )
+
+
 def q_ann_topk_sq8(spark, sf_dir):
     """Int8 scalar-quantized ANN (coarse int8 scoring + exact rerank) —
     the memory-bound scale path; the oracle replays the identical pinned
@@ -2711,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-4 queries ---
         "hausdorff_pairs": q_hausdorff_pairs,
         "edge_crossings_all": q_edge_crossings_all,
+        "ann_ivf_recall": q_ann_ivf_recall,
         # --- code paths touched in r4 (strict-gate/oracle/kernel edits) ---
         "knn_edges": q_knn_edges,
         "polyline_nearly_covers": q_polyline_nearly_covers,
@@ -3075,6 +3089,9 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "ann_topk_sq8": ann.sq8_topk_oracle_sql(
             k=ANN_K, rerank=4, qfilter=_ANN_QFILTER
+        ),
+        "ann_ivf_recall": ann.ivf_recall_oracle_sql(
+            k=ANN_K, n_centroids=8, nprobe=2, qfilter=_ANN_QFILTER
         ),
         "tile_hulls": _leaf_sql(
             f"SELECT {oracle.parent_sql_expr('cell_leaf', 2)} AS cell_l2, "

@@ -716,3 +716,109 @@ SELECT qid, rank, vec_id, cosine, cosine_sq8 FROM (
   JOIN embeddings q ON q.vec_id = c.qid
   JOIN embeddings v ON v.vec_id = c.vec_id
 ) WHERE rank <= {k}"""
+
+
+# ---------- ANN recall audit (approximate vs exact ground truth) ----------
+
+
+def bruteforce_topk_oracle_sql(k: int = 5, dim: int = 64, qfilter: int = 29) -> str:
+    """DuckDB oracle for cosine_topk_bruteforce over the embeddings view
+    (query side = every ``qfilter``-th vec_id): identical left-assoc
+    fold-order cosine, (cosine DESC, vec_id ASC) tie-break."""
+    dot = dot_sql("q.embedding", "v.embedding", dim)
+    nq, nv = norm_sql("q.embedding", dim), norm_sql("v.embedding", dim)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+           WHERE vec_id % {qfilter} = 0)
+SELECT qid, rank, vec_id, cosine FROM (
+  SELECT q.qid, v.vec_id,
+         ({dot}) / (({nq}) * ({nv})) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY ({dot}) / (({nq}) * ({nv})) DESC, v.vec_id ASC
+         ) AS rank
+  FROM q, embeddings v WHERE v.vec_id <> q.qid
+) WHERE rank <= {k}"""
+
+
+def ivf_recall_audit(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Recall@k audit of the IVF scale path against the exact brute-force
+    ground truth — the qualification step a pipeline runs before trusting
+    (n_centroids, nprobe) at scale, the ANN analog of lsh_recall_audit.
+
+    One row: (n_queries, n_exact, n_ivf, tp, fn, fp, recall,
+    worst_q_recall).  tp counts (qid, vec_id) pairs in both top-k sets;
+    fp is IVF's substitutes for the true neighbors it missed (so fp == fn
+    whenever both sides return a full k).  recall and worst_q_recall are
+    pinned small-integer double divisions so the DuckDB oracle matches
+    bit-for-bit.  The audit itself adds one (qid, vec_id) full-outer join
+    of two already-tiny top-k frames plus a per-query hash agg — the
+    expensive inputs are the audited pipelines."""
+    ex = cosine_topk_bruteforce(vectors, queries, k=k).select(
+        "qid", "vec_id", F.lit(True).alias("in_exact")
+    )
+    iv = ivf_topk(
+        vectors, queries, k=k, n_centroids=n_centroids, nprobe=nprobe
+    ).select("qid", "vec_id", F.lit(True).alias("in_ivf"))
+    j = ex.join(iv, ["qid", "vec_id"], "full_outer")
+    per_q = j.groupBy("qid").agg(
+        F.count("in_exact").alias("nx"),
+        F.count("in_ivf").alias("ni"),
+        F.count(F.when(F.col("in_exact") & F.col("in_ivf"), 1)).alias("tp"),
+    )
+    q_recall = F.col("tp").cast("double") / F.col("nx").cast("double")
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("nx").alias("n_exact"),
+        F.sum("ni").alias("n_ivf"),
+        F.sum("tp").alias("tp"),
+        (F.sum("nx") - F.sum("tp")).alias("fn"),
+        (F.sum("ni") - F.sum("tp")).alias("fp"),
+        (F.sum("tp").cast("double") / F.sum("nx").cast("double")).alias("recall"),
+        F.min(q_recall).alias("worst_q_recall"),
+    )
+
+
+def ivf_recall_oracle_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    qfilter: int = 29,
+) -> str:
+    """DuckDB replay of ivf_recall_audit: the two top-k oracles as
+    MATERIALIZED CTEs, (qid, vec_id) full outer join, identical per-query
+    then global count/division arithmetic (sums BIGINT-pinned — DuckDB
+    HUGEINT sums surface as float64 otherwise)."""
+    ex = bruteforce_topk_oracle_sql(k=k, dim=dim, qfilter=qfilter)
+    iv = ivf_topk_oracle_sql(
+        k=k, n_centroids=n_centroids, nprobe=nprobe, dim=dim, qfilter=qfilter
+    )
+    return f"""
+WITH exq AS MATERIALIZED ({ex}),
+ivq AS MATERIALIZED ({iv}),
+j AS (
+  SELECT COALESCE(e.qid, i.qid) AS qid, e.vec_id AS ev, i.vec_id AS iv_id
+  FROM exq e FULL OUTER JOIN ivq i
+    ON e.qid = i.qid AND e.vec_id = i.vec_id
+),
+pq AS (
+  SELECT qid, count(ev) AS nx, count(iv_id) AS ni,
+         count(CASE WHEN ev IS NOT NULL AND iv_id IS NOT NULL THEN 1 END) AS tp
+  FROM j GROUP BY qid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(nx) AS BIGINT) AS n_exact,
+       CAST(sum(ni) AS BIGINT) AS n_ivf,
+       CAST(sum(tp) AS BIGINT) AS tp,
+       CAST(sum(nx) - sum(tp) AS BIGINT) AS fn,
+       CAST(sum(ni) - sum(tp) AS BIGINT) AS fp,
+       CAST(sum(tp) AS DOUBLE) / CAST(sum(nx) AS DOUBLE) AS recall,
+       min(CAST(tp AS DOUBLE) / CAST(nx AS DOUBLE)) AS worst_q_recall
+FROM pq"""

@@ -269,3 +269,21 @@ def test_lsh_recall_audit_accounting(docs):
         # generous banding on planted dups: full recall
         if bands == 16:
             assert row.recall == 1.0
+
+
+def test_ivf_recall_audit_invariants_and_exact_config(emb):
+    """Audit arithmetic is internally consistent at a lossy config, and a
+    non-lossy config (nprobe == n_centroids makes IVF exact) audits to
+    recall == 1.0 with zero fn/fp."""
+    q = _queries(emb)
+    row = ann.ivf_recall_audit(emb, q, k=5, n_centroids=8, nprobe=2).collect()[0]
+    assert row.n_queries == q.count() > 0
+    assert row.tp + row.fn == row.n_exact
+    assert row.tp + row.fp == row.n_ivf
+    assert 0.0 <= row.worst_q_recall <= row.recall <= 1.0
+    assert row.recall == row.tp / row.n_exact
+
+    exact = ann.ivf_recall_audit(emb, q, k=5, n_centroids=8, nprobe=8).collect()[0]
+    assert exact.recall == 1.0 and exact.worst_q_recall == 1.0
+    assert exact.fn == 0 and exact.fp == 0
+    assert exact.n_exact == exact.n_ivf == exact.tp
