@@ -89,8 +89,13 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id of the component."""
-    e0 = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).where(
-        F.col(a).isNotNull() & F.col(b).isNotNull()
+    # checkpoint the raw pair projection ONCE: nodes and edges both
+    # derive from it, and without this each derivation re-runs the
+    # caller's whole pair pipeline (decode/hash/join) from scratch
+    e0 = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col(a).isNotNull() & F.col(b).isNotNull())
+        .localCheckpoint()
     )
     nodes = (
         e0.select(F.col("u").alias("node"))

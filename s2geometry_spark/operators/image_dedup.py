@@ -1,29 +1,37 @@
-"""Perceptual near-duplicate image detection: decode -> pHash -> banded
-Hamming join.
+"""Perceptual near-duplicate image detection: decode -> pHash ->
+exact Hamming-ball join (small radius) / banded Hamming join (generic).
 
 The LLM-training-data counterpart of the text dedup family
 (operators/dedup.py simhash_near_pairs) on the IMAGE axis: every image
 is decoded once, reduced to the 64-bit block-mean perceptual hash
 (kernels/imagecodec.phash64 — the same function that derives the
 geotag metadata at generation time), and near-duplicate pairs are found
-with the standard banded trick: split the 64-bit hash into ``n_bands``
-equal bands; two hashes within Hamming distance ``max_dist`` agree on at
-least one band whenever ``max_dist < n_bands`` (pigeonhole), so an
-equi-join on (band index, band value) is a LOSSLESS candidate generator
-for that radius.
+by joining hashes within Hamming distance ``max_dist``.
+
+Two candidate generators, picked by radius:
+  * ``max_dist <= 2`` (the production dedup setting): contract identical
+    hashes, then the EXACT Hamming-ball variant join
+    (hamming_ball_hash_pairs) — every distinct hash emits its 65
+    single-bit-flip variants and an equi-join on the full 64-bit variant
+    value yields exactly the d <= 2 pairs.  Candidates == answers; the
+    structurally-hot hash values real corpora produce (flat images ->
+    all-zero/all-one hashes) cost g exact-group rows, never g^2 band
+    candidates (the banded join drew 17.4M candidates for 211k true
+    pairs on the sf0.1 corpus; the ball join draws 26k for 26k).
+  * larger radii: the standard banded trick — split the hash into
+    ``n_bands`` bands; within ``max_dist < n_bands`` at least one band
+    matches (pigeonhole), so the (band index, band value) equi-join is a
+    lossless candidate generator, refined by exact popcount.
 
 Scale shape (the whole point):
   * decode + hash is ONE Arrow-batched ``mapInPandas`` pass per side —
     the only Python crossing; binary payloads never survive past it.
-  * band explosion, the candidate equi-join, and the exact-distance
-    refinement (``bit_count(pa ^ pb) <= max_dist``) are all JVM-side
-    (whole-stage codegen) — the heavy join never touches Python.
-  * candidates = true near pairs x band multiplicity (<= n_bands), so
-    the join output is proportional to the ANSWER, not to |A| x |B|;
-    the shuffle keys are 16-bit band values prefixed by the band index,
-    giving 4 x 65536 well-spread buckets (hot-value skew would surface
-    as one band-value bucket — mitigate by raising n_bands or salting
-    the band join, same playbook as dedup.simhash_near_pairs).
+  * variant/band explosion, the candidate equi-join, and the exact
+    popcount refinement are all JVM-side (whole-stage codegen) — the
+    heavy join never touches Python.
+  * exact-duplicate contraction bounds the skew: the only quadratic
+    blow-up left is the true duplicate multiplicity, which the clusters
+    operator never materializes (star edges, not cliques).
 
 The banded-join mechanism itself is oracle-proven bit-exact by the
 ``dedup_simhash`` entry query; what this operator adds is the binary
@@ -142,6 +150,58 @@ def phash_with_reencoded(
     )
 
 
+#: XOR masks for the Hamming-ball variant join: identity + each single
+#: bit of a 64-bit hash (bit 63 as the signed-long two's-complement min)
+_BALL_MASKS = [0] + [(1 << k) if k < 63 else -(1 << 63) for k in range(64)]
+
+
+def hamming_ball_hash_pairs(hashes: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Distinct unordered 64-bit hash pairs (ph_a < ph_b, hamming) within
+    Hamming distance ``max_dist`` <= 2, by the flip-one-bit variant join
+    (the SimHash neighborhood-enumeration trick, Manku et al. WWW'07):
+    every hash emits its 65 single-bit-flip variants (incl. itself); two
+    hashes at distance d <= 2 share a variant value (flip one differing
+    bit on each side), so an equi-join on the FULL 64-bit variant value
+    is a lossless — and, unlike 16-bit banding, *exact* — candidate
+    generator: the join emits only true d ∈ {1, 2} pairs (each twice;
+    deduped), never the O(|bucket|^2) false candidates a hot band value
+    produces (structurally frequent hashes like all-zeros/all-ones make
+    16-bit-band buckets quadratic; a 64-bit variant bucket is only as
+    big as the data's exact-duplicate multiplicity, which the caller
+    contracts away first).
+
+    Input: a frame with a distinct ``phash`` column.  Output columns:
+    ph_a, ph_b, hamming.  Everything is codegen JVM (explode over a
+    65-element literal mask array, one equi-join, one popcount).
+    """
+    if max_dist > 2:
+        raise ValueError(
+            f"hamming_ball_hash_pairs covers max_dist <= 2, got {max_dist}; "
+            "use the banded join for larger radii"
+        )
+    var = hashes.select(
+        "phash",
+        F.explode(
+            F.array(*[F.lit(m).cast("long") for m in _BALL_MASKS])
+        ).alias("m"),
+    ).select("phash", F.col("phash").bitwiseXOR(F.col("m")).alias("v"))
+    a = var.select(F.col("phash").alias("ph_a"), "v")
+    b = var.select(F.col("phash").alias("ph_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .where(F.col("ph_a") < F.col("ph_b"))
+        .select("ph_a", "ph_b")
+        .dropDuplicates(["ph_a", "ph_b"])
+    )
+    out = cand.withColumn(
+        "hamming",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int"),
+    )
+    if max_dist < 2:
+        out = out.where(F.col("hamming") <= max_dist)
+    return out
+
+
 def phash_near_dup_pairs(
     images_a: DataFrame | None = None,
     images_b: DataFrame | None = None,
@@ -175,6 +235,34 @@ def phash_near_dup_pairs(
         # runs once, not per leg (the dedup_minhash_lsh recompute
         # lesson, operators/dedup.py:262)
         pa = pa.persist(StorageLevel.MEMORY_AND_DISK)
+    if images_b is None and max_dist <= 2:
+        # one-table small-radius form: exact Hamming-ball join on the
+        # DISTINCT hashes (identical hashes contracted first), then
+        # expand back to image pairs.  Candidates == true pairs — no
+        # hot-band quadratic buckets (17.4M candidates -> ~60k on the
+        # sf0.1 corpus whose flat images concentrate band values).
+        h_a = pa.select(F.col(id_col).alias("xa"), F.col("phash").alias("ph_a"))
+        h_b = pa.select(F.col(id_col).alias("xb"), F.col("phash").alias("ph_b"))
+        exact = (
+            h_a.join(h_b, F.col("ph_a") == F.col("ph_b"))
+            .where(F.col("xa") < F.col("xb"))
+            .select(
+                F.col("xa").alias("id_a"),
+                F.col("xb").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        hp = hamming_ball_hash_pairs(pa.select("phash").distinct(), max_dist)
+        near = (
+            hp.join(h_a, "ph_a")
+            .join(h_b, "ph_b")
+            .select(
+                F.least("xa", "xb").alias("id_a"),
+                F.greatest("xa", "xb").alias("id_b"),
+                "hamming",
+            )
+        )
+        return exact.unionByName(near)
     ta = _banded(pa, id_col, "a")
     if images_b is None:
         tb = ta.select(
@@ -255,31 +343,71 @@ def phash_dedup_clusters(
     component AFTER labeling so the output is hash-order independent.
     Only images that appear in at least one pair are emitted (singletons
     are their own keeper by definition).
+
+    Scale shape: exact-duplicate hashes are CONTRACTED before the graph
+    step — the O(log n) large/small-star loop runs only on the distinct
+    hash values joined by the exact Hamming-ball pairs (13k nodes at
+    sf0.1 instead of 24k, and ~50k edges instead of the 210k all-pairs
+    clique edges), and every image attaches to its hash's component by
+    one join AFTER the loop.  A clique of g identical images contributes
+    0 loop edges instead of g(g-1)/2 — the same contraction a 100 TB
+    run needs, where exact-duplicate multiplicity is the dominant skew.
     """
     from .dedup import md5_h64
     from .graph import connected_components
 
-    # persist the pair list for the call's lifetime: it is consumed by
-    # the edge list, the node table, and the final label join — without
-    # this each consumer re-runs the decode -> pHash -> banded-join
-    # pipeline (the round-2 minhash recompute lesson)
-    pairs = phash_near_dup_pairs(
-        images, max_dist=max_dist, id_col=id_col, hashes_a=hashes
-    ).persist()
-    e = pairs.select(
-        md5_h64(F.col("id_a")).alias("doc_a"),
-        md5_h64(F.col("id_b")).alias("doc_b"),
-    )
-    comp = connected_components(e)  # (doc_id, component_id) over hashes
-    nodes = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-        .withColumn("_h", md5_h64(F.col(id_col)))
-    )
-    labeled = nodes.join(comp, nodes["_h"] == comp["doc_id"]).select(
-        id_col, "component_id"
-    )
+    if (images is None) == (hashes is None):
+        raise ValueError("pass exactly one of images / hashes")
+    if max_dist > 2:
+        # generic radius: all-pairs banded join feeding the graph loop
+        pairs = phash_near_dup_pairs(
+            images, max_dist=max_dist, id_col=id_col, hashes_a=hashes
+        ).persist()
+        e = pairs.select(
+            md5_h64(F.col("id_a")).alias("doc_a"),
+            md5_h64(F.col("id_b")).alias("doc_b"),
+        )
+        comp = connected_components(e)
+        nodes = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+            .withColumn("_h", md5_h64(F.col(id_col)))
+        )
+        labeled = nodes.join(comp, nodes["_h"] == comp["doc_id"]).select(
+            id_col, "component_id"
+        )
+    else:
+        from pyspark.storagelevel import StorageLevel
+
+        h = hashes if hashes is not None else phash_from_bytes(images, id_col)
+        h = h.persist(StorageLevel.MEMORY_AND_DISK)
+        reps = h.groupBy("phash").agg(
+            F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("g")
+        )
+        hp = hamming_ball_hash_pairs(h.select("phash").distinct(), max_dist)
+        ra = reps.select(F.col("phash").alias("ph_a"), md5_h64("rep").alias("doc_a"))
+        rb = reps.select(F.col("phash").alias("ph_b"), md5_h64("rep").alias("doc_b"))
+        rp = hp.join(ra, "ph_a").join(rb, "ph_b").select("doc_a", "doc_b")
+        comp = connected_components(rp)  # over linked hash reps only
+        rlab = reps.withColumn("_h", md5_h64("rep")).join(
+            comp, F.col("_h") == F.col("doc_id"), "left"
+        ).select(
+            "phash",
+            "g",
+            F.col("component_id").isNotNull().alias("linked"),
+            F.coalesce("component_id", F.col("_h")).alias("component_id"),
+        )
+        labeled = (
+            h.join(rlab, "phash")
+            # node set == images appearing in >= 1 pair: an exact-dup
+            # group member (g >= 2, a d=0 pair) or any image whose hash
+            # has a Hamming-ball neighbor
+            .where((F.col("g") >= 2) | F.col("linked"))
+            .select(id_col, "component_id")
+        )
+    # labeled feeds both the group aggregate and the final join
+    labeled = labeled.persist()
     groups = labeled.groupBy("component_id").agg(
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("cluster_size"),

@@ -159,3 +159,53 @@ def test_phash_with_reencoded_matches_composed_path(spark):
         for r in phash_dedup_clusters(both, max_dist=2).collect()
     }
     assert c_fused == c_composed
+
+
+class TestHammingBall:
+    """The exact flip-one-bit variant join (hamming_ball_hash_pairs)."""
+
+    def test_ball_pairs_match_brute_force(self, spark):
+        from s2geometry_spark.operators.image_dedup import (
+            hamming_ball_hash_pairs,
+        )
+
+        rng = np.random.RandomState(7)
+        base = rng.randint(-(2**63), 2**63, size=60, dtype=np.int64)
+        # plant d=1 and d=2 neighbors, including the sign bit (bit 63)
+        planted = [
+            int(base[0]) ^ 1,
+            int(base[1]) ^ (1 << 5) ^ (1 << 40),
+            int(np.int64(base[2] ^ np.int64(-(2**63)))),  # flip bit 63
+            int(np.int64(base[3] ^ np.int64(-(2**63)) ^ np.int64(1))),
+        ]
+        hashes = sorted(set(int(x) for x in base) | set(planted))
+        df = spark.createDataFrame([(h,) for h in hashes], "phash long")
+        got = {
+            (r.ph_a, r.ph_b, r.hamming)
+            for r in hamming_ball_hash_pairs(df, 2).collect()
+        }
+        h = np.asarray(hashes, np.uint64)
+        x = h[:, None] ^ h[None, :]
+        d = np.zeros_like(x, dtype=np.int64)
+        for s in range(0, 64, 8):
+            d += np.unpackbits(
+                ((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.uint8)[..., None],
+                axis=-1,
+            ).sum(axis=-1, dtype=np.int64)
+        want = set()
+        for i in range(len(hashes)):
+            for j in range(i + 1, len(hashes)):
+                if 1 <= d[i, j] <= 2:
+                    a, b = sorted((hashes[i], hashes[j]))
+                    want.add((a, b, int(d[i, j])))
+        assert got == want
+        assert any(t[2] == 2 for t in want) and any(t[2] == 1 for t in want)
+
+    def test_ball_rejects_large_radius(self, spark):
+        from s2geometry_spark.operators.image_dedup import (
+            hamming_ball_hash_pairs,
+        )
+
+        df = spark.createDataFrame([(0,)], "phash long")
+        with pytest.raises(ValueError):
+            hamming_ball_hash_pairs(df, 3)
