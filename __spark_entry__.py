@@ -2523,6 +2523,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+DECON_N = 5  # word n-gram length for the train/eval contamination scan
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark-decontamination scan: every (train_doc, eval_doc) pair
+    sharing a distinct word 5-gram across the split_assign split, with
+    the overlap fraction of the eval doc — the n-gram leakage check a
+    training pipeline runs before shipping a split."""
+    from s2geometry_spark.operators import dedup
+
+    return dedup.decontaminate(_docs(spark, sf_dir), n=DECON_N)
+
+
 LSH_AUDIT_BANDS = 4  # 8 rows/band: strict collisions, so recall < 1 is live
 
 
@@ -2707,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (r3 additions): the driver's 50-query correctness
         # budget runs in dict order, so these MUST come first (VERDICT r3 #2) ---
+        "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "dedup_components": q_dedup_components,
         "sessionize": q_sessionize,
@@ -3070,6 +3084,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "dedup_lsh_recall": dedup.lsh_recall_oracle_sql(
             num_hashes=32, bands=LSH_AUDIT_BANDS, n=JACCARD_N, tau=JACCARD_TAU
         ),
+        "decontaminate": dedup.decontaminate_oracle_sql(n=DECON_N),
         "sessionize": _sessions_oracle(),
         "text_bm25": text.bm25_oracle_sql(BM25_TERMS),
         "dedup_components": graph.components_oracle_sql(

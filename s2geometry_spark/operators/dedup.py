@@ -570,3 +570,91 @@ SELECT n_exact, n_lsh, tp, fn, fp,
             ELSE CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall
 FROM c
 """
+
+
+# ---------- Benchmark decontamination (cross-split n-gram overlap) ----------
+
+
+def decontaminate(docs: DataFrame, n: int = 5, salt: str = "s2split") -> DataFrame:
+    """Train/eval n-gram contamination scan — the decontamination pass a
+    training pipeline runs so benchmark (val/test) text never leaks into
+    the training split (the GPT-3/PaLM-style n-gram overlap check).
+
+    Splits come from :func:`..text.split_assign` (the leakage-safe hash
+    rule), so the scan composes with the split the pipeline actually
+    ships.  For every (train_doc, eval_doc) pair sharing at least one
+    distinct word ``n``-gram: ``shared`` n-grams, both docs' distinct
+    n-gram counts, and ``overlap_frac = shared / eval_sz`` — the fraction
+    of the EVAL document present verbatim in the train document, which is
+    the quantity the drop-decision thresholds on.
+
+    Scale shape: inverted-index join keyed on the n-gram, with the eval
+    side ~10% of the corpus and only eval-present n-grams surviving the
+    join (at 100 TB you'd put a bloom filter of the eval n-gram set on
+    the train scan; the join itself is the same).  No self-join, no
+    driver state; division is the pinned double/double expression.
+    """
+    from .text import split_assign
+
+    sh = shingle_set(docs, n)
+    sp = split_assign(docs, salt).select("doc_id", "split")
+    shs = sh.join(sp, "doc_id")
+    tr = shs.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    ev = shs.where(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        tr.join(ev, "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    st = sizes.select(F.col("doc_id").alias("train_doc"), F.col("sz").alias("train_sz"))
+    se = sizes.select(F.col("doc_id").alias("eval_doc"), F.col("sz").alias("eval_sz"))
+    return (
+        pairs.join(st, "train_doc")
+        .join(se, "eval_doc")
+        .select(
+            "train_doc",
+            "eval_doc",
+            "shared",
+            "train_sz",
+            "eval_sz",
+            (F.col("shared").cast("double") / F.col("eval_sz").cast("double")).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+def decontaminate_oracle_sql(n: int = 5, salt: str = "s2split") -> str:
+    """DuckDB replay: same tokenizer/shingles as ngram_jaccard_oracle_sql,
+    same split rule as split_assign_oracle_sql, pinned division."""
+    from .text import SPLIT_PERMILLE
+
+    grams = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    h = md5_h32_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    train_hi = dict(SPLIT_PERMILLE)["train"]
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {grams} AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)
+),
+sp AS (SELECT doc_id, ({h}) % 1000 < {train_hi} AS is_train FROM documents),
+szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+pairs AS (
+  SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, count(*) AS shared
+  FROM sh tr JOIN sp spt ON tr.doc_id = spt.doc_id AND spt.is_train
+  JOIN sh ev USING (shingle)
+  JOIN sp spe ON ev.doc_id = spe.doc_id AND NOT spe.is_train
+  GROUP BY 1, 2
+)
+SELECT train_doc, eval_doc, shared, st.sz AS train_sz, se.sz AS eval_sz,
+       CAST(shared AS DOUBLE) / CAST(se.sz AS DOUBLE) AS overlap_frac
+FROM pairs
+JOIN szs st ON st.doc_id = train_doc
+JOIN szs se ON se.doc_id = eval_doc
+"""
