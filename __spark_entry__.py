@@ -2523,6 +2523,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_emb_kmeans(spark, sf_dir):
+    """Bit-reproducible distributed k-means over the embeddings table:
+    fixed-point (2^20) quantization makes assignment and Lloyd updates
+    exact integer arithmetic, so the result is invariant to partitioning
+    / shuffle order / cluster size — and the DuckDB oracle replays the
+    identical quantize/assign/integer-mean chain with no ordered folds."""
+    from s2geometry_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
+
+
 DECON_N = 5  # word n-gram length for the train/eval contamination scan
 
 
@@ -2721,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked (r3 additions): the driver's 50-query correctness
         # budget runs in dict order, so these MUST come first (VERDICT r3 #2) ---
         "decontaminate": q_decontaminate,
+        "emb_kmeans": q_emb_kmeans,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "dedup_components": q_dedup_components,
         "sessionize": q_sessionize,
@@ -3001,7 +3017,7 @@ SELECT qid, rank, pid, dist_chord2 FROM (
          ) AS rank
   FROM qxyz q CROSS JOIN xyz p
 ) WHERE rank <= {KNN_K}"""
-    from s2geometry_spark.operators import ann, dedup, graph, text
+    from s2geometry_spark.operators import ann, dedup, graph, kmeans, text
 
     dim = 64
     dot = ann.dot_sql("q.embedding", "v.embedding", dim)
@@ -3085,6 +3101,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
             num_hashes=32, bands=LSH_AUDIT_BANDS, n=JACCARD_N, tau=JACCARD_TAU
         ),
         "decontaminate": dedup.decontaminate_oracle_sql(n=DECON_N),
+        "emb_kmeans": kmeans.kmeans_oracle_sql(k=KMEANS_K, iters=KMEANS_ITERS),
         "sessionize": _sessions_oracle(),
         "text_bm25": text.bm25_oracle_sql(BM25_TERMS),
         "dedup_components": graph.components_oracle_sql(
