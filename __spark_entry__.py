@@ -2538,6 +2538,23 @@ def q_emb_kmeans(spark, sf_dir):
     return kmeans_assign(_emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+KMEANS_PER_CLUSTER = 10
+
+
+def q_emb_kmeans_sample(spark, sf_dir):
+    """Cluster-balanced downsample: the 10 vectors nearest each k-means
+    centroid — the diversity-preserving subset selection step; one
+    per-cluster window over the bit-reproducible assignment."""
+    from s2geometry_spark.operators.kmeans import kmeans_sample
+
+    return kmeans_sample(
+        _emb(spark, sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        per_cluster=KMEANS_PER_CLUSTER,
+    )
+
+
 DECON_N = 5  # word n-gram length for the train/eval contamination scan
 
 
@@ -2737,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget runs in dict order, so these MUST come first (VERDICT r3 #2) ---
         "decontaminate": q_decontaminate,
         "emb_kmeans": q_emb_kmeans,
+        "emb_kmeans_sample": q_emb_kmeans_sample,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "dedup_components": q_dedup_components,
         "sessionize": q_sessionize,
@@ -3102,6 +3120,9 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "decontaminate": dedup.decontaminate_oracle_sql(n=DECON_N),
         "emb_kmeans": kmeans.kmeans_oracle_sql(k=KMEANS_K, iters=KMEANS_ITERS),
+        "emb_kmeans_sample": kmeans.kmeans_sample_oracle_sql(
+            k=KMEANS_K, iters=KMEANS_ITERS, per_cluster=KMEANS_PER_CLUSTER
+        ),
         "sessionize": _sessions_oracle(),
         "text_bm25": text.bm25_oracle_sql(BM25_TERMS),
         "dedup_components": graph.components_oracle_sql(

@@ -192,3 +192,45 @@ c{t + 1} AS (
 WITH {body}
 SELECT vec_id, cl AS cluster, d2 FROM a{iters}
 """
+
+
+def kmeans_sample(
+    vectors: DataFrame, k: int = 8, iters: int = 2, per_cluster: int = 10
+) -> DataFrame:
+    """Cluster-balanced subset selection: the ``per_cluster`` vectors
+    closest to each centroid (ties broken by vec_id) — the standard
+    diversity-preserving downsample a curation pipeline takes after
+    clustering (cap each semantic region instead of letting the head
+    cluster dominate the mix).
+
+    One window over the assignment keyed by cluster — the rank runs
+    per-cluster (k partitions), never a global sort; with the integer d2
+    the selection is bit-reproducible like the assignment itself.
+    """
+    from pyspark.sql import Window
+
+    assigned = kmeans_assign(vectors, k=k, iters=iters)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= per_cluster)
+        .select("vec_id", "cluster", "d2", "rank")
+    )
+
+
+def kmeans_sample_oracle_sql(
+    k: int = 8, iters: int = 2, per_cluster: int = 10, dim: int = 64
+) -> str:
+    base = kmeans_oracle_sql(k=k, iters=iters, dim=dim)
+    return f"""
+WITH asg AS MATERIALIZED ({base}),
+rk AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY cluster ORDER BY d2 ASC, vec_id ASC)
+           AS rank
+  FROM asg
+)
+SELECT vec_id, cluster, d2, rank FROM rk WHERE rank <= {per_cluster}
+"""
