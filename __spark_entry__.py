@@ -2445,6 +2445,17 @@ def q_img_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup_clusters(hashes=phash_with_reencoded(corpus, fmt="qnt"), max_dist=2)
 
 
+def q_img_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-tile mosaic rendering at level 5: per-tile selection (window
+    over the narrow geo projection, BEFORE any decode), bytes join-back,
+    one applyInPandas render per tile -> PNG mosaic rows.  Rows-only
+    check (binary output); quadrant-exact pixel parity is pytest-proven
+    in tests/test_mosaic.py."""
+    from s2geometry_spark.operators.image_pipeline import tile_mosaic
+
+    return tile_mosaic(_images_geo(spark, sf_dir), level=5)
+
+
 def q_img_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image quality screening (luma mean/std + histogram entropy +
     keep verdict) — one fused decode pass; rows-only check (binary)."""
@@ -2767,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_quality": q_img_quality,
         "img_dedup_clusters": q_img_dedup_clusters,
         "img_phash_near_dup": q_img_phash_near_dup,
+        "img_mosaic": q_img_mosaic,
         # --- r3's one red row — oracle dtype CAST-pinned in r4, re-prove it ---
         "loop_nesting": q_loop_nesting,
         # --- new round-4 queries ---
