@@ -2566,6 +2566,17 @@ def q_emb_kmeans_sample(spark, sf_dir):
     )
 
 
+def q_pack_assign(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing: every document's slot in
+    the deterministic hash-shuffled token stream and the context windows
+    it spans — a two-level distributed prefix sum (per-bucket windowed
+    cumsum + broadcast bucket offsets), never a one-partition global
+    window; pure integer arithmetic, bit-exact oracle."""
+    from s2geometry_spark.operators import text
+
+    return text.pack_assign(_docs(spark, sf_dir))
+
+
 DECON_N = 5  # word n-gram length for the train/eval contamination scan
 
 
@@ -2764,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked (r3 additions): the driver's 50-query correctness
         # budget runs in dict order, so these MUST come first (VERDICT r3 #2) ---
         "decontaminate": q_decontaminate,
+        "pack_assign": q_pack_assign,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_sample": q_emb_kmeans_sample,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -3131,6 +3143,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
             num_hashes=32, bands=LSH_AUDIT_BANDS, n=JACCARD_N, tau=JACCARD_TAU
         ),
         "decontaminate": dedup.decontaminate_oracle_sql(n=DECON_N),
+        "pack_assign": text.pack_assign_oracle_sql(),
         "emb_kmeans": kmeans.kmeans_oracle_sql(k=KMEANS_K, iters=KMEANS_ITERS),
         "emb_kmeans_sample": kmeans.kmeans_sample_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS, per_cluster=KMEANS_PER_CLUSTER

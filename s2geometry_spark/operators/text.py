@@ -576,3 +576,103 @@ SELECT q.quantile_permille, r.n_tokens
 FROM ranked r JOIN q
   ON r.rk = -floor((-q.quantile_permille * r.n) / 1000)
 """
+
+
+#: sequence-packing defaults: context window length (tokens) and the
+#: prefix-sum bucket count (any value works; 64 keeps the offset table tiny)
+PACK_CONTEXT = 512
+PACK_BUCKETS = 64
+
+
+def pack_assign(docs: DataFrame, context_len: int = PACK_CONTEXT) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the GPT-style pretraining
+    step that lays every document into a virtual token stream and splits
+    it into fixed ``context_len`` windows.  Output per document:
+    (doc_id, n_tokens, start_off, bin_first, bin_last) — its byte-exact
+    slot in the stream and the first/last context window it touches
+    (documents may span windows; trainers mask across the boundary).
+
+    The stream order is the deterministic hash shuffle
+    (md5_h32("s2pack:" || doc_id), doc_id) — reproducible like
+    split_assign, decorrelated from ingest order.
+
+    Scale shape: a GLOBAL ordered cumsum would be a one-partition window
+    (the classic scale cliff).  Instead this is a two-level distributed
+    prefix sum: documents hash into ``PACK_BUCKETS`` buckets keyed below
+    the stream order's top bits, each bucket computes its own windowed
+    cumsum in parallel, and the per-bucket totals (PACK_BUCKETS rows)
+    become broadcast prefix offsets.  All arithmetic is integer, so the
+    result is partitioning-invariant and the DuckDB oracle replays it
+    bit-exactly.
+    """
+    from .dedup import md5_h32
+
+    from pyspark.sql import Window
+
+    h = md5_h32(F.concat(F.lit("s2pack:"), F.col("doc_id").cast("string")))
+    t = docs.select(
+        "doc_id",
+        F.size(words_col()).cast("long").alias("n_tokens"),
+        h.cast("long").alias("h"),
+    ).withColumn("bucket", F.col("h") % PACK_BUCKETS)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = t.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    tot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("tot"))
+    w_off = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "bucket", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("boff")
+    )
+    start = F.col("boff") + F.col("cum_in") - F.col("n_tokens")
+    return (
+        cum.join(F.broadcast(off), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_off"),
+            F.floor(start / context_len).cast("long").alias("bin_first"),
+            F.floor((start + F.col("n_tokens") - 1) / context_len)
+            .cast("long")
+            .alias("bin_last"),
+        )
+    )
+
+
+def pack_assign_oracle_sql(context_len: int = PACK_CONTEXT) -> str:
+    from .dedup import md5_h32_sql
+
+    h = md5_h32_sql("'s2pack:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(({h}) AS BIGINT) AS h
+  FROM documents
+),
+tb AS (SELECT *, h % {PACK_BUCKETS} AS bucket FROM t),
+cum AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_in
+  FROM tb
+),
+tot AS (SELECT bucket, sum(n_tokens) AS tot FROM tb GROUP BY bucket),
+off AS (
+  SELECT bucket,
+         coalesce(sum(tot) OVER (ORDER BY bucket ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS boff
+  FROM tot
+)
+SELECT doc_id, n_tokens,
+       CAST(boff + cum_in - n_tokens AS BIGINT) AS start_off,
+       CAST(floor((boff + cum_in - n_tokens) / {context_len}) AS BIGINT)
+         AS bin_first,
+       CAST(floor((boff + cum_in - 1) / {context_len}) AS BIGINT) AS bin_last
+FROM cum JOIN off USING (bucket)
+"""

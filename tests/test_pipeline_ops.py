@@ -287,3 +287,24 @@ def test_ivf_recall_audit_invariants_and_exact_config(emb):
     assert exact.recall == 1.0 and exact.worst_q_recall == 1.0
     assert exact.fn == 0 and exact.fp == 0
     assert exact.n_exact == exact.n_ivf == exact.tp
+
+
+def test_pack_assign_stream_is_gap_free_and_partition_invariant(docs):
+    """The packed token stream must be a contiguous permutation: sorted
+    start offsets tile [0, total_tokens) exactly; result identical under
+    a different partitioning (the distributed prefix sum is exact)."""
+    rows = text.pack_assign(docs).collect()
+    got = sorted((r.start_off, r.n_tokens, r.doc_id) for r in rows)
+    pos = 0
+    for start, n, _ in got:
+        assert start == pos
+        pos += n
+    assert pos == sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert r.bin_first == r.start_off // 512
+        assert r.bin_last == (r.start_off + r.n_tokens - 1) // 512
+    again = sorted(
+        (r.start_off, r.n_tokens, r.doc_id)
+        for r in text.pack_assign(docs.repartition(13)).collect()
+    )
+    assert got == again
