@@ -2577,6 +2577,14 @@ def q_pack_assign(spark, sf_dir):
     return text.pack_assign(_docs(spark, sf_dir))
 
 
+def q_corpus_mixture(spark, sf_dir):
+    """Data-mix table: token mass per (lang, split) with exact integer
+    permille shares — one hash agg + 1-row total broadcast."""
+    from s2geometry_spark.operators import text
+
+    return text.corpus_mixture(_docs(spark, sf_dir))
+
+
 DECON_N = 5  # word n-gram length for the train/eval contamination scan
 
 
@@ -2776,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget runs in dict order, so these MUST come first (VERDICT r3 #2) ---
         "decontaminate": q_decontaminate,
         "pack_assign": q_pack_assign,
+        "corpus_mixture": q_corpus_mixture,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_sample": q_emb_kmeans_sample,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -3144,6 +3153,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "decontaminate": dedup.decontaminate_oracle_sql(n=DECON_N),
         "pack_assign": text.pack_assign_oracle_sql(),
+        "corpus_mixture": text.corpus_mixture_oracle_sql(),
         "emb_kmeans": kmeans.kmeans_oracle_sql(k=KMEANS_K, iters=KMEANS_ITERS),
         "emb_kmeans_sample": kmeans.kmeans_sample_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS, per_cluster=KMEANS_PER_CLUSTER

@@ -676,3 +676,66 @@ SELECT doc_id, n_tokens,
        CAST(floor((boff + cum_in - 1) / {context_len}) AS BIGINT) AS bin_last
 FROM cum JOIN off USING (bucket)
 """
+
+
+def corpus_mixture(docs: DataFrame, salt: str = "s2split") -> DataFrame:
+    """(lang, split, n_docs, n_tokens, permille_tokens): the data-mix
+    table a pretraining run is configured from — token mass per language
+    per split, with each cell's share of the corpus in exact integer
+    permille (floor(1000 * cell / total)).  Composes the split_assign
+    hash rule with the whitespace tokenizer; one hash-agg shuffle plus a
+    1-row total broadcast, no sorts.
+    """
+    toks = docs.select(
+        "doc_id", "lang", F.size(words_col()).cast("long").alias("n_tokens")
+    )
+    sp = split_assign(docs, salt).select("doc_id", "split")
+    cells = (
+        toks.join(sp, "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    total = cells.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        cells.join(F.broadcast(total))
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.floor((F.lit(1000) * F.col("n_tokens")) / F.col("_tot"))
+            .cast("long")
+            .alias("permille_tokens"),
+        )
+    )
+
+
+def corpus_mixture_oracle_sql(salt: str = "s2split") -> str:
+    from .dedup import md5_h32_sql
+
+    h = md5_h32_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    cases = []
+    lo = 0
+    for name, width in SPLIT_PERMILLE:
+        cases.append(f"WHEN bucket < {lo + width} THEN '{name}'")
+        lo += width
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ({h}) % 1000 AS bucket
+  FROM documents
+),
+cells AS (
+  SELECT lang, {case} AS split, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+  FROM b GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_tokens) AS t FROM cells)
+SELECT lang, split, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor((1000 * n_tokens) / t) AS BIGINT) AS permille_tokens
+FROM cells, tot
+"""
