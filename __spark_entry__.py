@@ -1094,15 +1094,17 @@ def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ids = ca.select("chain_id").distinct()
     # each even chain vs its next 4 odd neighbours: a pair fan-out that
-    # grows linearly with the chain count (not quadratically)
+    # grows linearly with the chain count (not quadratically), generated
+    # as an EQUI-join (chain_b == chain_a + d over an exploded literal
+    # offset array) so the plan is a broadcast hash join, not a BNLJ
     pairs = (
         ids.where(F.col("chain_id") % 2 == 0)
-        .select(F.col("chain_id").alias("chain_a"))
-        .join(
-            ids.select(F.col("chain_id").alias("chain_b")),
-            (F.col("chain_b") - F.col("chain_a")).isin(1, 3, 5, 7)
-            & (F.col("chain_b") % 2 == 1),
+        .select(
+            F.col("chain_id").alias("chain_a"),
+            F.explode(F.array(*[F.lit(d) for d in (1, 3, 5, 7)])).alias("_d"),
         )
+        .select("chain_a", (F.col("chain_a") + F.col("_d")).alias("chain_b"))
+        .join(ids.select(F.col("chain_id").alias("chain_b")), "chain_b")
     )
     return hausdorff_pairs(spark, ca, pairs)
 
