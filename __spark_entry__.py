@@ -2587,6 +2587,20 @@ def q_corpus_mixture(spark, sf_dir):
     return text.corpus_mixture(_docs(spark, sf_dir))
 
 
+SEMDEDUP_TAU = 0.35
+
+
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup candidate pairs: within-k-means-cluster cosine >= tau —
+    the bounded-quadratic semantic dedup scan (cluster populations stay
+    bounded because k scales with the corpus)."""
+    from s2geometry_spark.operators.kmeans import semdedup_pairs
+
+    return semdedup_pairs(
+        _emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU
+    )
+
+
 DECON_N = 5  # word n-gram length for the train/eval contamination scan
 
 
@@ -2789,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": q_corpus_mixture,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_sample": q_emb_kmeans_sample,
+        "emb_semdedup": q_emb_semdedup,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "dedup_components": q_dedup_components,
         "sessionize": q_sessionize,
@@ -3159,6 +3174,9 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "emb_kmeans": kmeans.kmeans_oracle_sql(k=KMEANS_K, iters=KMEANS_ITERS),
         "emb_kmeans_sample": kmeans.kmeans_sample_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS, per_cluster=KMEANS_PER_CLUSTER
+        ),
+        "emb_semdedup": kmeans.semdedup_oracle_sql(
+            k=KMEANS_K, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU
         ),
         "sessionize": _sessions_oracle(),
         "text_bm25": text.bm25_oracle_sql(BM25_TERMS),

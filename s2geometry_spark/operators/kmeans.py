@@ -234,3 +234,94 @@ rk AS (
 )
 SELECT vec_id, cluster, d2, rank FROM rk WHERE rank <= {per_cluster}
 """
+
+
+def semdedup_pairs(
+    vectors: DataFrame, k: int = 8, iters: int = 2, tau: float = 0.35
+) -> DataFrame:
+    """Semantic deduplication candidate pairs (SemDeDup, Abbas et al.
+    2023): cluster the embedding space with the bit-reproducible k-means,
+    then emit every WITHIN-CLUSTER pair with cosine similarity >= ``tau``
+    — the standard way to make O(n^2) semantic dedup tractable: k scales
+    with the corpus so cluster populations stay bounded, and the
+    quadratic pair scan runs only inside each cluster (one cogrouped
+    Arrow pass per cluster), never across the corpus.
+
+    Output: (vec_a, vec_b, cluster, cosine), vec_a < vec_b.  The cosine
+    is the pinned dimension-order fold (matching ann.dot_sql /
+    norm_sql), so the DuckDB oracle — the k-means CTE chain composed
+    with an unrolled pair join — matches bit-for-bit.  Cross-cluster
+    near-duplicates are the recall tradeoff SemDeDup accepts by design;
+    audit with ann.ivf_recall_audit-style sampling if required.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from .ann import _fold_dots, _fold_norms
+
+    asg = kmeans_assign(vectors, k=k, iters=iters).select("vec_id", "cluster")
+    ve = vectors.join(asg, "vec_id").select("vec_id", "embedding", "cluster")
+
+    schema = StructType(
+        [
+            StructField("vec_a", LongType(), False),
+            StructField("vec_b", LongType(), False),
+            StructField("cluster", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def pairs(kv, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cluster": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        dots = _fold_dots(A, A)
+        nrm = _fold_norms(A)
+        cos = dots / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = cos[ia, ib] >= tau
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cluster": np.full(int(keep.sum()), kv[0], dtype=np.int64),
+                "cosine": cos[ia[keep], ib[keep]],
+            }
+        )
+
+    return ve.groupBy("cluster").applyInPandas(pairs, schema)
+
+
+def semdedup_oracle_sql(
+    k: int = 8, iters: int = 2, tau: float = 0.35, dim: int = 64
+) -> str:
+    """DuckDB replay: the k-means assignment CTE composed with an
+    unrolled within-cluster pair join (pinned fold-order dot and norms,
+    ann.dot_sql / norm_sql)."""
+    from .ann import dot_sql, norm_sql
+
+    base = kmeans_oracle_sql(k=k, iters=iters, dim=dim)
+    dot = dot_sql("ea.embedding", "eb.embedding", dim)
+    na = norm_sql("ea.embedding", dim)
+    nb = norm_sql("eb.embedding", dim)
+    return f"""
+WITH asg AS MATERIALIZED ({base}),
+cand AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster AS cluster,
+         ({dot}) / (({na}) * ({nb})) AS cosine
+  FROM asg x
+  JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+)
+SELECT vec_a, vec_b, cluster, cosine
+FROM cand WHERE cosine >= CAST({tau!r} AS DOUBLE)
+"""
