@@ -2587,6 +2587,15 @@ def q_corpus_mixture(spark, sf_dir):
     return text.corpus_mixture(_docs(spark, sf_dir))
 
 
+def q_quality_sample(spark, sf_dir):
+    """Quality-weighted importance sampling: deterministic hash coin vs
+    floor(quality*10000) — the reproducible soft-filter; audit shape
+    (every doc with its keep verdict)."""
+    from s2geometry_spark.operators import text
+
+    return text.quality_sample(_docs(spark, sf_dir))
+
+
 SEMDEDUP_TAU = 0.35
 
 
@@ -2801,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_assign": q_pack_assign,
         "corpus_mixture": q_corpus_mixture,
+        "quality_sample": q_quality_sample,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_sample": q_emb_kmeans_sample,
         "emb_semdedup": q_emb_semdedup,
@@ -3171,6 +3181,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "decontaminate": dedup.decontaminate_oracle_sql(n=DECON_N),
         "pack_assign": text.pack_assign_oracle_sql(),
         "corpus_mixture": text.corpus_mixture_oracle_sql(),
+        "quality_sample": text.quality_sample_oracle_sql(),
         "emb_kmeans": kmeans.kmeans_oracle_sql(k=KMEANS_K, iters=KMEANS_ITERS),
         "emb_kmeans_sample": kmeans.kmeans_sample_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS, per_cluster=KMEANS_PER_CLUSTER

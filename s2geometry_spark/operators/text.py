@@ -739,3 +739,42 @@ SELECT lang, split, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(floor((1000 * n_tokens) / t) AS BIGINT) AS permille_tokens
 FROM cells, tot
 """
+
+
+def quality_sample(docs: DataFrame, salt: str = "s2qs") -> DataFrame:
+    """Quality-weighted importance sampling: keep a document with
+    probability equal to its quality score, decided by the deterministic
+    hash coin md5_h32(salt || doc_id) % 10000 < floor(quality * 10000)
+    — the reproducible soft-filter between hard thresholding (loses all
+    low-quality data) and uniform sampling (keeps junk at full rate).
+    Like split_assign the verdict is a pure function of the document, so
+    re-runs, re-shards, and cluster-size changes never flip a keep.
+
+    Output: (doc_id, quality, keep) for EVERY doc (the audit shape —
+    filtering is one `WHERE keep` downstream).  Pure projection, no
+    shuffle; floor(quality*10000) is exact on both engines.
+    """
+    from .dedup import md5_h32
+
+    q = quality_score(docs)
+    coin = md5_h32(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))) % 10000
+    return q.select(
+        "doc_id",
+        "quality",
+        (coin < F.floor(F.col("quality") * F.lit(10000.0)).cast("long")).alias(
+            "keep"
+        ),
+    )
+
+
+def quality_sample_oracle_sql(salt: str = "s2qs") -> str:
+    from .dedup import md5_h32_sql
+
+    h = md5_h32_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    base = quality_score_oracle_sql()
+    return f"""
+WITH q AS MATERIALIZED ({base})
+SELECT doc_id, quality,
+       (({h}) % 10000) < CAST(floor(quality * 10000.0) AS BIGINT) AS keep
+FROM q
+"""
