@@ -2596,6 +2596,15 @@ def q_quality_sample(spark, sf_dir):
     return text.quality_sample(_docs(spark, sf_dir))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Per-doc average negative log-likelihood under the corpus unigram
+    LM (perplexity-filter proxy); ln via the portable series, per-doc
+    sums fold term-sorted on both sides."""
+    from s2geometry_spark.operators import text
+
+    return text.unigram_logprob(_docs(spark, sf_dir))
+
+
 SEMDEDUP_TAU = 0.35
 
 
@@ -2811,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_assign": q_pack_assign,
         "corpus_mixture": q_corpus_mixture,
         "quality_sample": q_quality_sample,
+        "unigram_logprob": q_unigram_logprob,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_sample": q_emb_kmeans_sample,
         "emb_semdedup": q_emb_semdedup,
@@ -3182,6 +3192,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "pack_assign": text.pack_assign_oracle_sql(),
         "corpus_mixture": text.corpus_mixture_oracle_sql(),
         "quality_sample": text.quality_sample_oracle_sql(),
+        "unigram_logprob": text.unigram_logprob_oracle_sql(),
         "emb_kmeans": kmeans.kmeans_oracle_sql(k=KMEANS_K, iters=KMEANS_ITERS),
         "emb_kmeans_sample": kmeans.kmeans_sample_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS, per_cluster=KMEANS_PER_CLUSTER

@@ -209,9 +209,14 @@ FROM hs
 
 BM25_K1 = "1.2"
 BM25_B = "0.75"
-_LN2 = "0.69314718055994531"
+# Exponent-notation literals parse as DOUBLE on BOTH engines; a bare
+# decimal literal parses as DECIMAL (Spark AND DuckDB), and the
+# decimal->double conversion can land one ulp off the correctly-rounded
+# parse (observed: Spark's 0.0526315789... coefficient flipped the last
+# bit of unigram_logprob contributions on ~10% of docs)
+_LN2 = "6.93147180559945286e-01"
 # 1/19 .. 1/3, Horner order (odd atanh series to r^19)
-_LN_COEFFS = [repr(1.0 / k) for k in (19, 17, 15, 13, 11, 9, 7, 5, 3)]
+_LN_COEFFS = ["%.17e" % (1.0 / k) for k in (19, 17, 15, 13, 11, 9, 7, 5, 3)]
 
 
 def ln_portable_sql(x: str) -> str:
@@ -777,4 +782,82 @@ WITH q AS MATERIALIZED ({base})
 SELECT doc_id, quality,
        (({h}) % 10000) < CAST(floor(quality * 10000.0) AS BIGINT) AS keep
 FROM q
+"""
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, avg_nll): per-document average negative log-likelihood
+    under the corpus's own add-one-smoothed unigram LM — the classic
+    model-based quality signal (the cheap stand-in for a perplexity
+    filter: documents whose token distribution is unlike the corpus
+    score high and get reviewed/dropped).
+
+    logp(w) = ln((c(w) + 1) / (N + V)) with corpus counts c, total N,
+    vocabulary V; avg_nll = -(sum over tokens of logp) / dl.  All ln
+    inputs are rational, so ln_portable_sql's bit-exactness argument
+    (see bm25) applies; the per-doc sum folds term-sorted on BOTH sides
+    (the bm25 recipe — float addition is order-dependent).
+
+    Scale shape: one explode + two hash aggs; the unigram table joins by
+    word (a shuffle join — the vocabulary is NOT assumed broadcastable
+    at corpus scale), corpus totals are a 1-row broadcast.
+    """
+    w = docs.select("doc_id", F.explode(words_col()).alias("w"))
+    cw = w.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    glob = cw.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    tf = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # the ratio must be computed in DOUBLE: a bare 1.0 makes Spark run
+    # (c + 1.0) / (...) in DECIMAL arithmetic whose division rounding is
+    # not IEEE double division (measured 1-ulp drift vs DuckDB)
+    logp = ln_portable_sql(
+        "((CAST(c AS DOUBLE) + 1e0) / CAST(n_total + vocab AS DOUBLE))"
+    )
+    scored = (
+        tf.join(cw, "w")
+        .crossJoin(F.broadcast(glob))
+        .withColumn("contrib", F.expr(f"CAST(tf AS DOUBLE) * {logp}"))
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("w", "contrib"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["contrib"],
+        ).alias("_ll")
+    )
+    return folded.join(dl, "doc_id").select(
+        "doc_id",
+        "dl",
+        (-F.col("_ll") / F.col("dl").cast("double")).alias("avg_nll"),
+    )
+
+
+def unigram_logprob_oracle_sql() -> str:
+    logp = ln_portable_sql(
+        "((CAST(c AS DOUBLE) + 1e0) / CAST(n_total + vocab AS DOUBLE))"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cw AS MATERIALIZED (SELECT w, count(*) AS c FROM w GROUP BY 1),
+gstats AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cw),
+-- the engine side computes the smoothed ratio in DOUBLE (see
+-- unigram_logprob); the shared ln fragment below embeds the same casts
+tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.w, CAST(tf AS DOUBLE) * {logp} AS contrib
+  FROM tf JOIN cw USING (w) CROSS JOIN gstats
+),
+folded AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(contrib ORDER BY w)),
+                     (acc, x) -> acc + x) AS _ll
+  FROM scored GROUP BY doc_id
+)
+SELECT f.doc_id, dl, -(_ll) / CAST(dl AS DOUBLE) AS avg_nll
+FROM folded f JOIN dl USING (doc_id)
 """
