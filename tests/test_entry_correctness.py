@@ -27,13 +27,28 @@ def test_entry_smoke(spark, entry_mod):
     assert set(df.columns) == {"cell_l5", "cnt"}
 
 
-def test_queries_match_oracles(spark, duck, entry_mod):
+def test_queries_match_oracles(spark, entry_mod):
+    # a DEDICATED connection (not the session-shared `duck` fixture): the
+    # 81-oracle sweep must not inherit any state another test left on the
+    # shared connection, and a heavy MATERIALIZED-CTE oracle failing here
+    # must implicate only this test's own connection
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/{name}.parquet')"
+        )
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     for name, sql in oracles.items():
         sdf = qs[name](spark, SF_ORACLE)
-        rel = duck.sql(sql)
+        rel = con.sql(sql)
         compare_frames(sdf, rel)
 
 
