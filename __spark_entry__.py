@@ -2239,6 +2239,53 @@ def _rect_join_oracle() -> str:
     return f"WITH {xyz_cte} {parts}"
 
 
+RANGE_PAIRS_R2 = 1.0e-3  # squared chord ~ 1.8 deg: a few hundred pairs at sf0.01
+
+
+def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance pair self-join (epsilon-neighborhood / DBSCAN
+    primitive): grid-neighbor equi-join at the kMinWidth-certified level
+    + exact codegen chord^2 refinement, over the customer point set."""
+    from s2geometry_spark.operators.knn import within_distance_pairs
+
+    cust = _load(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"), *tiling.triplet_exprs("c_custkey")
+    )
+    nrm = F.sqrt(
+        (
+            F.col("x0") * F.col("x0")
+            + F.col("y0") * F.col("y0")
+            + F.col("z0") * F.col("z0")
+        ).cast("double")
+    )
+    pts = pts.select(
+        "pid",
+        (F.col("x0").cast("double") / nrm).alias("x"),
+        (F.col("y0").cast("double") / nrm).alias("y"),
+        (F.col("z0").cast("double") / nrm).alias("z"),
+    )
+    pts = pts.withColumn(
+        "cell", s2f.cell_from_xyz(F.col("x"), F.col("y"), F.col("z"))
+    )
+    return within_distance_pairs(pts, RANGE_PAIRS_R2)
+
+
+def _range_pairs_oracle() -> str:
+    """Brute-force O(n^2) pair join with the identical pinned chord^2."""
+    xyz_cte = oracle.xyz_sql_cte("customer", "c_custkey", keep_cols="c_custkey AS pid")
+    d2 = (
+        "(((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+        " + (a.z - b.z) * (a.z - b.z))"
+    )
+    return f"""
+WITH {xyz_cte}
+SELECT a.pid AS pid_a, b.pid AS pid_b, {d2} AS dist_chord2
+FROM xyz a JOIN xyz b ON a.pid < b.pid
+WHERE {d2} <= CAST({RANGE_PAIRS_R2!r} AS DOUBLE)
+"""
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN join: staged cell-neighbor ring expansion + windowed top-k."""
     points = _order_points_xyz(spark, sf_dir).toDF("pid", "px", "py", "pz", "p_cell")
@@ -2824,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_sample": q_emb_kmeans_sample,
         "emb_semdedup": q_emb_semdedup,
+        "range_pairs": q_range_pairs,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "dedup_components": q_dedup_components,
         "sessionize": q_sessionize,
@@ -3200,6 +3248,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "emb_semdedup": kmeans.semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU
         ),
+        "range_pairs": _range_pairs_oracle(),
         "sessionize": _sessions_oracle(),
         "text_bm25": text.bm25_oracle_sql(BM25_TERMS),
         "dedup_components": graph.components_oracle_sql(

@@ -556,3 +556,79 @@ SELECT pid, rid, edge_idx, dist_chord2, inside,
        CASE WHEN inside THEN qy ELSE py END AS py,
        CASE WHEN inside THEN qz ELSE pz END AS pz
 FROM prj_out"""
+
+
+def level_for_radius_chord2(radius_chord2: float) -> int:
+    """Finest level whose 3x3 neighbor block certifiably contains every
+    point within the given squared-chord radius of a cell's points: the
+    deepest level with _min_outside_chord2(level) >= radius_chord2 (the
+    same kMinWidth admissibility bound the kNN stages certify with)."""
+    lvl = 0
+    for cand in range(1, 31):
+        if _min_outside_chord2(cand) >= radius_chord2:
+            lvl = cand
+        else:
+            break
+    return lvl
+
+
+def within_distance_pairs(
+    points: DataFrame,
+    radius_chord2: float,
+    point_id: str = "pid",
+    cell: str = "cell",
+    level: int | None = None,
+) -> DataFrame:
+    """All unordered point pairs (pid_a < pid_b, dist_chord2) within a
+    squared-chord distance — the epsilon-neighborhood spatial self-join
+    (the DBSCAN/range-query primitive; reference scope: the pair form of
+    S2ClosestPointQuery's within-distance option,
+    s2closest_point_query.h ConservativeMaxDistance).
+
+    Grid-neighbor join: each point keys ONCE by its cell at ``level``
+    (home side) and by its full 3x3 neighbor block (probe side); the
+    kMinWidth bound guarantees every within-radius pair shares a
+    (home, probe) key, and the exact chord^2 predicate refines in
+    codegen.  One equi-join shuffle keyed by cells — candidates are
+    block-local (density-bounded), never O(n^2); skew follows true point
+    density (handle hot tiles with the measured-salt machinery,
+    operators/density).
+    """
+    if level is None:
+        level = level_for_radius_chord2(radius_chord2)
+    if _min_outside_chord2(level) < radius_chord2:
+        raise ValueError(
+            f"within_distance_pairs: level {level} min-width bound "
+            f"{_min_outside_chord2(level):.3e} does not cover radius_chord2 "
+            f"{radius_chord2:.3e}"
+        )
+    home = points.select(
+        F.col(point_id).alias("pid_a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("z").alias("az"),
+        s2f.parent_expr(cell, level).alias("k"),
+    )
+    blk = _neighbor_block_udf(level)
+    probe = (
+        points.withColumn("_blocks", blk(F.col(cell)))
+        .select(
+            F.col(point_id).alias("pid_b"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.col("z").alias("bz"),
+            F.explode("_blocks").alias("k"),
+        )
+    )
+    d2 = s2f.chord2_expr(
+        F.col("ax"), F.col("ay"), F.col("az"),
+        F.col("bx"), F.col("by"), F.col("bz"),
+    )
+    return (
+        home.join(probe, "k")
+        .where(F.col("pid_a") < F.col("pid_b"))
+        .withColumn("dist_chord2", d2)
+        .where(F.col("dist_chord2") <= radius_chord2)
+        .select("pid_a", "pid_b", "dist_chord2")
+        .dropDuplicates(["pid_a", "pid_b"])
+    )
