@@ -1,4 +1,6 @@
 """Within-distance pair self-join (epsilon-neighborhood) vs brute force."""
+
+
 class TestWithinDistancePairs:
     def test_level_selection_bound(self):
         from s2geometry_spark.operators.knn import (
