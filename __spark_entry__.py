@@ -2242,12 +2242,9 @@ def _rect_join_oracle() -> str:
 RANGE_PAIRS_R2 = 1.0e-3  # squared chord ~ 1.8 deg: a few hundred pairs at sf0.01
 
 
-def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-distance pair self-join (epsilon-neighborhood / DBSCAN
-    primitive): grid-neighbor equi-join at the kMinWidth-certified level
-    + exact codegen chord^2 refinement, over the customer point set."""
-    from s2geometry_spark.operators.knn import within_distance_pairs
-
+def _customer_points_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pid, x, y, z, cell) from customer keys — same exact-integer
+    triplet derivation as _order_points_xyz."""
     cust = _load(spark, sf_dir, "customer")
     pts = cust.select(
         F.col("c_custkey").alias("pid"), *tiling.triplet_exprs("c_custkey")
@@ -2265,13 +2262,23 @@ def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y0").cast("double") / nrm).alias("y"),
         (F.col("z0").cast("double") / nrm).alias("z"),
     )
-    pts = pts.withColumn(
+    return pts.withColumn(
         "cell", s2f.cell_from_xyz(F.col("x"), F.col("y"), F.col("z"))
     )
-    return within_distance_pairs(pts, RANGE_PAIRS_R2)
 
 
-def _range_pairs_oracle() -> str:
+def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance pair self-join (epsilon-neighborhood / DBSCAN
+    primitive): grid-neighbor equi-join at the kMinWidth-certified level
+    + exact codegen chord^2 refinement, over the customer point set."""
+    from s2geometry_spark.operators.knn import within_distance_pairs
+
+    return within_distance_pairs(
+        _customer_points_xyz(spark, sf_dir), RANGE_PAIRS_R2
+    )
+
+
+def _range_pairs_oracle_at(r2: float) -> str:
     """Brute-force O(n^2) pair join with the identical pinned chord^2."""
     xyz_cte = oracle.xyz_sql_cte("customer", "c_custkey", keep_cols="c_custkey AS pid")
     d2 = (
@@ -2282,7 +2289,70 @@ def _range_pairs_oracle() -> str:
 WITH {xyz_cte}
 SELECT a.pid AS pid_a, b.pid AS pid_b, {d2} AS dist_chord2
 FROM xyz a JOIN xyz b ON a.pid < b.pid
-WHERE {d2} <= CAST({RANGE_PAIRS_R2!r} AS DOUBLE)
+WHERE {d2} <= CAST({r2!r} AS DOUBLE)
+"""
+
+
+def _range_pairs_oracle() -> str:
+    return _range_pairs_oracle_at(RANGE_PAIRS_R2)
+
+
+DBSCAN_R2 = 2.0e-3
+DBSCAN_MIN_SAMPLES = 2
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN over the customer point set: epsilon-pairs
+    (grid-neighbor join) -> degree -> core/border -> star-contraction
+    components; deterministic min-cluster border assignment.  Oracle
+    composes the brute-force pair join with the recursive-CTE
+    transitive closure."""
+    from s2geometry_spark.operators.knn import dbscan
+
+    return dbscan(
+        _customer_points_xyz(spark, sf_dir),
+        DBSCAN_R2,
+        min_samples=DBSCAN_MIN_SAMPLES,
+    )
+
+
+def _dbscan_oracle() -> str:
+    rp = _range_pairs_oracle_at(DBSCAN_R2)
+    from s2geometry_spark.operators.graph import components_oracle_sql
+
+    comp = components_oracle_sql(
+        "SELECT pid_a AS doc_a, pid_b AS doc_b FROM cpairs"
+    )
+    return f"""
+WITH rp AS MATERIALIZED ({rp}),
+sym AS (
+  SELECT pid_a AS p, pid_b AS q FROM rp
+  UNION ALL
+  SELECT pid_b, pid_a FROM rp
+),
+deg AS (SELECT p, count(*) AS n FROM sym GROUP BY 1),
+core AS (SELECT p FROM deg WHERE n >= {DBSCAN_MIN_SAMPLES}),
+cpairs AS (
+  SELECT r.pid_a, r.pid_b FROM rp r
+  JOIN core a ON a.p = r.pid_a
+  JOIN core b ON b.p = r.pid_b
+),
+comp AS MATERIALIZED (SELECT * FROM ({comp}) t),
+core_lab AS (
+  SELECT core.p, coalesce(c.component_id, core.p) AS cluster
+  FROM core LEFT JOIN comp c ON c.doc_id = core.p
+),
+border AS (
+  SELECT s.q AS pid, min(cl.cluster) AS cluster
+  FROM sym s
+  JOIN core_lab cl ON cl.p = s.p
+  LEFT JOIN core k ON k.p = s.q
+  WHERE k.p IS NULL
+  GROUP BY 1
+)
+SELECT p AS pid, cluster, 'core' AS role FROM core_lab
+UNION ALL
+SELECT pid, cluster, 'border' AS role FROM border
 """
 
 
@@ -2872,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_sample": q_emb_kmeans_sample,
         "emb_semdedup": q_emb_semdedup,
         "range_pairs": q_range_pairs,
+        "dbscan": q_dbscan,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "dedup_components": q_dedup_components,
         "sessionize": q_sessionize,
@@ -3249,6 +3320,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
             k=KMEANS_K, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU
         ),
         "range_pairs": _range_pairs_oracle(),
+        "dbscan": _dbscan_oracle(),
         "sessionize": _sessions_oracle(),
         "text_bm25": text.bm25_oracle_sql(BM25_TERMS),
         "dedup_components": graph.components_oracle_sql(

@@ -632,3 +632,69 @@ def within_distance_pairs(
         .select("pid_a", "pid_b", "dist_chord2")
         .dropDuplicates(["pid_a", "pid_b"])
     )
+
+
+def dbscan(
+    points: DataFrame,
+    eps_chord2: float,
+    min_samples: int = 2,
+    point_id: str = "pid",
+    cell: str = "cell",
+) -> DataFrame:
+    """Distributed DBSCAN on the sphere: (pid, cluster, role) for every
+    clustered point (noise points are omitted; role is 'core' or
+    'border').
+
+    The classic decomposition into this repo's primitives:
+      1. epsilon-neighborhood pairs — within_distance_pairs (the
+         kMinWidth-certified grid-neighbor join; the only distance work).
+      2. core points = degree >= ``min_samples`` OTHER neighbors (one
+         hash agg over the symmetrized pair list).
+      3. clusters = connected components of the core-core subgraph
+         (operators/graph large/small-star contraction — O(log n)
+         rounds); an isolated core is its own cluster.
+      4. border points attach to the MINIMUM adjacent core cluster
+         (deterministic tie-break; plain DBSCAN's assignment is
+         scan-order dependent — unacceptable for a reproducible
+         pipeline, so the min rule is part of this operator's contract).
+
+    Cluster label = the minimum core pid of the component (BIGINT).
+    Every step is an oracle-replayable join/agg — no iteration beyond
+    the components loop, no driver-side graph state.
+    """
+    from .graph import connected_components
+
+    pairs = within_distance_pairs(
+        points, eps_chord2, point_id=point_id, cell=cell
+    ).persist()
+    sym = pairs.select(
+        F.col("pid_a").alias("p"), F.col("pid_b").alias("q")
+    ).unionByName(
+        pairs.select(F.col("pid_b").alias("p"), F.col("pid_a").alias("q"))
+    )
+    deg = sym.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    core = deg.where(F.col("n") >= min_samples).select("p")
+    ca = core.select(F.col("p").alias("pid_a"))
+    cb = core.select(F.col("p").alias("pid_b"))
+    core_pairs = (
+        pairs.join(ca, "pid_a")
+        .join(cb, "pid_b")
+        .select(F.col("pid_a").alias("doc_a"), F.col("pid_b").alias("doc_b"))
+    )
+    comp = connected_components(core_pairs)
+    core_lab = core.join(
+        comp, core["p"] == comp["doc_id"], "left"
+    ).select("p", F.coalesce("component_id", F.col("p")).alias("cluster"))
+    border = (
+        sym.join(core_lab, "p")
+        .join(core.select(F.col("p").alias("q")), "q", "left_anti")
+        .groupBy("q")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return core_lab.select(
+        F.col("p").alias(point_id), "cluster", F.lit("core").alias("role")
+    ).unionByName(
+        border.select(
+            F.col("q").alias(point_id), "cluster", F.lit("border").alias("role")
+        )
+    )
