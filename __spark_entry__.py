@@ -2798,6 +2798,28 @@ def _sessions_oracle() -> str:
     return sessionize_oracle_sql()
 
 
+def _temporal_oracle(kind: str) -> str:
+    from s2geometry_spark.operators import temporal
+
+    return (
+        temporal.asof_join_oracle_sql()
+        if kind == "asof"
+        else temporal.interval_join_oracle_sql()
+    )
+
+
+def _dup_spans_oracle() -> str:
+    from s2geometry_spark.operators.spans import dup_spans_oracle_sql
+
+    return dup_spans_oracle_sql()
+
+
+def _pii_oracle() -> str:
+    from s2geometry_spark.operators.pii import pii_scrub_oracle_sql
+
+    return pii_scrub_oracle_sql()
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream (batch twin of the
     streaming stateful operators): 30-minute-gap sessions per user,
@@ -2806,6 +2828,49 @@ def q_sessionize(spark, sf_dir):
     from s2geometry_spark.operators.sessions import sessionize
 
     return sessionize(_load(spark, sf_dir, "events"))
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (each click to the latest at-or-before view of the
+    same user) — the brief's canonical custom temporal operator.  NOT a
+    physical join: union-tag + one user_id window shuffle with
+    last_value(ignoreNulls), the shape that survives 100 TB.  Oracle =
+    DuckDB's NATIVE ASOF LEFT JOIN (independent implementation)."""
+    from s2geometry_spark.operators.temporal import asof_join
+
+    return asof_join(_load(spark, sf_dir, "events"))
+
+
+def q_interval_join(spark, sf_dir):
+    """Trailing-window interval join (clicks within 30 min before each
+    error, per user) executed as a bucketed equi-join — the range
+    predicate becomes (user_id, time_bucket) keys + residual filter, so
+    the plan is a hash join, never BroadcastNestedLoop.  Oracle = plain
+    BETWEEN range join in DuckDB."""
+    from s2geometry_spark.operators.temporal import interval_join
+
+    return interval_join(_load(spark, sf_dir, "events"))
+
+
+def q_text_dup_spans(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. ACL'22): maximal >=8-token
+    spans occurring more than once in the corpus, via rolling n-gram
+    window hashes + one heavy-hitter hash agg + gaps-and-islands span
+    merge.  All-integer window pipeline, bit-exact DuckDB replay."""
+    from s2geometry_spark.operators.spans import dup_spans
+
+    return dup_spans(_docs(spark, sf_dir))
+
+
+def q_text_pii(spark, sf_dir):
+    """PII scrub: detect + redact emails/IPv4s/phones (deterministically
+    planted from doc_id, since the synthetic corpus is clean) with
+    Java-regex/RE2-agreeing patterns; map-only codegen scan, zero
+    shuffles.  The oracle compares md5 of the REDACTED text, proving
+    byte-identical redaction."""
+    from s2geometry_spark.operators.pii import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir))
 
 
 def q_dedup_components(spark, sf_dir):
@@ -2931,6 +2996,11 @@ def q_ann_topk_sq8(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- new in r4 session 3: never driver-checked, so first ---
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "text_dup_spans": q_text_dup_spans,
+        "text_pii": q_text_pii,
         # --- never driver-checked (r3 additions): the driver's 50-query correctness
         # budget runs in dict order, so these MUST come first (VERDICT r3 #2) ---
         "decontaminate": q_decontaminate,
@@ -3322,6 +3392,10 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "range_pairs": _range_pairs_oracle(),
         "dbscan": _dbscan_oracle(),
         "sessionize": _sessions_oracle(),
+        "asof_join": _temporal_oracle("asof"),
+        "interval_join": _temporal_oracle("interval"),
+        "text_dup_spans": _dup_spans_oracle(),
+        "text_pii": _pii_oracle(),
         "text_bm25": text.bm25_oracle_sql(BM25_TERMS),
         "dedup_components": graph.components_oracle_sql(
             dedup.minhash_lsh_oracle_sql(
