@@ -2798,6 +2798,16 @@ def _sessions_oracle() -> str:
     return sessionize_oracle_sql()
 
 
+def _bpe_oracle(kind: str) -> str:
+    from s2geometry_spark.operators import bpe
+
+    return (
+        bpe.bpe_merges_oracle_sql()
+        if kind == "merges"
+        else bpe.bpe_vocab_oracle_sql()
+    )
+
+
 def _temporal_oracle(kind: str) -> str:
     from s2geometry_spark.operators import temporal
 
@@ -2871,6 +2881,26 @@ def q_text_pii(spark, sf_dir):
     from s2geometry_spark.operators.pii import pii_scrub
 
     return pii_scrub(_docs(spark, sf_dir))
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich ACL'16): 6 merge
+    rounds over the weighted vocabulary; pair counts via lead-window +
+    hash agg, greedy non-overlapping merge via island-parity windows,
+    1-row argmax collected per round (k-means centroid budget).  Oracle
+    unrolls the identical loop into a per-round CTE chain."""
+    from s2geometry_spark.operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(spark, _docs(spark, sf_dir))
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """The vocabulary segmented by the learned BPE merges — verifies the
+    merge APPLICATION (greedy left-to-right, overlap chains, </w>
+    markers), not just the learned pair table."""
+    from s2geometry_spark.operators.bpe import bpe_vocab_df
+
+    return bpe_vocab_df(_docs(spark, sf_dir))
 
 
 def q_dedup_components(spark, sf_dir):
@@ -2997,6 +3027,8 @@ def q_ann_topk_sq8(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 3: never driver-checked, so first ---
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "text_dup_spans": q_text_dup_spans,
@@ -3392,6 +3424,8 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "range_pairs": _range_pairs_oracle(),
         "dbscan": _dbscan_oracle(),
         "sessionize": _sessions_oracle(),
+        "bpe_merges": _bpe_oracle("merges"),
+        "bpe_vocab": _bpe_oracle("vocab"),
         "asof_join": _temporal_oracle("asof"),
         "interval_join": _temporal_oracle("interval"),
         "text_dup_spans": _dup_spans_oracle(),
