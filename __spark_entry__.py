@@ -2851,6 +2851,17 @@ def q_asof_join(spark, sf_dir):
     return asof_join(_load(spark, sf_dir, "events"))
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream watermarked interval join (§2.9): errors and clicks
+    as two file streams, inner join on user + trailing 30-min window,
+    availableNow into a memory sink.  Oracle = the batch interval_join
+    SQL verbatim, so stream-vs-batch equivalence is a driver-checked
+    oracle row."""
+    from s2geometry_spark.streaming.joins import streaming_interval_join
+
+    return streaming_interval_join(spark, sf_dir)
+
+
 def q_interval_join(spark, sf_dir):
     """Trailing-window interval join (clicks within 30 min before each
     error, per user) executed as a bucketed equi-join — the range
@@ -3031,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "streaming_interval_join": q_streaming_interval_join,
         "text_dup_spans": q_text_dup_spans,
         "text_pii": q_text_pii,
         # --- never driver-checked (r3 additions): the driver's 50-query correctness
@@ -3428,6 +3440,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "bpe_vocab": _bpe_oracle("vocab"),
         "asof_join": _temporal_oracle("asof"),
         "interval_join": _temporal_oracle("interval"),
+        "streaming_interval_join": _temporal_oracle("interval"),
         "text_dup_spans": _dup_spans_oracle(),
         "text_pii": _pii_oracle(),
         "text_bm25": text.bm25_oracle_sql(BM25_TERMS),
