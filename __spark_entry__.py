@@ -3065,11 +3065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "split_assign": q_split_assign,
         "ann_topk_sq8": q_ann_topk_sq8,
-        "img_knn": q_img_knn,
-        "img_quality": q_img_quality,
-        "img_dedup_clusters": q_img_dedup_clusters,
-        "img_phash_near_dup": q_img_phash_near_dup,
-        "img_mosaic": q_img_mosaic,
+        # (the 8 rows-only generated-image queries sit just past the
+        # driver's 50-query budget: a rows-only driver row is weaker
+        # evidence than the bit-exact oracle rows the budget buys below;
+        # each img query is brute-force pixel-verified in pytest)
         # --- r3's one red row — oracle dtype CAST-pinned in r4, re-prove it ---
         "loop_nesting": q_loop_nesting,
         # --- new round-4 queries ---
@@ -3095,6 +3094,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "tile_sample": q_tile_sample,
+        "loop_boundary_match": q_loop_boundary_match,
+        "chain_pair_distance": q_chain_pair_distance,
+        "dist_to_boundary": q_dist_to_boundary,
+        # --- rows-only image queries (pytest-verified; see note above) ---
+        "img_knn": q_img_knn,
+        "img_quality": q_img_quality,
+        "img_dedup_clusters": q_img_dedup_clusters,
+        "img_phash_near_dup": q_img_phash_near_dup,
+        "img_mosaic": q_img_mosaic,
         "img_tile_stats": q_img_tile_stats,
         "img_pip_join": q_img_pip_join,
         "img_invariant_violations": q_img_invariant_violations,
@@ -3103,7 +3112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tile_counts": q_streaming_tile_counts,
         "tile_counts_l12": q_tile_counts_l12,
         "tile_rollup": q_tile_rollup,
-        "tile_sample": q_tile_sample,
         "cell_tokens": q_cell_tokens,
         "cellunion_join": q_cellunion_join,
         "pip_join": q_pip_join,
@@ -3122,9 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_clip_models": q_polyline_clip_models,
         "polyline_consensus": q_polyline_consensus,
         "builder_sites": q_builder_sites,
-        "chain_pair_distance": q_chain_pair_distance,
         "loop_pair_distance": q_loop_pair_distance,
-        "loop_boundary_match": q_loop_boundary_match,
         "cap_join": q_cap_join,
         "rect_join": q_rect_join,
         "knn": q_knn,
@@ -3133,7 +3139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_hulls": q_tile_hulls,
         "edge_crossings": q_edge_crossings,
         "project_to_edges": q_project_to_edges,
-        "dist_to_boundary": q_dist_to_boundary,
         "closest_cell": q_closest_cell,
         "builder_snap": q_builder_snap,
         "builder_snap_latlng": q_builder_snap_latlng,
