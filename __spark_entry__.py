@@ -1079,6 +1079,28 @@ def _chain_pair_distance_oracle() -> str:
     return chain_pair_min_distance_oracle_sql(verts_sql, pairs_sql)
 
 
+_FSEG_A_KEY = "o_orderkey*13+5"
+_FSEG_B_KEY = "o_orderkey*101+57"
+
+
+def q_face_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetFaceSegments (s2edge_clipping.cc:206-258): clip every edge of
+    a long-geodesic fixture to the chain of cube faces it crosses,
+    emitting (face, (u,v) segment) pieces.  Endpoints are INDEPENDENT
+    sphere points (unlike the short `_edges_df` edges), so ~5/6 of
+    edges span 2-4 faces and the MoveOrigin/exit-axis/exit-point walk
+    is fully exercised.  One stateless mapInPandas — a pure map stage,
+    no shuffle; the oracle unrolls the identical walk into 6 rounds of
+    CTE column updates and matches bit-for-bit."""
+    from s2geometry_spark.operators.faceclip import face_segments, long_edges
+
+    edges = long_edges(
+        _load(spark, sf_dir, "orders"), _FSEG_A_KEY, _FSEG_B_KEY, "eid",
+        id_expr="o_orderkey",
+    )
+    return face_segments(edges)
+
+
 def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2HausdorffDistanceQuery per shape pair
     (s2hausdorff_distance_query.h:30-90): discrete directed Hausdorff
@@ -3037,7 +3059,9 @@ def q_ann_topk_sq8(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- new in r4 session 3: never driver-checked, so first ---
+        # --- new in r4 session 4: never driver-checked, so first ---
+        "face_segments": q_face_segments,
+        # --- new in r4 session 3: never driver-checked ---
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
         "asof_join": q_asof_join,
@@ -3235,6 +3259,14 @@ def _edge_cte_sql(name, table, key, key2, idsel, pfx):
 )"""
 
 
+def _face_segments_oracle() -> str:
+    from s2geometry_spark.operators.faceclip import face_segments_oracle_sql
+
+    return face_segments_oracle_sql(
+        "orders", _FSEG_A_KEY, _FSEG_B_KEY, "o_orderkey"
+    )
+
+
 def _knn_edges_oracle() -> str:
     """Brute-force closest-edge oracle: cross join of customer query
     points x orders edges, pinned point-to-arc chord^2, window top-k."""
@@ -3398,6 +3430,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "polyline_nearly_covers": _polyline_nearly_covers_oracle(),
         "builder_sites": _builder_sites_oracle(),
         "chain_pair_distance": _chain_pair_distance_oracle(),
+        "face_segments": _face_segments_oracle(),
         "hausdorff_pairs": _hausdorff_pairs_oracle(),
         "edge_crossings_all": _edge_crossings_all_oracle(),
         "loop_validate": _loop_validate_oracle(),

@@ -1,0 +1,279 @@
+"""Edge -> cube-face clipping: the GetFaceSegments face walk.
+
+Vectorized NumPy re-implementation of the published algorithm in
+s2edge_clipping.cc:33-258 (IntersectsFace, IntersectsOppositeEdges,
+GetExitAxis, GetExitPoint, MoveOriginToValidFace, GetNextFace,
+GetFaceSegments): given a directed geodesic edge AB, produce the chain
+of (face, (u,v) segment) pieces that exactly covers the edge across
+the 6 cube faces.  This is the primitive every shape-index build uses
+to assign edges to cells; here it powers a distributed
+edge-to-face-segment query.
+
+Every operation is plain IEEE double +,-,*,/ plus exact comparisons
+(the reference's SumEquals trick at s2edge_clipping.cc:64-98 is pure
+FP compares), so the DuckDB oracle replaying the same unrolled walk is
+bit-identical.  The only sqrt lives in MoveOriginToValidFace's
+tangent test (s2edge_clipping.cc:161), also correctly rounded.
+
+The line AB is defined by its RobustCrossProd normal; we pin the main
+path (a-b)x(a+b) (s2edge_crossings.cc:147-176 GetStableCrossProd) and
+the fixture filters out the near-degenerate pairs that would need the
+extended-precision fallback (norm^2 > NORM2_MIN, replayed identically
+in the oracle SQL so both engines drop the same rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .coords import (
+    FACE_UVW_FACES,
+    face_uv_to_xyz,
+    valid_face_xyz_to_uv,
+    xyz_to_face_uv,
+)
+
+# s2edge_clipping.h:99-101
+K_FACE_CLIP_ERROR_RADIANS = 3 * np.finfo(np.float64).eps
+K_FACE_CLIP_ERROR_UV_COORD = 9 * (2.0 ** -0.5) * np.finfo(np.float64).eps
+
+# fixture contract: RobustCrossProd main-path only (see module docstring)
+NORM2_MIN = 1e-14
+
+# a directed arc < pi crosses at most 5 faces; unroll bound shared with
+# the SQL oracle (engine asserts it loudly rather than truncating)
+MAX_SEGMENTS = 6
+
+
+def face_xyz_to_uvw(face, x, y, z):
+    """FaceXYZtoUVW (s2coords.cc:27-40): signed permutation per face."""
+    face = np.asarray(face, np.int64)
+    us = np.stack([y, -x, -x, -z, -z, y])
+    vs = np.stack([z, z, -y, -y, x, x])
+    ws = np.stack([x, y, z, -x, -y, -z])
+    take = np.arange(face.size)
+    shape = face.shape
+    f = face.ravel()
+    return (
+        us.reshape(6, -1)[f, take].reshape(shape),
+        vs.reshape(6, -1)[f, take].reshape(shape),
+        ws.reshape(6, -1)[f, take].reshape(shape),
+    )
+
+
+def robust_cross_prod(ax, ay, az, bx, by, bz):
+    """RobustCrossProd main path (a-b)x(a+b), pinned component order
+    (s2edge_crossings.cc GetStableCrossProd)."""
+    dx, dy, dz = ax - bx, ay - by, az - bz
+    sx, sy, sz = ax + bx, ay + by, az + bz
+    return dy * sz - dz * sy, dz * sx - dx * sz, dx * sy - dy * sx
+
+
+def intersects_face(nx, ny, nz):
+    """IntersectsFace (s2edge_clipping.cc:71-82): exact |Nu|+|Nv| >= |Nw|."""
+    u, v, w = np.abs(nx), np.abs(ny), np.abs(nz)
+    return (v >= w - u) & (u >= w - v)
+
+
+def intersects_opposite_edges(nx, ny, nz):
+    """IntersectsOppositeEdges (s2edge_clipping.cc:88-99): exact
+    ||Nu|-|Nv|| >= |Nw|."""
+    u, v, w = np.abs(nx), np.abs(ny), np.abs(nz)
+    d = np.abs(u - v)
+    return np.where(d != w, d >= w, np.where(u >= v, u - w >= v, v - w >= u))
+
+
+def get_exit_axis(nx, ny, nz):
+    """GetExitAxis (s2edge_clipping.cc:106-122): 0 = exits a u=+-1 edge,
+    1 = exits a v=+-1 edge."""
+    opp = intersects_opposite_edges(nx, ny, nz)
+    axis_opp = np.where(np.abs(nx) >= np.abs(ny), 1, 0)
+    # reference uses signbit() here; `< 0` differs only at +-0, which the
+    # reference itself DCHECKs away (s2edge_clipping.cc:118) and the
+    # fixture's generic-position contract excludes — and DuckDB's
+    # signbit(-0.0) is broken, so both engines pin `< 0`.
+    parity = (nx < 0) ^ (ny < 0) ^ (nz < 0)
+    axis_adj = np.where(~parity, 1, 0)
+    return np.where(opp, axis_opp, axis_adj).astype(np.int64)
+
+
+def get_exit_point(nx, ny, nz, axis):
+    """GetExitPoint (s2edge_clipping.cc:127-135)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u0 = np.where(ny > 0, 1.0, -1.0)
+        v0 = (-u0 * nx - nz) / ny
+        v1 = np.where(nx < 0, 1.0, -1.0)
+        u1 = (-v1 * ny - nz) / nx
+    eu = np.where(axis == 0, u0, u1)
+    ev = np.where(axis == 0, v0, v1)
+    return eu, ev
+
+
+def _dot3(px, py, pz, qx, qy, qz):
+    return (px * qx + py * qy) + pz * qz
+
+
+def move_origin_to_valid_face(face, ax, ay, az, nx, ny, nz, au, av):
+    """MoveOriginToValidFace (s2edge_clipping.cc:147-178), vectorized.
+
+    (nx,ny,nz) is the line normal oriented AWAY from this endpoint's
+    travel direction convention: callers pass ab for the origin A and
+    -ab for the destination B, exactly as GetFaceSegments does."""
+    face = np.asarray(face, np.int64).copy()
+    au = np.asarray(au, np.float64).copy()
+    av = np.asarray(av, np.float64).copy()
+    fast = np.maximum(np.abs(au), np.abs(av)) <= 1 - K_FACE_CLIP_ERROR_UV_COORD
+    slow = ~fast
+    if slow.any():
+        fs, axs, ays, azs = face[slow], ax[slow], ay[slow], az[slow]
+        nxs, nys, nzs = nx[slow], ny[slow], nz[slow]
+        nu, nv, nw = face_xyz_to_uvw(fs, nxs, nys, nzs)
+        itf = intersects_face(nu, nv, nw)
+        exit_axis = get_exit_axis(nu, nv, nw)
+        eu, ev = get_exit_point(nu, nv, nw, exit_axis)
+        ex, ey, ez = face_uv_to_xyz(fs, eu, ev)
+        nrm = np.sqrt((nxs * nxs + nys * nys) + nzs * nzs)
+        ux, uy, uz = nxs / nrm, nys / nrm, nzs / nrm
+        # a_tangent = ab.Normalize().CrossProd(a), pinned order
+        tx = uy * azs - uz * ays
+        ty = uz * axs - ux * azs
+        tz = ux * ays - uy * axs
+        ok = itf & (
+            _dot3(ex - axs, ey - ays, ez - azs, tx, ty, tz)
+            >= -K_FACE_CLIP_ERROR_RADIANS
+        )
+        repro = ~ok
+        if repro.any():
+            aus, avs = au[slow], av[slow]
+            axis_r = np.where(np.abs(aus) >= np.abs(avs), 0, 1)
+            positive = np.where(axis_r == 0, aus > 0, avs > 0).astype(np.int64)
+            f2 = FACE_UVW_FACES[fs, axis_r, positive]
+            u2, v2 = valid_face_xyz_to_uv(f2, axs, ays, azs)
+            u2 = np.maximum(-1.0, np.minimum(1.0, u2))
+            v2 = np.maximum(-1.0, np.minimum(1.0, v2))
+            fs = np.where(repro, f2, fs)
+            new_au, new_av = au[slow], av[slow]
+            new_au = np.where(repro, u2, new_au)
+            new_av = np.where(repro, v2, new_av)
+            face[slow] = fs
+            au[slow] = new_au
+            av[slow] = new_av
+    return face, au, av
+
+
+def _sum_equals(u, v, w):
+    """SumEquals (s2edge_clipping.cc:65-67): u + v == w exactly."""
+    return (u + v == w) & (u == w - v) & (v == w - u)
+
+
+def get_next_face(face, eu, ev, axis, nu, nv, nw, target_face):
+    """GetNextFace (s2edge_clipping.cc:185-204)."""
+    other_val = np.where(axis == 0, ev, eu)
+    axis_val = np.where(axis == 0, eu, ev)
+    adj_other = FACE_UVW_FACES[face, 1 - axis, (other_val > 0).astype(np.int64)]
+    corner = (
+        (np.abs(other_val) == 1.0)
+        & (adj_other == target_face)
+        & _sum_equals(eu * nu, ev * nv, -nw)
+    )
+    adj_axis = FACE_UVW_FACES[face, axis, (axis_val > 0).astype(np.int64)]
+    return np.where(corner, target_face, adj_axis)
+
+
+def get_face_segments(ax, ay, az, bx, by, bz):
+    """GetFaceSegments (s2edge_clipping.cc:206-258), vectorized over a
+    batch of edges.  Returns (edge_idx, seg, face, a_u, a_v, b_u, b_v)
+    flat arrays; seg is 0-based along each edge's walk order."""
+    ax, ay, az = (np.asarray(c, np.float64) for c in (ax, ay, az))
+    bx, by, bz = (np.asarray(c, np.float64) for c in (bx, by, bz))
+    n = ax.size
+    a_face, a_u, a_v = xyz_to_face_uv(ax, ay, az)
+    b_face, b_u, b_v = xyz_to_face_uv(bx, by, bz)
+
+    out_idx: list[np.ndarray] = []
+    out_seg: list[np.ndarray] = []
+    out_face: list[np.ndarray] = []
+    out_au: list[np.ndarray] = []
+    out_av: list[np.ndarray] = []
+    out_bu: list[np.ndarray] = []
+    out_bv: list[np.ndarray] = []
+
+    same = a_face == b_face
+    if same.any():
+        idx = np.nonzero(same)[0]
+        out_idx.append(idx)
+        out_seg.append(np.zeros(idx.size, np.int64))
+        out_face.append(a_face[same])
+        out_au.append(a_u[same])
+        out_av.append(a_v[same])
+        out_bu.append(b_u[same])
+        out_bv.append(b_v[same])
+
+    multi = np.nonzero(~same)[0]
+    if multi.size:
+        axm, aym, azm = ax[multi], ay[multi], az[multi]
+        bxm, bym, bzm = bx[multi], by[multi], bz[multi]
+        nx, ny, nz = robust_cross_prod(axm, aym, azm, bxm, bym, bzm)
+        norm2 = _dot3(nx, ny, nz, nx, ny, nz)
+        if not (norm2 > NORM2_MIN).all():
+            raise ValueError(
+                "face_segments: edge pair below the RobustCrossProd "
+                "main-path contract (norm^2 <= NORM2_MIN); filter the "
+                "fixture with the same norm2 predicate as the oracle"
+            )
+        fa, ua, va = move_origin_to_valid_face(
+            a_face[multi], axm, aym, azm, nx, ny, nz, a_u[multi], a_v[multi]
+        )
+        fb, ub, vb = move_origin_to_valid_face(
+            b_face[multi], bxm, bym, bzm, -nx, -ny, -nz, b_u[multi], b_v[multi]
+        )
+        cur_face, cur_u, cur_v = fa, ua, va
+        seg_no = np.zeros(multi.size, np.int64)
+        for _round in range(MAX_SEGMENTS):
+            act = cur_face != fb
+            if not act.any():
+                break
+            f_act = cur_face[act]
+            nu, nv, nw = face_xyz_to_uvw(f_act, nx[act], ny[act], nz[act])
+            axis = get_exit_axis(nu, nv, nw)
+            eu, ev = get_exit_point(nu, nv, nw, axis)
+            out_idx.append(multi[act])
+            out_seg.append(seg_no[act])
+            out_face.append(f_act)
+            out_au.append(cur_u[act])
+            out_av.append(cur_v[act])
+            out_bu.append(eu)
+            out_bv.append(ev)
+            ex, ey, ez = face_uv_to_xyz(f_act, eu, ev)
+            nf = get_next_face(f_act, eu, ev, axis, nu, nv, nw, fb[act])
+            nu2, nv2, _ = face_xyz_to_uvw(nf, ex, ey, ez)
+            cur_face[act] = nf
+            cur_u[act] = nu2
+            cur_v[act] = nv2
+            seg_no[act] += 1
+        if (cur_face != fb).any():
+            raise AssertionError(
+                "face_segments walk exceeded MAX_SEGMENTS rounds"
+            )
+        out_idx.append(multi)
+        out_seg.append(seg_no)
+        out_face.append(fb)
+        out_au.append(cur_u)
+        out_av.append(cur_v)
+        out_bu.append(ub)
+        out_bv.append(vb)
+
+    if not out_idx:
+        z = np.zeros(0, np.int64)
+        zf = np.zeros(0, np.float64)
+        return z, z, z, zf, zf, zf, zf
+    idx = np.concatenate(out_idx)
+    return (
+        idx,
+        np.concatenate(out_seg),
+        np.concatenate(out_face).astype(np.int64),
+        np.concatenate(out_au),
+        np.concatenate(out_av),
+        np.concatenate(out_bu),
+        np.concatenate(out_bv),
+    )

@@ -1,0 +1,134 @@
+"""GetFaceSegments: kernel properties + Spark/DuckDB bit-parity.
+
+Reference semantics: s2edge_clipping.cc:206-258 (see
+kernels/faceclip.py).  The walk's invariants — the reference's own
+documented guarantees (s2edge_clipping.h:50-66) — are checked directly:
+the segments form a continuous chain from A to B, every vertex lies on
+the great circle AB, and each segment stays within its face's
+[-1,1]x[-1,1] UV square (modulo kFaceClipError slop).
+"""
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernels.coords import face_uv_to_xyz, xyz_to_face_uv
+from s2geometry_spark.kernels.faceclip import (
+    _dot3,
+    get_face_segments,
+    robust_cross_prod,
+)
+from tests.conftest import SF_ORACLE, compare_frames
+
+
+def _random_units(rng, n):
+    p = rng.normal(size=(n, 3))
+    return p / np.linalg.norm(p, axis=1, keepdims=True)
+
+
+def _segments(n=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    a, b = _random_units(rng, n), _random_units(rng, n)
+    return a, b, get_face_segments(
+        a[:, 0], a[:, 1], a[:, 2], b[:, 0], b[:, 1], b[:, 2]
+    )
+
+
+def test_chain_endpoints_and_order():
+    a, b, (idx, seg, face, au, av, bu, bv) = _segments()
+    order = np.lexsort((seg, idx))
+    idx, seg, face = idx[order], seg[order], face[order]
+    au, av, bu, bv = au[order], av[order], bu[order], bv[order]
+    first = np.r_[True, idx[1:] != idx[:-1]]
+    last = np.r_[idx[1:] != idx[:-1], True]
+    af, auu, avv = xyz_to_face_uv(a[:, 0], a[:, 1], a[:, 2])
+    bf, buu, bvv = xyz_to_face_uv(b[:, 0], b[:, 1], b[:, 2])
+    # MoveOrigin may (rarely) shift an endpoint's face; the UV match
+    # below holds whenever it did not fire, which is all random draws
+    np.testing.assert_array_equal(face[first], af[idx[first]])
+    np.testing.assert_array_equal(au[first], auu[idx[first]])
+    np.testing.assert_array_equal(av[first], avv[idx[first]])
+    np.testing.assert_array_equal(face[last], bf[idx[last]])
+    np.testing.assert_array_equal(bu[last], buu[idx[last]])
+    np.testing.assert_array_equal(bv[last], bvv[idx[last]])
+    # seg numbering is 0..k-1 per edge
+    assert seg[first].max() == 0
+    counts = np.bincount(idx)
+    assert (seg[last] == counts[idx[last]] - 1).all()
+    assert 1 <= counts.max() <= 5
+
+
+def test_chain_continuity_exact():
+    _, _, (idx, seg, face, au, av, bu, bv) = _segments()
+    order = np.lexsort((seg, idx))
+    idx, face = idx[order], face[order]
+    au, av, bu, bv = au[order], av[order], bu[order], bv[order]
+    last = np.r_[idx[1:] != idx[:-1], True]
+    first = np.r_[True, idx[1:] != idx[:-1]]
+    # exit xyz of segment k == entry xyz of segment k+1, bit-exact
+    ex, ey, ez = face_uv_to_xyz(face[~last], bu[~last], bv[~last])
+    sx, sy, sz = face_uv_to_xyz(face[~first], au[~first], av[~first])
+    exn = np.stack([ex, ey, ez])
+    exn = exn / np.linalg.norm(exn, axis=0)
+    sxn = np.stack([sx, sy, sz])
+    sxn = sxn / np.linalg.norm(sxn, axis=0)
+    assert np.abs(exn - sxn).max() == 0.0
+
+
+def test_vertices_on_great_circle_and_in_face():
+    a, b, (idx, seg, face, au, av, bu, bv) = _segments()
+    nx, ny, nz = robust_cross_prod(
+        a[idx, 0], a[idx, 1], a[idx, 2], b[idx, 0], b[idx, 1], b[idx, 2]
+    )
+    nn = np.sqrt(_dot3(nx, ny, nz, nx, ny, nz))
+    for uu, vv in [(au, av), (bu, bv)]:
+        px, py, pz = face_uv_to_xyz(face, uu, vv)
+        pn = np.sqrt(_dot3(px, py, pz, px, py, pz))
+        d = np.abs(_dot3(px / pn, py / pn, pz / pn, nx, ny, nz)) / nn
+        assert d.max() < 1e-16 * 10
+        assert max(np.abs(uu).max(), np.abs(vv).max()) <= 1 + 1e-12
+
+
+def test_boundary_points_walk_completes():
+    # endpoints exactly on face boundaries (u = +-1) exercise the
+    # MoveOriginToValidFace branch decisions without crashing the walk
+    diag = np.array(
+        [
+            [1.0, 1.0, 0.3],
+            [1.0, -1.0, 0.2],
+            [0.5, 1.0, 1.0],
+            [-1.0, 1.0, -1.0],
+        ]
+    )
+    a = diag / np.linalg.norm(diag, axis=1, keepdims=True)
+    b = _random_units(np.random.default_rng(11), 4)
+    idx, seg, face, au, av, bu, bv = get_face_segments(
+        a[:, 0], a[:, 1], a[:, 2], b[:, 0], b[:, 1], b[:, 2]
+    )
+    assert np.bincount(idx, minlength=4).min() >= 1
+    assert max(np.abs(au).max(), np.abs(bv).max()) <= 1 + 1e-12
+
+
+def test_empty_batch_schema(spark):
+    from s2geometry_spark.operators.faceclip import FSEG_SCHEMA, face_segments
+
+    edges = spark.createDataFrame(
+        [],
+        "eid long, ax double, ay double, az double, "
+        "bx double, by double, bz double",
+    )
+    out = face_segments(edges)
+    assert out.columns == [c.split()[0] for c in FSEG_SCHEMA.split(", ")]
+    assert out.count() == 0
+
+
+def test_spark_matches_duckdb(spark, duck):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_fseg", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sdf = mod.q_face_segments(spark, SF_ORACLE)
+    rel = duck.sql(mod.oracle_sql()["face_segments"])
+    compare_frames(sdf, rel)
