@@ -2823,11 +2823,11 @@ def _sessions_oracle() -> str:
 def _bpe_oracle(kind: str) -> str:
     from s2geometry_spark.operators import bpe
 
-    return (
-        bpe.bpe_merges_oracle_sql()
-        if kind == "merges"
-        else bpe.bpe_vocab_oracle_sql()
-    )
+    if kind == "merges":
+        return bpe.bpe_merges_oracle_sql()
+    if kind == "encode":
+        return bpe.bpe_encode_oracle_sql()
+    return bpe.bpe_vocab_oracle_sql()
 
 
 def _temporal_oracle(kind: str) -> str:
@@ -2914,6 +2914,16 @@ def q_text_pii(spark, sf_dir):
     from s2geometry_spark.operators.pii import pii_scrub
 
     return pii_scrub(_docs(spark, sf_dir))
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLY: encode every document with the learned
+    merges (rank-order application == the training segmentation), via a
+    broadcast vocabulary join + one per-doc agg.  stream_md5 certifies
+    the full ordered token stream of every doc against the oracle."""
+    from s2geometry_spark.operators import bpe
+
+    return bpe.bpe_encode_df(_docs(spark, sf_dir))
 
 
 def q_bpe_merges(spark, sf_dir):
@@ -3061,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 4: never driver-checked, so first ---
         "face_segments": q_face_segments,
+        "bpe_encode": q_bpe_encode,
         # --- new in r4 session 3: never driver-checked ---
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -3476,6 +3487,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "sessionize": _sessions_oracle(),
         "bpe_merges": _bpe_oracle("merges"),
         "bpe_vocab": _bpe_oracle("vocab"),
+        "bpe_encode": _bpe_oracle("encode"),
         "asof_join": _temporal_oracle("asof"),
         "interval_join": _temporal_oracle("interval"),
         "streaming_interval_join": _temporal_oracle("interval"),

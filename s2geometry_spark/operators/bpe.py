@@ -170,6 +170,78 @@ def bpe_vocab_df(docs: DataFrame, n_merges: int = N_MERGES_DEFAULT) -> DataFrame
     return syms
 
 
+def bpe_encode_df(docs: DataFrame, n_merges: int = N_MERGES_DEFAULT) -> DataFrame:
+    """Tokenize every document with the learned merges: (doc_id,
+    n_words, n_tokens, stream_md5).
+
+    BPE encoding applies the merges in rank order to each word — which
+    is exactly what the training rounds already did to the vocabulary —
+    so encode = a broadcast join of the corpus word stream against the
+    final segmented vocabulary.  That IS the 100-TB serving shape:
+    train on the (small) vocabulary, broadcast the per-word
+    segmentations, tokenize the corpus with one map-side join + one
+    per-doc agg.  ``stream_md5`` hashes the full ordered token stream,
+    so the oracle match certifies every token of every document, not
+    just the counts.  (OOV words cannot occur here since the vocabulary
+    is trained on the same corpus; a serving pipeline would run the
+    same merge loop per unseen word.)"""
+    _, syms = bpe_train(docs, n_merges)
+    word_tok = syms.groupBy("word").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s.sym,
+            ),
+            " ",
+        ).alias("toks"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("wpos", "word"),
+    )
+    joined = words.join(F.broadcast(word_tok), "word")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "toks"))),
+                    lambda s: s.toks,
+                ),
+                " ",
+            )
+        ).alias("stream_md5"),
+    )
+
+
+def bpe_encode_oracle_sql(n_merges: int = N_MERGES_DEFAULT) -> str:
+    """DuckDB replay: train chain -> per-word token strings -> per-doc
+    ordered stream md5."""
+    return (
+        _bpe_cte_chain(n_merges)
+        + f""",
+wt AS MATERIALIZED (
+  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS toks,
+         count(*) AS n_tok
+  FROM v{n_merges} GROUP BY word
+),
+dw AS (
+  -- no WITH ORDINALITY in this DuckDB: index the split list explicitly
+  SELECT doc_id, CAST(i AS BIGINT) AS wpos, parts[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       UNNEST(generate_series(1, len(parts))) AS t(i)
+)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wt.n_tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(wt.toks, ' ' ORDER BY dw.wpos)) AS stream_md5
+FROM dw JOIN wt USING (word)
+GROUP BY dw.doc_id"""
+    )
+
+
 def _round_ctes(r: int) -> str:
     """CTE chain for BPE round r: v{r-1} -> v{r} (+ b{r} best pair)."""
     p = r - 1

@@ -128,3 +128,40 @@ def test_bpe_oracle_on_handcrafted_corpus(spark, docs, tmp_path):
     v = v[sorted(v.columns)].reset_index(drop=True)
     ov = ov[sorted(ov.columns)].reset_index(drop=True)
     assert v.equals(ov)
+
+
+def test_bpe_encode_sequential_reference(spark, docs):
+    """Encoding via the segmented-vocab join must reproduce the
+    sequential reference's per-word tokenization, token counts, and
+    the exact ordered stream, word by word."""
+    import hashlib
+
+    from s2geometry_spark.operators.bpe import bpe_encode_df
+
+    n = 8
+    out = {r.doc_id: r for r in bpe_encode_df(docs, n).collect()}
+    _, ref_vocab = _ref_bpe(_word_counts(), n)
+    for i, t in enumerate(CORPUS):
+        words = t.split(" ")
+        toks = [" ".join(ref_vocab[w]) for w in words]
+        stream = " ".join(toks)
+        r = out[i]
+        assert r.n_words == len(words)
+        assert r.n_tokens == sum(len(ref_vocab[w]) for w in words)
+        assert r.stream_md5 == hashlib.md5(stream.encode()).hexdigest()
+
+
+def test_bpe_encode_oracle_on_handcrafted_corpus(spark, docs, tmp_path):
+    import duckdb
+
+    from s2geometry_spark.operators.bpe import bpe_encode_df, bpe_encode_oracle_sql
+
+    pq = str(tmp_path / "docs_enc.parquet")
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    e = bpe_encode_df(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    oe = con.sql(bpe_encode_oracle_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    e = e[sorted(e.columns)]
+    oe = oe[sorted(oe.columns)]
+    assert e.equals(oe)
