@@ -250,6 +250,33 @@ def _polygon_index() -> RegionIndex:
     return RegionIndex(regions)
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: the spatial groupBy every geo-analytics user
+    runs — per-polygon count / sum / min / max over the attribute of
+    every contained point.  Composition: the pip containment join
+    (term-indexer broadcast + parity refinement) feeding a hash agg on
+    poly_id; values are integer cents (floor(price*100+0.5)) so the
+    distributed sum is partition-order-invariant and bit-exact."""
+    pts = _order_points_xyz(spark, sf_dir)
+    hits = contains_join(spark, pts, _pip_index()).select("pid", "poly_id")
+    vals = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pid"),
+        F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        hits.join(vals, "pid")
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("pid").alias("min_pid"),
+            F.max("pid").alias("max_pid"),
+        )
+    )
+
+
 def q_pip_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment join against polygons WITH HOLES (annuli): same term
     join; refinement XORs the per-loop crossing parities."""
@@ -3072,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 4: never driver-checked, so first ---
         "face_segments": q_face_segments,
         "bpe_encode": q_bpe_encode,
+        "zonal_stats": q_zonal_stats,
         # --- new in r4 session 3: never driver-checked ---
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -3353,6 +3381,29 @@ def oracle_sql() -> dict[str, str]:
         )
         for rid, (lat, lng, r, n) in PIP_LOOPS.items()
     )
+    zonal_cte = oracle.xyz_sql_cte(
+        "orders",
+        "o_orderkey",
+        keep_cols=(
+            "o_orderkey AS pid, "
+            "CAST(floor(o_totalprice*100 + 5e-1) AS BIGINT) AS cents"
+        ),
+        prefix="zn",
+    )
+    zonal_parts = " UNION ALL ".join(
+        f"SELECT pid, cents, '{rid}' AS poly_id FROM znxyz WHERE "
+        + oracle.convex_loop_predicate_sql(
+            Loop.make_regular(lat, lng, r, n).vertices
+        )
+        for rid, (lat, lng, r, n) in PIP_LOOPS.items()
+    )
+    zonal_sql = f"""WITH {zonal_cte}
+SELECT poly_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(pid) AS BIGINT) AS min_pid,
+       CAST(max(pid) AS BIGINT) AS max_pid
+FROM ({zonal_parts}) GROUP BY poly_id"""
     cap_parts = " UNION ALL ".join(
         f"SELECT pid, '{rid}' AS poly_id FROM xyz WHERE "
         + oracle.cap_predicate_sql(cap.center, cap.radius2)
@@ -3550,6 +3601,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "tile_rollup": _leaf_sql(rollup_parts),
         "tile_sample": _tile_sample_oracle(),
+        "zonal_stats": zonal_sql,
         "pip_join": f"WITH {xyz_cte} {pip_parts}",
         "pip_polygon_holes": f"WITH {xyz_cte} {poly_parts}",
         "cap_join": f"WITH {xyz_cte} {cap_parts}",
