@@ -1128,6 +1128,27 @@ def q_face_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return face_segments(edges)
 
 
+_CLIP_A_KEY = "o_orderkey*29+11"
+_CLIP_B_KEY = "o_orderkey*71+23"
+_CLIP_PADDING = 0.05
+
+
+def q_edge_clip_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClipToPaddedFace (s2edge_clipping.cc:323-362) over every
+    (edge, face) pair: the per-face padded clip a distributed
+    shape-index build performs when assigning edges to cells.  A
+    constant 6x map-side fan-out inside the Arrow batch — no join, no
+    shuffle; at padding 0 the hit set provably equals the
+    face_segments walk (tests/test_faceclip.py)."""
+    from s2geometry_spark.operators.faceclip import clip_to_faces, long_edges
+
+    edges = long_edges(
+        _load(spark, sf_dir, "orders"), _CLIP_A_KEY, _CLIP_B_KEY, "eid",
+        id_expr="o_orderkey",
+    )
+    return clip_to_faces(edges, _CLIP_PADDING)
+
+
 def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2HausdorffDistanceQuery per shape pair
     (s2hausdorff_distance_query.h:30-90): discrete directed Hausdorff
@@ -3098,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 4: never driver-checked, so first ---
         "face_segments": q_face_segments,
+        "edge_clip_faces": q_edge_clip_faces,
         "bpe_encode": q_bpe_encode,
         "zonal_stats": q_zonal_stats,
         # --- new in r4 session 3: never driver-checked ---
@@ -3306,6 +3328,14 @@ def _face_segments_oracle() -> str:
     )
 
 
+def _edge_clip_faces_oracle() -> str:
+    from s2geometry_spark.operators.faceclip import clip_to_faces_oracle_sql
+
+    return clip_to_faces_oracle_sql(
+        "orders", _CLIP_A_KEY, _CLIP_B_KEY, _CLIP_PADDING, "o_orderkey"
+    )
+
+
 def _knn_edges_oracle() -> str:
     """Brute-force closest-edge oracle: cross join of customer query
     points x orders edges, pinned point-to-arc chord^2, window top-k."""
@@ -3493,6 +3523,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "builder_sites": _builder_sites_oracle(),
         "chain_pair_distance": _chain_pair_distance_oracle(),
         "face_segments": _face_segments_oracle(),
+        "edge_clip_faces": _edge_clip_faces_oracle(),
         "hausdorff_pairs": _hausdorff_pairs_oracle(),
         "edge_crossings_all": _edge_crossings_all_oracle(),
         "loop_validate": _loop_validate_oracle(),

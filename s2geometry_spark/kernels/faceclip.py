@@ -29,6 +29,7 @@ import numpy as np
 from .coords import (
     FACE_UVW_FACES,
     face_uv_to_xyz,
+    get_face,
     valid_face_xyz_to_uv,
     xyz_to_face_uv,
 )
@@ -178,6 +179,71 @@ def get_next_face(face, eu, ev, axis, nu, nv, nw, target_face):
     )
     adj_axis = FACE_UVW_FACES[face, axis, (axis_val > 0).astype(np.int64)]
     return np.where(corner, target_face, adj_axis)
+
+
+def _clip_destination(
+    au, av, aw, bu, bv, bw, snu, snv, snw, a_tan, b_tan, scale_uv
+):
+    """ClipDestination (s2edge_clipping.cc:271-321), vectorized: clip
+    endpoint B=(bu,bv,bw) of segment AB on the face implied by the UVW
+    frame.  Returns (score, u, v)."""
+    k_max_safe = 1 - K_FACE_CLIP_ERROR_UV_COORD
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pu = bu / bw
+        pv = bv / bw
+    proj_ok = (bw > 0) & (np.maximum(np.abs(pu), np.abs(pv)) <= k_max_safe)
+    axis = get_exit_axis(snu, snv, snw)
+    eu, ev = get_exit_point(snu, snv, snw, axis)
+    xu = scale_uv * eu
+    xv = scale_uv * ev
+    # p = (xu, xv, 1); tangent dot products with pinned order
+    atx, aty, atz = a_tan
+    btx, bty, btz = b_tan
+    wrong_a = _dot3(xu - au, xv - av, 1.0 - aw, atx, aty, atz) < 0
+    wrong_b = _dot3(xu - bu, xv - bv, 1.0 - bw, btx, bty, btz) < 0
+    score = np.where(wrong_a, 2, np.where(wrong_b, 1, 0)).astype(np.int64)
+    fallback = (score > 0) & (bw > 0)
+    score = np.where((score > 0) & (bw <= 0), 3, score)
+    u = np.where(proj_ok, pu, np.where(fallback, pu, xu))
+    v = np.where(proj_ok, pv, np.where(fallback, pv, xv))
+    score = np.where(proj_ok, 0, score)
+    return score, u, v
+
+
+def clip_to_padded_face(face, ax, ay, az, bx, by, bz, padding):
+    """ClipToPaddedFace (s2edge_clipping.cc:323-362), vectorized over
+    (edge, face) rows.  Returns (hit, au, av, bu, bv)."""
+    face = np.asarray(face, np.int64)
+    fa = get_face(ax, ay, az)
+    fb = get_face(bx, by, bz)
+    fast = (fa == face) & (fb == face)
+    nx, ny, nz = robust_cross_prod(ax, ay, az, bx, by, bz)
+    nu, nv, nw = face_xyz_to_uvw(face, nx, ny, nz)
+    au3, av3, aw3 = face_xyz_to_uvw(face, ax, ay, az)
+    bu3, bv3, bw3 = face_xyz_to_uvw(face, bx, by, bz)
+    scale_uv = 1 + padding
+    snu, snv, snw = scale_uv * nu, scale_uv * nv, nw
+    itf = intersects_face(snu, snv, snw)
+    nrm = np.sqrt((nu * nu + nv * nv) + nw * nw)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        hu, hv, hw = nu / nrm, nv / nrm, nw / nrm
+        # a_tangent = n_hat x a ; b_tangent = b x n_hat (pinned order)
+        a_tan = (hv * aw3 - hw * av3, hw * au3 - hu * aw3, hu * av3 - hv * au3)
+        b_tan = (bv3 * hw - bw3 * hv, bw3 * hu - bu3 * hw, bu3 * hv - bv3 * hu)
+        a_score, cau, cav = _clip_destination(
+            bu3, bv3, bw3, au3, av3, aw3, -snu, -snv, -snw, b_tan, a_tan, scale_uv
+        )
+        b_score, cbu, cbv = _clip_destination(
+            au3, av3, aw3, bu3, bv3, bw3, snu, snv, snw, a_tan, b_tan, scale_uv
+        )
+        pau, pav = au3 / aw3, av3 / aw3
+        pbu, pbv = bu3 / bw3, bv3 / bw3
+    hit = fast | (itf & (a_score + b_score < 3))
+    out_au = np.where(fast, pau, cau)
+    out_av = np.where(fast, pav, cav)
+    out_bu = np.where(fast, pbu, cbu)
+    out_bv = np.where(fast, pbv, cbv)
+    return hit, out_au, out_av, out_bu, out_bv
 
 
 def get_face_segments(ax, ay, az, bx, by, bz):

@@ -129,6 +129,54 @@ def face_segments(edges: DataFrame, id_col: str = "eid") -> DataFrame:
     return edges.mapInPandas(batches, FSEG_SCHEMA)
 
 
+def clip_to_faces(edges: DataFrame, padding: float, id_col: str = "eid") -> DataFrame:
+    """(eid, face, au, av, bu, bv): ClipToPaddedFace over every
+    (edge, face) pair — the per-face clip the shape-index cell
+    assignment performs, as a constant 6x map-side fan-out (no join,
+    no shuffle; the face tiling happens inside the Arrow batch)."""
+    import pandas as pd
+
+    from s2geometry_spark.kernels.faceclip import clip_to_padded_face
+
+    def batches(it):
+        import numpy as np
+
+        cols = ("eid", "face", "au", "av", "bu", "bv")
+        for pdf in it:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype="int64" if c in ("eid", "face") else "float64") for c in cols}
+                )
+                continue
+            n = len(pdf)
+            E = np.repeat(np.arange(n), 6)
+            Fc = np.tile(np.arange(6, dtype=np.int64), n)
+            ax = pdf["ax"].to_numpy(np.float64)[E]
+            ay = pdf["ay"].to_numpy(np.float64)[E]
+            az = pdf["az"].to_numpy(np.float64)[E]
+            bx = pdf["bx"].to_numpy(np.float64)[E]
+            by = pdf["by"].to_numpy(np.float64)[E]
+            bz = pdf["bz"].to_numpy(np.float64)[E]
+            hit, au, av, bu, bv = clip_to_padded_face(
+                Fc, ax, ay, az, bx, by, bz, padding
+            )
+            eid = pdf[id_col].to_numpy(np.int64)[E]
+            yield pd.DataFrame(
+                {
+                    "eid": eid[hit],
+                    "face": Fc[hit],
+                    "au": au[hit],
+                    "av": av[hit],
+                    "bu": bu[hit],
+                    "bv": bv[hit],
+                }
+            )
+
+    return edges.mapInPandas(
+        batches, "eid long, face long, au double, av double, bu double, bv double"
+    )
+
+
 # ---------- DuckDB oracle (same walk, unrolled) ----------
 
 
@@ -380,26 +428,13 @@ wk{r} AS MATERIALIZED (
 )"""
 
 
-def face_segments_oracle_sql(
-    table: str, key: str, key2: str, id_expr: str | None = None
-) -> str:
-    """DuckDB replay of long_edges + face_segments: the walk unrolled
-    ``N_ROUNDS`` times with per-round UNION ALL emit arms."""
+def _edge_norm_ctes(table: str, key: str, key2: str, id_expr: str) -> str:
+    """Shared fixture replay: long_edges' unit endpoints + pinned
+    RobustCrossProd main path + the norm^2 generic-position filter.
+    Ends in CTE ``edges`` (eid, pax..pbz, nx, ny, nz)."""
     a = sql_xyz_exprs(key)
     b = sql_xyz_exprs(key2)
-    id_expr = id_expr or key
-    rounds = ",".join(_round_ctes(r, "wk0" if r == 1 else f"wk{r - 1}") for r in range(1, N_ROUNDS + 1))
-    walk_arms = "\n  UNION ALL\n".join(
-        f"SELECT eid, CAST({r - 1} AS BIGINT) AS seg, CAST(f{r} AS BIGINT) AS face, "
-        f"u{r} AS au, v{r} AS av, eu{r} AS bu, ev{r} AS bv FROM wk{r} WHERE act{r}"
-        for r in range(1, N_ROUNDS + 1)
-    )
-    final_seg = " + ".join(
-        f"(CASE WHEN act{r} THEN 1 ELSE 0 END)" for r in range(1, N_ROUNDS + 1)
-    )
-    last = N_ROUNDS + 1
-    return f"""
-WITH raw AS MATERIALIZED (
+    return f"""raw AS MATERIALIZED (
   SELECT CAST({id_expr} AS BIGINT) AS eid,
          {a["x0"]} AS ax0, {a["y0"]} AS ay0, {a["z0"]} AS az0,
          {b["x0"]} AS bx0, {b["y0"]} AS by0, {b["z0"]} AS bz0
@@ -428,7 +463,27 @@ norm AS MATERIALIZED (
 ),
 edges AS MATERIALIZED (
   SELECT * FROM norm WHERE (nx*nx + ny*ny) + nz*nz > 1e-14
-),
+)"""
+
+
+def face_segments_oracle_sql(
+    table: str, key: str, key2: str, id_expr: str | None = None
+) -> str:
+    """DuckDB replay of long_edges + face_segments: the walk unrolled
+    ``N_ROUNDS`` times with per-round UNION ALL emit arms."""
+    id_expr = id_expr or key
+    rounds = ",".join(_round_ctes(r, "wk0" if r == 1 else f"wk{r - 1}") for r in range(1, N_ROUNDS + 1))
+    walk_arms = "\n  UNION ALL\n".join(
+        f"SELECT eid, CAST({r - 1} AS BIGINT) AS seg, CAST(f{r} AS BIGINT) AS face, "
+        f"u{r} AS au, v{r} AS av, eu{r} AS bu, ev{r} AS bv FROM wk{r} WHERE act{r}"
+        for r in range(1, N_ROUNDS + 1)
+    )
+    final_seg = " + ".join(
+        f"(CASE WHEN act{r} THEN 1 ELSE 0 END)" for r in range(1, N_ROUNDS + 1)
+    )
+    last = N_ROUNDS + 1
+    return f"""
+WITH {_edge_norm_ctes(table, key, key2, id_expr)},
 fuv0 AS MATERIALIZED (
   SELECT *,
     {_get_face('pax', 'pay', 'paz')} AS af0,
@@ -469,4 +524,128 @@ UNION ALL
 SELECT eid, CAST({final_seg} AS BIGINT) AS seg, CAST(f{last} AS BIGINT) AS face,
        u{last} AS au, v{last} AS av, bus AS bu, bvs AS bv
 FROM wk{N_ROUNDS}
+"""
+
+
+def _clip_dest_ctes(
+    t: str,
+    src: str,
+    du: str, dv: str, dw: str,
+    fu: str, fv: str, fw: str,
+    su: str, sv: str, sw: str,
+    ftx: str, fty: str, ftz: str,
+    stx: str, sty: str, stz: str,
+    scale: str,
+) -> str:
+    """ClipDestination replay for one endpoint: clips destination
+    (du,dv,dw); (fu..fw)/(ft*) are the FIRST point and its tangent in
+    the reference's score test order, (su..sw)/(st*) the SECOND (the
+    destination itself); (su,sv,sw) args name confusion aside, the
+    scaled normal for this direction is (su_,sv_,sw_) — passed via
+    ``su/sv/sw``.  Ends in CTE cd_{t} adding {t}score/{t}u/{t}v."""
+    safe = _d(1 - K_FACE_CLIP_ERROR_UV_COORD)
+    return f"""
+cd_{t}1 AS MATERIALIZED (
+  SELECT *,
+    ({du})/({dw}) AS {t}pu, ({dv})/({dw}) AS {t}pv,
+    {_exit_axis(su, sv, sw)} AS {t}ax
+  FROM {src}
+),
+cd_{t}2 AS MATERIALIZED (
+  SELECT *,
+    (({dw}) > 0 AND greatest(abs({t}pu), abs({t}pv)) <= {safe}) AS {t}ok,
+    {scale} * (CASE WHEN {t}ax = 0 THEN (CASE WHEN {sv} > 0 THEN 1e0 ELSE -1e0 END)
+         ELSE (-(CASE WHEN {su} < 0 THEN 1e0 ELSE -1e0 END)*({sv}) - ({sw}))/({su}) END) AS {t}xu,
+    {scale} * (CASE WHEN {t}ax = 0 THEN (-(CASE WHEN {sv} > 0 THEN 1e0 ELSE -1e0 END)*({su}) - ({sw}))/({sv})
+         ELSE (CASE WHEN {su} < 0 THEN 1e0 ELSE -1e0 END) END) AS {t}xv
+  FROM cd_{t}1
+),
+cd_{t}3 AS MATERIALIZED (
+  SELECT *,
+    ((({t}xu - ({fu}))*({ftx}) + ({t}xv - ({fv}))*({fty})) + (1e0 - ({fw}))*({ftz}) < 0) AS {t}wf,
+    ((({t}xu - ({du}))*({stx}) + ({t}xv - ({dv}))*({sty})) + (1e0 - ({dw}))*({stz}) < 0) AS {t}ws
+  FROM cd_{t}2
+),
+cd_{t} AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN {t}ok THEN 0
+         WHEN coalesce({t}wf, FALSE) THEN (CASE WHEN ({dw}) <= 0 THEN 3 ELSE 2 END)
+         WHEN coalesce({t}ws, FALSE) THEN (CASE WHEN ({dw}) <= 0 THEN 3 ELSE 1 END)
+         ELSE 0 END AS {t}score,
+    CASE WHEN {t}ok THEN {t}pu
+         WHEN (coalesce({t}wf, FALSE) OR coalesce({t}ws, FALSE)) AND ({dw}) > 0 THEN {t}pu
+         ELSE {t}xu END AS {t}u,
+    CASE WHEN {t}ok THEN {t}pv
+         WHEN (coalesce({t}wf, FALSE) OR coalesce({t}ws, FALSE)) AND ({dw}) > 0 THEN {t}pv
+         ELSE {t}xv END AS {t}v
+  FROM cd_{t}3
+)"""
+
+
+def clip_to_faces_oracle_sql(
+    table: str, key: str, key2: str, padding: float, id_expr: str | None = None
+) -> str:
+    """DuckDB replay of long_edges + clip_to_faces: ClipToPaddedFace
+    (s2edge_clipping.cc:323-362) per (edge, face) pair."""
+    id_expr = id_expr or key
+    scale = _d(1 + padding)
+    return f"""
+WITH {_edge_norm_ctes(table, key, key2, id_expr)},
+ef AS MATERIALIZED (
+  SELECT e.*, t.f
+  FROM edges e CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5)) AS t(f)
+),
+gf AS MATERIALIZED (
+  SELECT *,
+    ({_get_face('pax', 'pay', 'paz')} = f AND {_get_face('pbx', 'pby', 'pbz')} = f) AS fastp
+  FROM ef
+),
+uv3 AS MATERIALIZED (
+  SELECT *,
+    {_uvw_u('f', 'pax', 'pay', 'paz')} AS au3,
+    {_uvw_v('f', 'pax', 'pay', 'paz')} AS av3,
+    {_uvw_w('f', 'pax', 'pay', 'paz')} AS aw3,
+    {_uvw_u('f', 'pbx', 'pby', 'pbz')} AS bu3,
+    {_uvw_v('f', 'pbx', 'pby', 'pbz')} AS bv3,
+    {_uvw_w('f', 'pbx', 'pby', 'pbz')} AS bw3,
+    {_uvw_u('f', 'nx', 'ny', 'nz')} AS nuu,
+    {_uvw_v('f', 'nx', 'ny', 'nz')} AS nvv,
+    {_uvw_w('f', 'nx', 'ny', 'nz')} AS nww
+  FROM gf
+),
+scn AS MATERIALIZED (
+  SELECT *, {scale} * nuu AS snu, {scale} * nvv AS snv, nww AS snw
+  FROM uv3
+),
+pre AS MATERIALIZED (
+  SELECT * FROM scn WHERE fastp OR {_itf('snu', 'snv', 'snw')}
+),
+nh AS MATERIALIZED (
+  SELECT *,
+    nuu / sqrt((nuu*nuu + nvv*nvv) + nww*nww) AS hu,
+    nvv / sqrt((nuu*nuu + nvv*nvv) + nww*nww) AS hv,
+    nww / sqrt((nuu*nuu + nvv*nvv) + nww*nww) AS hw
+  FROM pre
+),
+tn AS MATERIALIZED (
+  SELECT *,
+    hv*aw3 - hw*av3 AS atx, hw*au3 - hu*aw3 AS aty, hu*av3 - hv*au3 AS atz,
+    bv3*hw - bw3*hv AS btx, bw3*hu - bu3*hw AS bty, bu3*hv - bv3*hu AS btz
+  FROM nh
+),
+{_clip_dest_ctes('ca', 'tn',
+    'au3', 'av3', 'aw3', 'bu3', 'bv3', 'bw3',
+    '-(snu)', '-(snv)', '-(snw)',
+    'btx', 'bty', 'btz', 'atx', 'aty', 'atz', scale)},
+{_clip_dest_ctes('cb', 'cd_ca',
+    'bu3', 'bv3', 'bw3', 'au3', 'av3', 'aw3',
+    'snu', 'snv', 'snw',
+    'atx', 'aty', 'atz', 'btx', 'bty', 'btz', scale)}
+SELECT eid, CAST(f AS BIGINT) AS face,
+  CASE WHEN fastp THEN au3/aw3 ELSE cau END AS au,
+  CASE WHEN fastp THEN av3/aw3 ELSE cav END AS av,
+  CASE WHEN fastp THEN bu3/bw3 ELSE cbu END AS bu,
+  CASE WHEN fastp THEN bv3/bw3 ELSE cbv END AS bv
+FROM cd_cb
+WHERE fastp OR ({_itf('snu', 'snv', 'snw')} AND cascore + cbscore < 3)
 """

@@ -132,3 +132,55 @@ def test_spark_matches_duckdb(spark, duck):
     sdf = mod.q_face_segments(spark, SF_ORACLE)
     rel = duck.sql(mod.oracle_sql()["face_segments"])
     compare_frames(sdf, rel)
+
+
+def test_clip_padding_zero_equals_walk():
+    """At padding 0, ClipToPaddedFace's hit set and clipped UVs must
+    equal the GetFaceSegments walk exactly (both sides of
+    s2edge_clipping.cc agree on interior crossings)."""
+    from s2geometry_spark.kernels.faceclip import clip_to_padded_face
+
+    a, b, (idx, seg, face, au, av, bu, bv) = _segments(n=3000, seed=17)
+    n = a.shape[0]
+    E = np.repeat(np.arange(n), 6)
+    Fc = np.tile(np.arange(6, dtype=np.int64), n)
+    hit, cau, cav, cbu, cbv = clip_to_padded_face(
+        Fc, a[E, 0], a[E, 1], a[E, 2], b[E, 0], b[E, 1], b[E, 2], 0.0
+    )
+    walk = set(zip(idx.tolist(), face.tolist()))
+    clip = set(zip(E[hit].tolist(), Fc[hit].tolist()))
+    assert walk == clip
+    pos = {(e, f): i for i, (e, f) in enumerate(zip(E[hit], Fc[hit]))}
+    sel = np.array([pos[(e, f)] for e, f in zip(idx, face)])
+    assert np.array_equal(cau[hit][sel], au)
+    assert np.array_equal(cav[hit][sel], av)
+    assert np.array_equal(cbu[hit][sel], bu)
+    assert np.array_equal(cbv[hit][sel], bv)
+
+
+def test_clip_padding_monotone():
+    from s2geometry_spark.kernels.faceclip import clip_to_padded_face
+
+    rng = np.random.default_rng(23)
+    a, b = _random_units(rng, 2000), _random_units(rng, 2000)
+    E = np.repeat(np.arange(2000), 6)
+    Fc = np.tile(np.arange(6, dtype=np.int64), 2000)
+    args = (Fc, a[E, 0], a[E, 1], a[E, 2], b[E, 0], b[E, 1], b[E, 2])
+    h0, *_ = clip_to_padded_face(*args, 0.0)
+    h1, *_ = clip_to_padded_face(*args, 0.05)
+    h2, *_ = clip_to_padded_face(*args, 0.2)
+    assert not (h0 & ~h1).any() and not (h1 & ~h2).any()
+    assert h1.sum() > h0.sum()
+
+
+def test_edge_clip_faces_matches_duckdb(spark, duck):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_clip", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sdf = mod.q_edge_clip_faces(spark, SF_ORACLE)
+    rel = duck.sql(mod.oracle_sql()["edge_clip_faces"])
+    compare_frames(sdf, rel)
