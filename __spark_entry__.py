@@ -2910,6 +2910,17 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_load(spark, sf_dir, "events"))
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Streaming twin of sessionize (§2.9): native session_window
+    aggregation over the events file stream, complete mode into a
+    memory sink, session_seq assigned by a batch row_number over the
+    finished sink.  Oracle = the batch sessionize SQL verbatim, so
+    stream-vs-batch session equivalence is a driver-checked oracle row."""
+    from s2geometry_spark.streaming.sessions import streaming_sessionize
+
+    return streaming_sessionize(spark, sf_dir)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (each click to the latest at-or-before view of the
     same user) — the brief's canonical custom temporal operator.  NOT a
@@ -3122,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_clip_faces": q_edge_clip_faces,
         "bpe_encode": q_bpe_encode,
         "zonal_stats": q_zonal_stats,
+        "streaming_sessionize": q_streaming_sessionize,
         # --- new in r4 session 3: never driver-checked ---
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -3567,6 +3579,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "range_pairs": _range_pairs_oracle(),
         "dbscan": _dbscan_oracle(),
         "sessionize": _sessions_oracle(),
+        "streaming_sessionize": _sessions_oracle(),
         "bpe_merges": _bpe_oracle("merges"),
         "bpe_vocab": _bpe_oracle("vocab"),
         "bpe_encode": _bpe_oracle("encode"),

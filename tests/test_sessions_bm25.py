@@ -130,3 +130,36 @@ class TestBM25:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestStreamingSessionize:
+    def test_no_exact_gap_deltas_fixture_contract(self):
+        """session_window splits at delta == gap where the batch rule
+        keeps the session; the equivalence claimed by
+        streaming_sessionize requires the fixture to have no exact-gap
+        delta (checked at every SF the driver uses)."""
+        gap_us = 30 * 60 * 1000000
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            n = duckdb.sql(
+                f"""
+                WITH e AS (SELECT user_id, epoch_us(ts) AS us
+                           FROM read_parquet('/root/testdata/{sf}/events.parquet')),
+                d AS (SELECT us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS delta FROM e)
+                SELECT count(*) FROM d WHERE delta = {gap_us}
+                """
+            ).fetchone()[0]
+            assert n == 0, f"{sf}: {n} exact-gap deltas break the equivalence"
+
+    def test_stream_equals_batch(self, spark):
+        from s2geometry_spark.streaming.sessions import streaming_sessionize
+        from tests.conftest import SF_TEST
+
+        events = spark.read.parquet(f"{SF_TEST}/events.parquet")
+        b = sessionize(events).toPandas().sort_values(
+            ["user_id", "session_seq"]
+        ).reset_index(drop=True)
+        s = streaming_sessionize(spark, SF_TEST).toPandas().sort_values(
+            ["user_id", "session_seq"]
+        ).reset_index(drop=True)
+        cols = sorted(b.columns)
+        assert b[cols].equals(s[cols])
