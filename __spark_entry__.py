@@ -1128,6 +1128,25 @@ def q_face_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return face_segments(edges)
 
 
+_EDGE_CELLS_LEVEL = 3
+
+
+def q_edge_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge -> level-3 grid-cell assignment (the flat-grid form of the
+    shape-index cell assignment): GetFaceSegments + per-segment bbox
+    candidates + IntersectsRect refinement (s2edge_clipping.cc:364-380)
+    inside ONE stateless mapInPandas over the same long-geodesic fixture
+    as face_segments.  The emitted (face, ci, cj) keys are the equi-join
+    keys a distributed edge-crossing join shuffles on."""
+    from s2geometry_spark.operators.faceclip import edge_cells, long_edges
+
+    edges = long_edges(
+        _load(spark, sf_dir, "orders"), _FSEG_A_KEY, _FSEG_B_KEY, "eid",
+        id_expr="o_orderkey",
+    )
+    return edge_cells(edges, _EDGE_CELLS_LEVEL)
+
+
 _CLIP_A_KEY = "o_orderkey*29+11"
 _CLIP_B_KEY = "o_orderkey*71+23"
 _CLIP_PADDING = 0.05
@@ -3131,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 4: never driver-checked, so first ---
         "face_segments": q_face_segments,
         "edge_clip_faces": q_edge_clip_faces,
+        "edge_cells": q_edge_cells,
         "bpe_encode": q_bpe_encode,
         "zonal_stats": q_zonal_stats,
         "streaming_sessionize": q_streaming_sessionize,
@@ -3348,6 +3368,14 @@ def _edge_clip_faces_oracle() -> str:
     )
 
 
+def _edge_cells_oracle() -> str:
+    from s2geometry_spark.operators.faceclip import edge_cells_oracle_sql
+
+    return edge_cells_oracle_sql(
+        "orders", _FSEG_A_KEY, _FSEG_B_KEY, _EDGE_CELLS_LEVEL, "o_orderkey"
+    )
+
+
 def _knn_edges_oracle() -> str:
     """Brute-force closest-edge oracle: cross join of customer query
     points x orders edges, pinned point-to-arc chord^2, window top-k."""
@@ -3536,6 +3564,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "chain_pair_distance": _chain_pair_distance_oracle(),
         "face_segments": _face_segments_oracle(),
         "edge_clip_faces": _edge_clip_faces_oracle(),
+        "edge_cells": _edge_cells_oracle(),
         "hausdorff_pairs": _hausdorff_pairs_oracle(),
         "edge_crossings_all": _edge_crossings_all_oracle(),
         "loop_validate": _loop_validate_oracle(),

@@ -246,6 +246,84 @@ def clip_to_padded_face(face, ax, ay, az, bx, by, bz, padding):
     return hit, out_au, out_av, out_bu, out_bv
 
 
+def intersects_rect(au, av, bu, bv, ulo, uhi, vlo, vhi):
+    """IntersectsRect (s2edge_clipping.cc:364-380): does the 2D segment
+    (a,b) intersect the closed rect [ulo,uhi]x[vlo,vhi]?  Exact-FP
+    replay: bound check, then the two extreme rect vertices against the
+    edge normal (b-a).Ortho() = (-(dy), dx)."""
+    blo_u = np.minimum(au, bu)
+    bhi_u = np.maximum(au, bu)
+    blo_v = np.minimum(av, bv)
+    bhi_v = np.maximum(av, bv)
+    bound = (bhi_u >= ulo) & (blo_u <= uhi) & (bhi_v >= vlo) & (blo_v <= vhi)
+    n0 = -(bv - av)
+    n1 = bu - au
+    iu = n0 >= 0
+    jv = n1 >= 0
+    vx = np.where(iu, uhi, ulo)
+    vy = np.where(jv, vhi, vlo)
+    wx = np.where(iu, ulo, uhi)
+    wy = np.where(jv, vlo, vhi)
+    mx = n0 * (vx - au) + n1 * (vy - av)
+    mn = n0 * (wx - au) + n1 * (wy - av)
+    return bound & (mx >= 0) & (mn <= 0)
+
+
+def _uv_to_st(u):
+    """Quadratic UVtoST (monotone; coords.uv_to_st), for bbox bounds."""
+    with np.errstate(invalid="ignore"):
+        hi = 0.5 * np.sqrt(1 + 3 * u)
+        lo = 1 - 0.5 * np.sqrt(1 - 3 * u)
+    return np.where(u >= 0, hi, lo)
+
+
+def _st_to_uv(s):
+    third = 1.0 / 3.0
+    hi = third * (4 * s * s - 1)
+    lo = third * (1 - (4 * (1 - s)) * (1 - s))
+    return np.where(s >= 0.5, hi, lo)
+
+
+def _st_to_ij(s):
+    scaled = 1073741824.0 * s
+    ij = np.minimum(np.floor(scaled), 1073741823.0).astype(np.int64)
+    return np.where(s > 0, ij, 0)
+
+
+def edge_level_cells(ax, ay, az, bx, by, bz, level):
+    """Edge -> level-``level`` cell grid assignment: for every edge, the
+    (face, ci, cj) grid cells of that level whose UV rect the edge's
+    clipped face segment intersects (IntersectsRect refinement over the
+    segment's bbox candidates) — the flat-grid form of the shape-index
+    cell assignment.  Returns (edge_idx, face, ci, cj)."""
+    idx, seg, face, au, av, bu, bv = get_face_segments(ax, ay, az, bx, by, bz)
+    shift = 30 - level
+    ulo = np.minimum(au, bu)
+    uhi = np.maximum(au, bu)
+    vlo = np.minimum(av, bv)
+    vhi = np.maximum(av, bv)
+    i0 = _st_to_ij(_uv_to_st(ulo)) >> shift
+    i1 = _st_to_ij(_uv_to_st(uhi)) >> shift
+    j0 = _st_to_ij(_uv_to_st(vlo)) >> shift
+    j1 = _st_to_ij(_uv_to_st(vhi)) >> shift
+    ni = i1 - i0 + 1
+    nj = j1 - j0 + 1
+    counts = ni * nj
+    row = np.repeat(np.arange(seg.size), counts)
+    offs = np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+    ci = i0[row] + offs // nj[row]
+    cj = j0[row] + offs % nj[row]
+    inv = 1.0 / 1073741824.0
+    cu_lo = _st_to_uv(inv * (ci << shift).astype(np.float64))
+    cu_hi = _st_to_uv(inv * ((ci + 1) << shift).astype(np.float64))
+    cv_lo = _st_to_uv(inv * (cj << shift).astype(np.float64))
+    cv_hi = _st_to_uv(inv * ((cj + 1) << shift).astype(np.float64))
+    hit = intersects_rect(
+        au[row], av[row], bu[row], bv[row], cu_lo, cu_hi, cv_lo, cv_hi
+    )
+    return idx[row][hit], face[row][hit], ci[hit], cj[hit]
+
+
 def get_face_segments(ax, ay, az, bx, by, bz):
     """GetFaceSegments (s2edge_clipping.cc:206-258), vectorized over a
     batch of edges.  Returns (edge_idx, seg, face, a_u, a_v, b_u, b_v)

@@ -649,3 +649,122 @@ SELECT eid, CAST(f AS BIGINT) AS face,
 FROM cd_cb
 WHERE fastp OR ({_itf('snu', 'snv', 'snw')} AND cascore + cbscore < 3)
 """
+
+
+def edge_cells(edges: DataFrame, level: int, id_col: str = "eid") -> DataFrame:
+    """(eid, face, ci, cj): the level-``level`` grid cells each edge
+    crosses — GetFaceSegments + per-segment bbox candidates +
+    IntersectsRect refinement, all inside one stateless mapInPandas.
+    These (face, ci, cj) keys ARE the equi-join keys a distributed
+    edge-crossing / shape-index join shuffles on; at 100 TB this map
+    stage replaces the reference's in-memory MutableS2ShapeIndex cell
+    assignment (s2edge_clipping.cc IntersectsRect + GetFaceSegments)."""
+    import pandas as pd
+
+    from s2geometry_spark.kernels.faceclip import edge_level_cells
+
+    def batches(it):
+        import numpy as np
+
+        cols = ("eid", "face", "ci", "cj")
+        for pdf in it:
+            if not len(pdf):
+                yield pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+                continue
+            idx, face, ci, cj = edge_level_cells(
+                pdf["ax"].to_numpy(np.float64),
+                pdf["ay"].to_numpy(np.float64),
+                pdf["az"].to_numpy(np.float64),
+                pdf["bx"].to_numpy(np.float64),
+                pdf["by"].to_numpy(np.float64),
+                pdf["bz"].to_numpy(np.float64),
+                level,
+            )
+            yield pd.DataFrame(
+                {
+                    "eid": pdf[id_col].to_numpy(np.int64)[idx],
+                    "face": face,
+                    "ci": ci,
+                    "cj": cj,
+                }
+            )
+
+    return edges.mapInPandas(
+        batches, "eid long, face long, ci long, cj long"
+    )
+
+
+def edge_cells_oracle_sql(
+    table: str, key: str, key2: str, level: int, id_expr: str | None = None
+) -> str:
+    """DuckDB replay: the face_segments oracle nested as a CTE, then the
+    identical bbox -> candidate-grid -> IntersectsRect pipeline."""
+    third = repr(1.0 / 3.0)
+    inv = repr(1.0 / 1073741824.0)
+    shift = 30 - level
+    step = 1 << shift
+
+    def uv2st(u: str) -> str:
+        return (
+            f"(CASE WHEN {u} >= 0 THEN 0.5 * sqrt(1 + 3*({u})) "
+            f"ELSE 1 - 0.5 * sqrt(1 - 3*({u})) END)"
+        )
+
+    def st2ij(s: str) -> str:
+        return (
+            f"(CASE WHEN {s} > 0 THEN "
+            f"CAST(floor(least(1073741824e0 * ({s}), 1073741823e0)) AS BIGINT) "
+            f"ELSE 0 END) // {step}"
+        )
+
+    def st2uv(s: str) -> str:
+        return (
+            f"(CASE WHEN {s} >= 0.5 THEN {third} * (4*({s})*({s}) - 1) "
+            f"ELSE {third} * (1 - (4*(1-({s})))*(1-({s}))) END)"
+        )
+
+    return f"""
+WITH segs AS MATERIALIZED (
+  {face_segments_oracle_sql(table, key, key2, id_expr)}
+),
+bb AS MATERIALIZED (
+  SELECT eid, face, au, av, bu, bv,
+    least(au, bu) AS ulo, greatest(au, bu) AS uhi,
+    least(av, bv) AS vlo, greatest(av, bv) AS vhi
+  FROM segs
+),
+rng AS MATERIALIZED (
+  SELECT *,
+    {st2ij(uv2st('ulo'))} AS i0, {st2ij(uv2st('uhi'))} AS i1,
+    {st2ij(uv2st('vlo'))} AS j0, {st2ij(uv2st('vhi'))} AS j1
+  FROM bb
+),
+cand AS MATERIALIZED (
+  SELECT r.*, ii.ci, jj.cj
+  FROM rng r,
+       UNNEST(generate_series(r.i0, r.i1)) AS ii(ci),
+       UNNEST(generate_series(r.j0, r.j1)) AS jj(cj)
+),
+rect AS MATERIALIZED (
+  SELECT *,
+    {st2uv(f"({inv} * CAST(ci * {step} AS DOUBLE))")} AS culo,
+    {st2uv(f"({inv} * CAST((ci + 1) * {step} AS DOUBLE))")} AS cuhi,
+    {st2uv(f"({inv} * CAST(cj * {step} AS DOUBLE))")} AS cvlo,
+    {st2uv(f"({inv} * CAST((cj + 1) * {step} AS DOUBLE))")} AS cvhi,
+    -(bv - av) AS n0, bu - au AS n1
+  FROM cand
+),
+pick AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN n0 >= 0 THEN cuhi ELSE culo END AS vx,
+    CASE WHEN n1 >= 0 THEN cvhi ELSE cvlo END AS vy,
+    CASE WHEN n0 >= 0 THEN culo ELSE cuhi END AS wx,
+    CASE WHEN n1 >= 0 THEN cvlo ELSE cvhi END AS wy
+  FROM rect
+)
+SELECT eid, face, ci, cj FROM pick
+WHERE greatest(au, bu) >= culo AND least(au, bu) <= cuhi
+  AND greatest(av, bv) >= cvlo AND least(av, bv) <= cvhi
+  AND n0 * (vx - au) + n1 * (vy - av) >= 0
+  AND n0 * (wx - au) + n1 * (wy - av) <= 0
+"""

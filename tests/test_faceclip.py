@@ -184,3 +184,43 @@ def test_edge_clip_faces_matches_duckdb(spark, duck):
     sdf = mod.q_edge_clip_faces(spark, SF_ORACLE)
     rel = duck.sql(mod.oracle_sql()["edge_clip_faces"])
     compare_frames(sdf, rel)
+
+
+def test_edge_cells_covers_sampled_points():
+    """Every densely-sampled point of every edge must land in one of the
+    emitted level-3 grid cells (the cell set is a cover of the edge)."""
+    from s2geometry_spark.kernels.coords import st_to_ij, uv_to_st, xyz_to_face_uv
+    from s2geometry_spark.kernels.faceclip import edge_level_cells
+
+    rng = np.random.default_rng(31)
+    n, lvl = 400, 3
+    a, b = _random_units(rng, n), _random_units(rng, n)
+    idx, face, ci, cj = edge_level_cells(
+        a[:, 0], a[:, 1], a[:, 2], b[:, 0], b[:, 1], b[:, 2], lvl
+    )
+    cells = set(zip(idx.tolist(), face.tolist(), ci.tolist(), cj.tolist()))
+    shift = 30 - lvl
+    ts = np.linspace(0, 1, 120)
+    for e in range(n):
+        p = a[e][None, :] * (1 - ts)[:, None] + b[e][None, :] * ts[:, None]
+        p = p / np.linalg.norm(p, axis=1, keepdims=True)
+        f, u, v = xyz_to_face_uv(p[:, 0], p[:, 1], p[:, 2])
+        i = st_to_ij(uv_to_st(u)) >> shift
+        j = st_to_ij(uv_to_st(v)) >> shift
+        assert all(
+            (e, ff, ii, jj) in cells
+            for ff, ii, jj in zip(f.tolist(), i.tolist(), j.tolist())
+        )
+
+
+def test_edge_cells_matches_duckdb(spark, duck):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_ecells", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sdf = mod.q_edge_cells(spark, SF_ORACLE)
+    rel = duck.sql(mod.oracle_sql()["edge_cells"])
+    compare_frames(sdf, rel)
