@@ -290,6 +290,66 @@ def _st_to_ij(s):
     return np.where(s > 0, ij, 0)
 
 
+def clip_edge(au, av, bu, bv, ulo, uhi, vlo, vhi):
+    """ClipEdge (s2edge_clipping.cc:382-450): clip the 2D segment (a,b)
+    to the closed rect, via the reference's axis-interval bound
+    update (ClipEdgeBound/ClipBoundAxis/UpdateEndpoint with the
+    InterpolateDouble lerp).  Returns (ok, cau, cav, cbu, cbv);
+    clipped coordinates are valid only where ok."""
+
+    def interp(x, a0, b0, a1, b1):
+        # InterpolateDouble (s2edge_crossings.h): a1 + (b1-a1) * ((x-a0)/(b0-a0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return a1 + (b1 - a1) * ((x - a0) / (b0 - a0))
+
+    # bound = FromPointPair
+    lo0 = np.minimum(au, bu).copy()
+    hi0 = np.maximum(au, bu).copy()
+    lo1 = np.minimum(av, bv).copy()
+    hi1 = np.maximum(av, bv).copy()
+    diag = (au > bu) != (av > bv)  # 1 if AB has negative slope
+    ok = np.ones(np.shape(au), dtype=bool)
+
+    def clip_axis(a0, b0, lo_0, hi_0, a1, b1, lo_1, hi_1, d, clo, chi):
+        okk = np.ones(np.shape(a0), dtype=bool)
+        # lo side
+        m = lo_0 < clo
+        okk &= ~(m & (hi_0 < clo))
+        lo_0 = np.where(m, clo, lo_0)
+        val = interp(clo, a0, b0, a1, b1)
+        # UpdateEndpoint(bound1, diag, value)
+        end0 = m & ~d  # end == 0: cap lo
+        end1 = m & d
+        okk &= ~(end0 & (hi_1 < val))
+        lo_1 = np.where(end0 & (lo_1 < val) & okk, val, lo_1)
+        okk &= ~(end1 & (lo_1 > val))
+        hi_1 = np.where(end1 & (hi_1 > val) & okk, val, hi_1)
+        # hi side
+        m2 = hi_0 > chi
+        okk &= ~(m2 & (lo_0 > chi))
+        hi_0 = np.where(m2 & okk, chi, hi_0)
+        val2 = interp(chi, a0, b0, a1, b1)
+        e0 = m2 & d  # 1-diag == 0
+        e1 = m2 & ~d
+        okk &= ~(e0 & (hi_1 < val2))
+        lo_1 = np.where(e0 & (lo_1 < val2) & okk, val2, lo_1)
+        okk &= ~(e1 & (lo_1 > val2))
+        hi_1 = np.where(e1 & (hi_1 > val2) & okk, val2, hi_1)
+        return okk, lo_0, hi_0, lo_1, hi_1
+
+    ok1, lo0, hi0, lo1, hi1 = clip_axis(au, bu, lo0, hi0, av, bv, lo1, hi1, diag, ulo, uhi)
+    ok2, lo1, hi1, lo0, hi0 = clip_axis(av, bv, lo1, hi1, au, bu, lo0, hi0, diag, vlo, vhi)
+    ok = ok1 & ok2
+    # extract endpoints from the clipped bound (ClipEdge tail)
+    ai = au > bu
+    aj = av > bv
+    cau = np.where(ai, hi0, lo0)
+    cav = np.where(aj, hi1, lo1)
+    cbu = np.where(ai, lo0, hi0)
+    cbv = np.where(aj, lo1, hi1)
+    return ok, cau, cav, cbu, cbv
+
+
 def edge_level_cells(ax, ay, az, bx, by, bz, level):
     """Edge -> level-``level`` cell grid assignment: for every edge, the
     (face, ci, cj) grid cells of that level whose UV rect the edge's

@@ -224,3 +224,30 @@ def test_edge_cells_matches_duckdb(spark, duck):
     sdf = mod.q_edge_cells(spark, SF_ORACLE)
     rel = duck.sql(mod.oracle_sql()["edge_cells"])
     compare_frames(sdf, rel)
+
+
+def test_clip_edge_agrees_with_intersects_rect():
+    """ClipEdge returns a clipped segment iff IntersectsRect says the
+    segment meets the rect (the reference documents them as the same
+    predicate); clipped endpoints stay in the rect, on the segment, in
+    parameter order."""
+    from s2geometry_spark.kernels.faceclip import clip_edge, intersects_rect
+
+    rng = np.random.default_rng(41)
+    n = 50000
+    au, av, bu, bv = (rng.uniform(-1.5, 1.5, n) for _ in range(4))
+    c = rng.uniform(-1.2, 1.2, (n, 4))
+    ulo, uhi = np.minimum(c[:, 0], c[:, 1]), np.maximum(c[:, 0], c[:, 1])
+    vlo, vhi = np.minimum(c[:, 2], c[:, 3]), np.maximum(c[:, 2], c[:, 3])
+    ok, cau, cav, cbu, cbv = clip_edge(au, av, bu, bv, ulo, uhi, vlo, vhi)
+    assert np.array_equal(ok, intersects_rect(au, av, bu, bv, ulo, uhi, vlo, vhi))
+    e, m = 1e-12, ok
+    for p, lo, hi in [(cau, ulo, uhi), (cbu, ulo, uhi), (cav, vlo, vhi), (cbv, vlo, vhi)]:
+        assert (p[m] >= lo[m] - e).all() and (p[m] <= hi[m] + e).all()
+    dx, dy = bu - au, bv - av
+    for pu, pv in [(cau, cav), (cbu, cbv)]:
+        cr = np.abs(dx[m] * (pv[m] - av[m]) - dy[m] * (pu[m] - au[m]))
+        assert (cr <= 1e-13 * (dx[m] ** 2 + dy[m] ** 2 + 1)).all()
+    t_a = (cau[m] - au[m]) * dx[m] + (cav[m] - av[m]) * dy[m]
+    t_b = (cbu[m] - au[m]) * dx[m] + (cbv[m] - av[m]) * dy[m]
+    assert (t_a <= t_b + 1e-12).all()
