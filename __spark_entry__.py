@@ -1147,6 +1147,23 @@ def q_edge_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_cells(edges, _EDGE_CELLS_LEVEL)
 
 
+def q_edge_clip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge -> level-3 cell assignment WITH the edge clipped to each
+    cell's UV rect (ClipEdge, s2edge_clipping.cc:382-450): the per-cell
+    clipped-segment rows a distributed shape-index build stores, so
+    interior-tracking / crossing tests downstream touch only the in-cell
+    segment.  Same long-geodesic fixture and single stateless
+    mapInPandas as edge_cells; the oracle replays the ClipBoundAxis /
+    UpdateEndpoint bound updates one CTE per update, bit-exact."""
+    from s2geometry_spark.operators.faceclip import edge_cell_clips, long_edges
+
+    edges = long_edges(
+        _load(spark, sf_dir, "orders"), _FSEG_A_KEY, _FSEG_B_KEY, "eid",
+        id_expr="o_orderkey",
+    )
+    return edge_cell_clips(edges, _EDGE_CELLS_LEVEL)
+
+
 _CLIP_A_KEY = "o_orderkey*29+11"
 _CLIP_B_KEY = "o_orderkey*71+23"
 _CLIP_PADDING = 0.05
@@ -3148,6 +3165,7 @@ def q_ann_topk_sq8(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 4: never driver-checked, so first ---
+        "edge_clip_cells": q_edge_clip_cells,
         "face_segments": q_face_segments,
         "edge_clip_faces": q_edge_clip_faces,
         "edge_cells": q_edge_cells,
@@ -3376,6 +3394,14 @@ def _edge_cells_oracle() -> str:
     )
 
 
+def _edge_clip_cells_oracle() -> str:
+    from s2geometry_spark.operators.faceclip import edge_cell_clips_oracle_sql
+
+    return edge_cell_clips_oracle_sql(
+        "orders", _FSEG_A_KEY, _FSEG_B_KEY, _EDGE_CELLS_LEVEL, "o_orderkey"
+    )
+
+
 def _knn_edges_oracle() -> str:
     """Brute-force closest-edge oracle: cross join of customer query
     points x orders edges, pinned point-to-arc chord^2, window top-k."""
@@ -3565,6 +3591,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "face_segments": _face_segments_oracle(),
         "edge_clip_faces": _edge_clip_faces_oracle(),
         "edge_cells": _edge_cells_oracle(),
+        "edge_clip_cells": _edge_clip_cells_oracle(),
         "hausdorff_pairs": _hausdorff_pairs_oracle(),
         "edge_crossings_all": _edge_crossings_all_oracle(),
         "loop_validate": _loop_validate_oracle(),

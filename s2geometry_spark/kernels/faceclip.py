@@ -384,6 +384,46 @@ def edge_level_cells(ax, ay, az, bx, by, bz, level):
     return idx[row][hit], face[row][hit], ci[hit], cj[hit]
 
 
+def edge_level_cell_clips(ax, ay, az, bx, by, bz, level):
+    """Edge -> level-``level`` cell assignment WITH the edge clipped to
+    each cell's UV rect (ClipEdge, s2edge_clipping.cc:382-450) — the
+    per-cell clipped-edge form a distributed shape-index build stores so
+    downstream interior/crossing tests never re-derive the face segment.
+    Returns (edge_idx, face, ci, cj, cau, cav, cbu, cbv)."""
+    idx, seg, face, au, av, bu, bv = get_face_segments(ax, ay, az, bx, by, bz)
+    shift = 30 - level
+    ulo = np.minimum(au, bu)
+    uhi = np.maximum(au, bu)
+    vlo = np.minimum(av, bv)
+    vhi = np.maximum(av, bv)
+    i0 = _st_to_ij(_uv_to_st(ulo)) >> shift
+    i1 = _st_to_ij(_uv_to_st(uhi)) >> shift
+    j0 = _st_to_ij(_uv_to_st(vlo)) >> shift
+    j1 = _st_to_ij(_uv_to_st(vhi)) >> shift
+    ni = i1 - i0 + 1
+    nj = j1 - j0 + 1
+    counts = ni * nj
+    row = np.repeat(np.arange(seg.size), counts)
+    offs = np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+    ci = i0[row] + offs // nj[row]
+    cj = j0[row] + offs % nj[row]
+    inv = 1.0 / 1073741824.0
+    cu_lo = _st_to_uv(inv * (ci << shift).astype(np.float64))
+    cu_hi = _st_to_uv(inv * ((ci + 1) << shift).astype(np.float64))
+    cv_lo = _st_to_uv(inv * (cj << shift).astype(np.float64))
+    cv_hi = _st_to_uv(inv * ((cj + 1) << shift).astype(np.float64))
+    ok, cau, cav, cbu, cbv = clip_edge(
+        au[row], av[row], bu[row], bv[row], cu_lo, cu_hi, cv_lo, cv_hi
+    )
+    # ClipEdge succeeds exactly where IntersectsRect holds (the reference
+    # documents them as the same predicate; asserted over 50k random
+    # cases in tests/test_faceclip.py) — filter on ok directly.
+    return (
+        idx[row][ok], face[row][ok], ci[ok], cj[ok],
+        cau[ok], cav[ok], cbu[ok], cbv[ok],
+    )
+
+
 def get_face_segments(ax, ay, az, bx, by, bz):
     """GetFaceSegments (s2edge_clipping.cc:206-258), vectorized over a
     batch of edges.  Returns (edge_idx, seg, face, a_u, a_v, b_u, b_v)

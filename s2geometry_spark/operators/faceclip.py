@@ -694,11 +694,13 @@ def edge_cells(edges: DataFrame, level: int, id_col: str = "eid") -> DataFrame:
     )
 
 
-def edge_cells_oracle_sql(
+def _edge_cells_pick_sql(
     table: str, key: str, key2: str, level: int, id_expr: str | None = None
-) -> str:
-    """DuckDB replay: the face_segments oracle nested as a CTE, then the
-    identical bbox -> candidate-grid -> IntersectsRect pipeline."""
+) -> tuple[str, str]:
+    """Shared CTE chain for the edge->grid-cell oracles: the
+    face_segments oracle nested as a CTE, then the identical bbox ->
+    candidate-grid pipeline, ending at the ``pick`` CTE.  Returns
+    (cte_chain, intersects_rect_where_clause)."""
     third = repr(1.0 / 3.0)
     inv = repr(1.0 / 1073741824.0)
     shift = 30 - level
@@ -723,8 +725,7 @@ def edge_cells_oracle_sql(
             f"ELSE {third} * (1 - (4*(1-({s})))*(1-({s}))) END)"
         )
 
-    return f"""
-WITH segs AS MATERIALIZED (
+    ctes = f"""segs AS MATERIALIZED (
   {face_segments_oracle_sql(table, key, key2, id_expr)}
 ),
 bb AS MATERIALIZED (
@@ -761,10 +762,194 @@ pick AS MATERIALIZED (
     CASE WHEN n0 >= 0 THEN culo ELSE cuhi END AS wx,
     CASE WHEN n1 >= 0 THEN cvlo ELSE cvhi END AS wy
   FROM rect
-)
-SELECT eid, face, ci, cj FROM pick
-WHERE greatest(au, bu) >= culo AND least(au, bu) <= cuhi
+)"""
+    where = """greatest(au, bu) >= culo AND least(au, bu) <= cuhi
   AND greatest(av, bv) >= cvlo AND least(av, bv) <= cvhi
   AND n0 * (vx - au) + n1 * (vy - av) >= 0
-  AND n0 * (wx - au) + n1 * (wy - av) <= 0
+  AND n0 * (wx - au) + n1 * (wy - av) <= 0"""
+    return ctes, where
+
+
+def edge_cells_oracle_sql(
+    table: str, key: str, key2: str, level: int, id_expr: str | None = None
+) -> str:
+    """DuckDB replay: the face_segments oracle nested as a CTE, then the
+    identical bbox -> candidate-grid -> IntersectsRect pipeline."""
+    ctes, where = _edge_cells_pick_sql(table, key, key2, level, id_expr)
+    return f"""
+WITH {ctes}
+SELECT eid, face, ci, cj FROM pick
+WHERE {where}
+"""
+
+
+def edge_cell_clips(edges: DataFrame, level: int, id_col: str = "eid") -> DataFrame:
+    """(eid, face, ci, cj, cau, cav, cbu, cbv): the level-``level`` grid
+    cells each edge crosses WITH the edge clipped to each cell's UV rect
+    (ClipEdge, s2edge_clipping.cc:382-450) — the per-cell clipped-edge
+    form a distributed shape-index build shuffles on (face, ci, cj) and
+    stores, so downstream interior-tracking / crossing tests touch only
+    the in-cell segment.  One stateless mapInPandas — a pure map stage,
+    no shuffle."""
+    import pandas as pd
+
+    from s2geometry_spark.kernels.faceclip import edge_level_cell_clips
+
+    def batches(it):
+        import numpy as np
+
+        icols = ("eid", "face", "ci", "cj")
+        fcols = ("cau", "cav", "cbu", "cbv")
+        for pdf in it:
+            if not len(pdf):
+                empty = {c: pd.Series(dtype="int64") for c in icols}
+                empty.update({c: pd.Series(dtype="float64") for c in fcols})
+                yield pd.DataFrame(empty)
+                continue
+            idx, face, ci, cj, cau, cav, cbu, cbv = edge_level_cell_clips(
+                pdf["ax"].to_numpy(np.float64),
+                pdf["ay"].to_numpy(np.float64),
+                pdf["az"].to_numpy(np.float64),
+                pdf["bx"].to_numpy(np.float64),
+                pdf["by"].to_numpy(np.float64),
+                pdf["bz"].to_numpy(np.float64),
+                level,
+            )
+            yield pd.DataFrame(
+                {
+                    "eid": pdf[id_col].to_numpy(np.int64)[idx],
+                    "face": face,
+                    "ci": ci,
+                    "cj": cj,
+                    "cau": cau,
+                    "cav": cav,
+                    "cbu": cbu,
+                    "cbv": cbv,
+                }
+            )
+
+    return edges.mapInPandas(
+        batches,
+        "eid long, face long, ci long, cj long, "
+        "cau double, cav double, cbu double, cbv double",
+    )
+
+
+def _clip_axis_ctes(
+    sfx: str,
+    a0: str, b0: str, L0: str, H0: str,
+    a1: str, b1: str, L1: str, H1: str,
+    clo: str, chi: str, src: str,
+) -> str:
+    """One ClipBoundAxis pass (s2edge_clipping.cc ClipBoundAxis /
+    UpdateEndpoint) as a CTE chain, replaying kernels/faceclip.clip_axis
+    update-for-update so every +-*/ happens in the identical order.
+    The final CTE is ``c{sfx}9`` and carries the pass verdict
+    ``ok{sfx}``."""
+    va, vb = f"va{sfx}", f"vb{sfx}"
+    ma, mb = f"ma{sfx}", f"mb{sfx}"
+    ok = f"ok{sfx}"
+
+    def interp(c: str) -> str:
+        # InterpolateDouble; the b0==a0 guard only fires on rows whose
+        # pass verdict is already false (a degenerate interval outside
+        # the clip window), where the kernel's +-inf/nan value feeds no
+        # surviving update — 0e0 keeps DuckDB's NaN-sorts-high semantics
+        # out of the replay.
+        return (
+            f"(CASE WHEN {b0} = {a0} THEN 0e0 "
+            f"ELSE {a1} + ({b1} - {a1}) * ((({c}) - {a0}) / ({b0} - {a0})) END)"
+        )
+
+    return f"""c{sfx}0 AS (
+  SELECT *, ({L0} < {clo}) AS {ma},
+    NOT ({L0} < {clo} AND {H0} < {clo}) AS {ok},
+    {interp(clo)} AS {va}
+  FROM {src}
+),
+c{sfx}1 AS (
+  SELECT * REPLACE (CASE WHEN {ma} THEN {clo} ELSE {L0} END AS {L0},
+    ({ok} AND NOT ({ma} AND NOT diag AND {H1} < {va})) AS {ok})
+  FROM c{sfx}0
+),
+c{sfx}2 AS (
+  SELECT * REPLACE (CASE WHEN {ma} AND NOT diag AND {L1} < {va} AND {ok}
+      THEN {va} ELSE {L1} END AS {L1})
+  FROM c{sfx}1
+),
+c{sfx}3 AS (
+  SELECT * REPLACE (({ok} AND NOT ({ma} AND diag AND {L1} > {va})) AS {ok})
+  FROM c{sfx}2
+),
+c{sfx}4 AS (
+  SELECT * REPLACE (CASE WHEN {ma} AND diag AND {H1} > {va} AND {ok}
+      THEN {va} ELSE {H1} END AS {H1})
+  FROM c{sfx}3
+),
+c{sfx}5 AS (
+  SELECT *, ({H0} > {chi}) AS {mb}, {interp(chi)} AS {vb}
+  FROM c{sfx}4
+),
+c{sfx}6 AS (
+  SELECT * REPLACE (({ok} AND NOT ({mb} AND {L0} > {chi})) AS {ok})
+  FROM c{sfx}5
+),
+c{sfx}7 AS (
+  SELECT * REPLACE (CASE WHEN {mb} AND {ok} THEN {chi} ELSE {H0} END AS {H0},
+    ({ok} AND NOT ({mb} AND diag AND {H1} < {vb})) AS {ok})
+  FROM c{sfx}6
+),
+c{sfx}8 AS (
+  SELECT * REPLACE (CASE WHEN {mb} AND diag AND {L1} < {vb} AND {ok}
+      THEN {vb} ELSE {L1} END AS {L1})
+  FROM c{sfx}7
+),
+c{sfx}9 AS (
+  SELECT * REPLACE (({ok} AND NOT ({mb} AND NOT diag AND {L1} > {vb})) AS {ok},
+    CASE WHEN {mb} AND NOT diag AND {H1} > {vb}
+      AND {ok} AND NOT ({mb} AND NOT diag AND {L1} > {vb})
+      THEN {vb} ELSE {H1} END AS {H1})
+  FROM c{sfx}8
+)"""
+
+
+def edge_cell_clips_oracle_sql(
+    table: str, key: str, key2: str, level: int, id_expr: str | None = None
+) -> str:
+    """DuckDB replay of edge_cell_clips: the edge_cells pipeline (hits)
+    followed by the ClipEdge bound-update sequence (ClipEdgeBound ->
+    ClipBoundAxis x2 -> endpoint extraction), bit-exact vs the NumPy
+    kernel."""
+    ctes, where = _edge_cells_pick_sql(table, key, key2, level, id_expr)
+    pass_u = _clip_axis_ctes(
+        "u", "au", "bu", "lo0", "hi0", "av", "bv", "lo1", "hi1",
+        "culo", "cuhi", "k0",
+    )
+    pass_v = _clip_axis_ctes(
+        "v", "av", "bv", "lo1", "hi1", "au", "bu", "lo0", "hi0",
+        "cvlo", "cvhi", "cu9",
+    )
+    return f"""
+WITH {ctes},
+hits AS MATERIALIZED (
+  SELECT eid, face, ci, cj, au, av, bu, bv, culo, cuhi, cvlo, cvhi
+  FROM pick
+  WHERE {where}
+),
+k0 AS (
+  SELECT *,
+    least(au, bu) AS lo0, greatest(au, bu) AS hi0,
+    least(av, bv) AS lo1, greatest(av, bv) AS hi1,
+    ((au > bu) != (av > bv)) AS diag
+  FROM hits
+),
+{pass_u},
+{pass_v}
+SELECT eid, face, ci, cj,
+  CASE WHEN au > bu THEN hi0 ELSE lo0 END AS cau,
+  CASE WHEN av > bv THEN hi1 ELSE lo1 END AS cav,
+  CASE WHEN au > bu THEN lo0 ELSE hi0 END AS cbu,
+  CASE WHEN av > bv THEN lo1 ELSE hi1 END AS cbv
+FROM cv9
+WHERE oku AND okv
 """

@@ -251,3 +251,45 @@ def test_clip_edge_agrees_with_intersects_rect():
     t_a = (cau[m] - au[m]) * dx[m] + (cav[m] - av[m]) * dy[m]
     t_b = (cbu[m] - au[m]) * dx[m] + (cbv[m] - av[m]) * dy[m]
     assert (t_a <= t_b + 1e-12).all()
+
+
+def test_edge_cell_clips_matches_duckdb(spark, duck):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_eclips", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sdf = mod.q_edge_clip_cells(spark, SF_ORACLE)
+    rel = duck.sql(mod.oracle_sql()["edge_clip_cells"])
+    compare_frames(sdf, rel)
+
+
+def test_edge_cell_clips_segments_inside_cells():
+    """Every clipped segment lies inside its cell's UV rect and on the
+    face segment it was clipped from, and the cell set equals
+    edge_level_cells (ClipEdge == IntersectsRect)."""
+    from s2geometry_spark.kernels.faceclip import (
+        edge_level_cell_clips,
+        edge_level_cells,
+        _st_to_uv,
+    )
+
+    a, b, _ = _segments(n=2000, seed=9)
+    lvl = 3
+    args = (a[:, 0], a[:, 1], a[:, 2], b[:, 0], b[:, 1], b[:, 2], lvl)
+    idx, face, ci, cj, cau, cav, cbu, cbv = edge_level_cell_clips(*args)
+    idx0, face0, ci0, cj0 = edge_level_cells(*args)
+    assert np.array_equal(idx, idx0) and np.array_equal(face, face0)
+    assert np.array_equal(ci, ci0) and np.array_equal(cj, cj0)
+    shift = 30 - lvl
+    inv = 1.0 / 1073741824.0
+    culo = _st_to_uv(inv * (ci << shift).astype(np.float64))
+    cuhi = _st_to_uv(inv * ((ci + 1) << shift).astype(np.float64))
+    cvlo = _st_to_uv(inv * (cj << shift).astype(np.float64))
+    cvhi = _st_to_uv(inv * ((cj + 1) << shift).astype(np.float64))
+    e = 1e-12
+    for p, lo, hi in [(cau, culo, cuhi), (cbu, culo, cuhi),
+                      (cav, cvlo, cvhi), (cbv, cvlo, cvhi)]:
+        assert (p >= lo - e).all() and (p <= hi + e).all()
