@@ -1164,6 +1164,31 @@ def q_edge_clip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_cell_clips(edges, _EDGE_CELLS_LEVEL)
 
 
+_SIDX_FILTER = "o_orderkey % 67 = 3"
+
+
+def q_shape_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed shape-index build (MutableS2ShapeIndex twin,
+    mutable_s2shape_index.h:60-171): adaptive BFS subdivision of the
+    cube-face quadtree until every cell holds <= 10 edges (the
+    reference default) or level 8, over a thinned long-geodesic fixture
+    so termination is genuinely adaptive (cells finalize at different
+    levels).  ONE vectorized ClipToPaddedFace pass with the reference's
+    kCellPadding, then pure-Catalyst rounds: hash agg per cell,
+    broadcast split set, 4-way child fan-out gated by IntersectsRect as
+    a codegen SQL expression.  Emits per-cell posting-list witnesses
+    (n_edges, sum_eid, xor_eid); the oracle unrolls the identical BFS
+    in DuckDB, bit-exact."""
+    from s2geometry_spark.operators.faceclip import long_edges
+    from s2geometry_spark.operators.shape_index import shape_index_build
+
+    edges = long_edges(
+        _load(spark, sf_dir, "orders").filter(_SIDX_FILTER),
+        _FSEG_A_KEY, _FSEG_B_KEY, "eid", id_expr="o_orderkey",
+    )
+    return shape_index_build(edges)
+
+
 _CLIP_A_KEY = "o_orderkey*29+11"
 _CLIP_B_KEY = "o_orderkey*71+23"
 _CLIP_PADDING = 0.05
@@ -3165,6 +3190,7 @@ def q_ann_topk_sq8(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 4: never driver-checked, so first ---
+        "shape_index": q_shape_index,
         "edge_clip_cells": q_edge_clip_cells,
         "face_segments": q_face_segments,
         "edge_clip_faces": q_edge_clip_faces,
@@ -3394,6 +3420,15 @@ def _edge_cells_oracle() -> str:
     )
 
 
+def _shape_index_oracle() -> str:
+    from s2geometry_spark.operators.shape_index import shape_index_oracle_sql
+
+    return shape_index_oracle_sql(
+        f"(SELECT * FROM orders WHERE {_SIDX_FILTER})",
+        _FSEG_A_KEY, _FSEG_B_KEY, id_expr="o_orderkey",
+    )
+
+
 def _edge_clip_cells_oracle() -> str:
     from s2geometry_spark.operators.faceclip import edge_cell_clips_oracle_sql
 
@@ -3592,6 +3627,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "edge_clip_faces": _edge_clip_faces_oracle(),
         "edge_cells": _edge_cells_oracle(),
         "edge_clip_cells": _edge_clip_cells_oracle(),
+        "shape_index": _shape_index_oracle(),
         "hausdorff_pairs": _hausdorff_pairs_oracle(),
         "edge_crossings_all": _edge_crossings_all_oracle(),
         "loop_validate": _loop_validate_oracle(),

@@ -37,6 +37,10 @@ from .coords import (
 # s2edge_clipping.h:99-101
 K_FACE_CLIP_ERROR_RADIANS = 3 * np.finfo(np.float64).eps
 K_FACE_CLIP_ERROR_UV_COORD = 9 * (2.0 ** -0.5) * np.finfo(np.float64).eps
+# kEdgeClipErrorUVCoord (s2edge_clipping.h:152) and the shape-index cell
+# padding derived from it (mutable_s2shape_index.cc:183).
+K_EDGE_CLIP_ERROR_UV_COORD = 2.25 * np.finfo(np.float64).eps
+K_CELL_PADDING = 2 * (K_FACE_CLIP_ERROR_UV_COORD + K_EDGE_CLIP_ERROR_UV_COORD)
 
 # fixture contract: RobustCrossProd main-path only (see module docstring)
 NORM2_MIN = 1e-14
