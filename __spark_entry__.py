@@ -1189,6 +1189,34 @@ def q_shape_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape_index_build(edges)
 
 
+_SIDX_PT_KEY = "c_custkey*31+7"
+
+
+def q_shape_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locate(point) over the built shape index (s2shape_index.h
+    Iterator::Locate): every customer point fans out to its quadtree
+    ancestors at each index level (a 9x map-side explode of integer
+    shifts) and equi-joins the broadcast frontier on (face, level, ci,
+    cj) — the index-accelerated point lookup a containment or crossing
+    query starts from.  The point's (face, i, j) derivation is the SAME
+    portable SQL text on both engines; the oracle nests the full
+    shape_index BFS as its frontier."""
+    from s2geometry_spark.operators.faceclip import long_edges
+    from s2geometry_spark.operators.shape_index import (
+        shape_index_build,
+        shape_index_lookup,
+    )
+
+    edges = long_edges(
+        _load(spark, sf_dir, "orders").filter(_SIDX_FILTER),
+        _FSEG_A_KEY, _FSEG_B_KEY, "eid", id_expr="o_orderkey",
+    )
+    frontier = shape_index_build(edges)
+    return shape_index_lookup(
+        frontier, _load(spark, sf_dir, "customer"), _SIDX_PT_KEY, "c_custkey"
+    )
+
+
 _CLIP_A_KEY = "o_orderkey*29+11"
 _CLIP_B_KEY = "o_orderkey*71+23"
 _CLIP_PADDING = 0.05
@@ -3191,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 4: never driver-checked, so first ---
         "shape_index": q_shape_index,
+        "shape_index_lookup": q_shape_index_lookup,
         "edge_clip_cells": q_edge_clip_cells,
         "face_segments": q_face_segments,
         "edge_clip_faces": q_edge_clip_faces,
@@ -3429,6 +3458,21 @@ def _shape_index_oracle() -> str:
     )
 
 
+def _shape_index_lookup_oracle() -> str:
+    from s2geometry_spark.operators.shape_index import (
+        shape_index_lookup_oracle_sql,
+        shape_index_oracle_sql,
+    )
+
+    idx = shape_index_oracle_sql(
+        f"(SELECT * FROM orders WHERE {_SIDX_FILTER})",
+        _FSEG_A_KEY, _FSEG_B_KEY, id_expr="o_orderkey",
+    )
+    return shape_index_lookup_oracle_sql(
+        idx, "customer", _SIDX_PT_KEY, "c_custkey"
+    )
+
+
 def _edge_clip_cells_oracle() -> str:
     from s2geometry_spark.operators.faceclip import edge_cell_clips_oracle_sql
 
@@ -3628,6 +3672,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "edge_cells": _edge_cells_oracle(),
         "edge_clip_cells": _edge_clip_cells_oracle(),
         "shape_index": _shape_index_oracle(),
+        "shape_index_lookup": _shape_index_lookup_oracle(),
         "hausdorff_pairs": _hausdorff_pairs_oracle(),
         "edge_crossings_all": _edge_crossings_all_oracle(),
         "loop_validate": _loop_validate_oracle(),

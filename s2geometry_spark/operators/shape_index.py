@@ -225,3 +225,116 @@ def shape_index_oracle_sql(
     body = ",\n".join(ctes)
     union = "\nUNION ALL\n".join(arms)
     return f"WITH {body}\n{union}\n"
+
+
+def point_cell_exprs(key_expr: str) -> dict[str, str]:
+    """Portable (Spark + DuckDB) SQL for a fixture point's canonical
+    (face, level-30 i, level-30 j): the triplet derivation, GetFace's
+    largest-|component| rule, the per-face valid_uv ratios (ratio form —
+    normalization-invariant), quadratic UVtoST, and STtoIJ.  Shared text
+    on both engines, so the leaf coordinates match bit-for-bit."""
+    from s2geometry_spark.kernels.geotag import sql_xyz_exprs
+    from s2geometry_spark.operators.faceclip import (
+        _get_face,
+        _valid_uv_u,
+        _valid_uv_v,
+    )
+
+    t = sql_xyz_exprs(key_expr)
+    x = f"CAST({t['x0']} AS DOUBLE)"
+    y = f"CAST({t['y0']} AS DOUBLE)"
+    z = f"CAST({t['z0']} AS DOUBLE)"
+    face = _get_face(x, y, z)
+    u = _valid_uv_u(face, x, y, z)
+    v = _valid_uv_v(face, x, y, z)
+
+    def uv2st(q: str) -> str:
+        return (
+            f"(CASE WHEN {q} >= 0 THEN CAST(5e-1 AS DOUBLE) * sqrt(1e0 + 3e0 * ({q})) "
+            f"ELSE 1e0 - CAST(5e-1 AS DOUBLE) * sqrt(1e0 - 3e0 * ({q})) END)"
+        )
+
+    def st2ij(s: str) -> str:
+        return (
+            f"(CASE WHEN {s} > 0 THEN "
+            f"CAST(least(floor(1073741824e0 * ({s})), 1073741823e0) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    return {
+        "face": f"CAST({face} AS BIGINT)",
+        "i30": st2ij(uv2st(u)),
+        "j30": st2ij(uv2st(v)),
+    }
+
+
+def shape_index_lookup(
+    frontier: DataFrame,
+    points: DataFrame,
+    key_expr: str,
+    id_expr: str,
+    max_level: int = MAX_LEVEL,
+) -> DataFrame:
+    """Locate(point) over the built index (s2shape_index.h Iterator
+    Locate): every point joins the unique frontier cell containing it —
+    the point's level-30 leaf coordinates fan out to their ancestors at
+    each index level (a 9x map-side explode) and equi-join the
+    (broadcast) frontier on (face, level, ci, cj).  The frontier-
+    property pytest guarantees at most one match per point.  One
+    broadcast hash join, no shuffle of the point table."""
+    e = point_cell_exprs(key_expr)
+    pts = points.select(
+        F.expr(id_expr).cast("long").alias("pid"),
+        F.expr(e["face"]).alias("face"),
+        F.expr(e["i30"]).alias("i30"),
+        F.expr(e["j30"]).alias("j30"),
+    )
+    ancs = F.array(
+        *[
+            F.struct(
+                F.lit(lvl).cast("long").alias("level"),
+                F.expr(f"CAST(i30 DIV {1 << (30 - lvl)} AS BIGINT)").alias("ci"),
+                F.expr(f"CAST(j30 DIV {1 << (30 - lvl)} AS BIGINT)").alias("cj"),
+            )
+            for lvl in range(max_level + 1)
+        ]
+    )
+    cand = pts.select(
+        "pid", "face", F.explode(ancs).alias("a")
+    ).select("pid", "face", "a.level", "a.ci", "a.cj")
+    return cand.join(
+        F.broadcast(frontier), ["face", "level", "ci", "cj"]
+    ).select("pid", "face", "level", "ci", "cj", "n_edges", "sum_eid", "xor_eid")
+
+
+def shape_index_lookup_oracle_sql(
+    index_sql: str,
+    points_table: str,
+    key_expr: str,
+    id_expr: str,
+    max_level: int = MAX_LEVEL,
+) -> str:
+    """DuckDB replay: the shape_index oracle nested as the frontier, the
+    identical point (face, i30, j30) SQL text, generate_series ancestor
+    fan-out, equi-join."""
+    e = point_cell_exprs(key_expr)
+    return f"""
+WITH fron AS MATERIALIZED (
+  {index_sql}
+),
+pts AS MATERIALIZED (
+  SELECT CAST({id_expr} AS BIGINT) AS pid,
+         {e["face"]} AS face, {e["i30"]} AS i30, {e["j30"]} AS j30
+  FROM {points_table}
+),
+cand AS (
+  SELECT pid, face, CAST(l.lvl AS BIGINT) AS level,
+         i30 // (1 << (30 - l.lvl)) AS ci,
+         j30 // (1 << (30 - l.lvl)) AS cj
+  FROM pts, UNNEST(generate_series(0, {max_level})) AS l(lvl)
+)
+SELECT p.pid, f.face, f.level, f.ci, f.cj, f.n_edges, f.sum_eid, f.xor_eid
+FROM cand p
+JOIN fron f
+  ON f.face = p.face AND f.level = p.level AND f.ci = p.ci AND f.cj = p.cj
+"""

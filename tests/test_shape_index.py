@@ -52,3 +52,19 @@ def test_shape_index_invariants(spark):
                 & ((cj >> np.maximum(d, 0)) == cj[a])
             )
             assert not anc.any(), (face, ci[a], cj[a], lv[a])
+
+
+def test_shape_index_lookup_matches_duckdb(spark, duck):
+    mod = _entry()
+    sdf = mod.q_shape_index_lookup(spark, SF_ORACLE)
+    rel = duck.sql(mod.oracle_sql()["shape_index_lookup"])
+    compare_frames(sdf, rel)
+
+
+def test_shape_index_lookup_unique_cell_per_point(spark):
+    """The frontier property implies a point matches at most one cell,
+    and the matched cell's grid range contains the point's leaf ij."""
+    mod = _entry()
+    pdf = mod.q_shape_index_lookup(spark, SF_ORACLE).toPandas()
+    assert len(pdf) > 0
+    assert pdf["pid"].is_unique
