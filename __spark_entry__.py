@@ -1483,6 +1483,103 @@ FROM inv i JOIN crx c ON c.family_id = i.family_id
 _NEST_SHRINKS = (0.66, 0.30)  # concentric homothety factors -> depths 0/1/2
 
 
+#: planted degeneracies per family: (deg_id, shrink factors, seqs)
+#: single-factor entries are degenerate edges; two-factor entries are
+#: sibling pairs.  t<1 plants strictly inside the star loop (holes),
+#: t>1 strictly outside along the center ray (shells).
+_DEGEN_PLAN = [
+    (0, (0.66,), 0),
+    (1, (0.66,), 1),
+    (2, (0.66,), 2),
+    (3, (1.5,), 0),
+    (4, (1.5,), 1),
+    (5, (0.5, 0.45), 0),
+    (6, (1.8, 2.1), 1),
+]
+
+
+def q_polygon_degeneracies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FindPolygonDegeneracies
+    (s2builderutil_find_polygon_degeneracies.h:44-79): classify planted
+    degenerate edges and sibling pairs as shells or holes of each
+    star-ordered customer loop.  The per-family kernel is the faithful
+    reference algorithm (component BFS + CrossingParity +
+    S2ContainsVertexQuery + EdgeOrVertexCrossing sign walk, robust
+    predicates); the oracle is an INDEPENDENT procedure — containment
+    parity of each degeneracy vertex from the family's antipodal center
+    — so port and parity check each other."""
+    from pyspark import StorageLevel
+
+    from s2geometry_spark.operators.degeneracies import polygon_degeneracies
+    from s2geometry_spark.operators.polygon_distance import shrink_loops
+    from s2geometry_spark.operators.validate import star_order_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    star = star_order_chains(spark, ca).persist(StorageLevel.MEMORY_AND_DISK)
+    parts = [
+        star.select(
+            F.col("chain_id").alias("family_id"),
+            F.lit(0).cast("long").alias("role"),
+            F.lit(-1).cast("long").alias("deg_id"),
+            F.lit(0).cast("long").alias("slot"),
+            "seq", "x", "y", "z",
+        )
+    ]
+    for deg_id, ts, seq in _DEGEN_PLAN:
+        for slot, t in enumerate(ts):
+            parts.append(
+                shrink_loops(spark, star, t=t)
+                .filter(F.col("seq") == seq)
+                .select(
+                    F.col("chain_id").alias("family_id"),
+                    F.lit(1).cast("long").alias("role"),
+                    F.lit(deg_id).cast("long").alias("deg_id"),
+                    F.lit(slot).cast("long").alias("slot"),
+                    "seq", "x", "y", "z",
+                )
+            )
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    return polygon_degeneracies(rows)
+
+
+def _polygon_degeneracies_oracle() -> str:
+    from s2geometry_spark.operators.degeneracies import (
+        polygon_degeneracies_oracle_sql,
+    )
+    from s2geometry_spark.operators.polygon_distance import shrink_loops_cte_sql
+    from s2geometry_spark.operators.validate import star_order_cte_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    star = star_order_cte_sql(raw)
+    boundary = (
+        f"WITH star_m AS MATERIALIZED ({star}) "
+        "SELECT chain_id AS family_id, seq, x, y, z FROM star_m"
+    )
+    arms = []
+    for i, (deg_id, ts, seq) in enumerate(_DEGEN_PLAN):
+        for slot, t in enumerate(ts):
+            shr = shrink_loops_cte_sql(
+                "SELECT chain_id, seq, x, y, z FROM star_m",
+                t=t,
+                prefix=f"dg{i}_{slot}_",
+            )
+            arms.append(
+                f"SELECT chain_id AS family_id, {deg_id} AS deg_id, "
+                f"{slot} AS slot, x, y, z FROM ({shr}) WHERE seq = {seq}"
+            )
+    planted = (
+        f"WITH star_m AS MATERIALIZED ({star}) " + " UNION ALL ".join(arms)
+    )
+    return polygon_degeneracies_oracle_sql(boundary, planted)
+
+
 def q_loop_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2ShapeNestingQuery (s2shape_nesting_query.h ComputeShapeNesting):
     depth + immediate parent of every loop in a family.  Fixture: each
@@ -3220,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 4: never driver-checked, so first ---
         "shape_index": q_shape_index,
         "shape_index_lookup": q_shape_index_lookup,
+        "polygon_degeneracies": q_polygon_degeneracies,
         "edge_clip_cells": q_edge_clip_cells,
         "face_segments": q_face_segments,
         "edge_clip_faces": q_edge_clip_faces,
@@ -3673,6 +3771,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "edge_clip_cells": _edge_clip_cells_oracle(),
         "shape_index": _shape_index_oracle(),
         "shape_index_lookup": _shape_index_lookup_oracle(),
+        "polygon_degeneracies": _polygon_degeneracies_oracle(),
         "hausdorff_pairs": _hausdorff_pairs_oracle(),
         "edge_crossings_all": _edge_crossings_all_oracle(),
         "loop_validate": _loop_validate_oracle(),
