@@ -2820,6 +2820,27 @@ def q_img_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup_clusters(hashes=phash_with_reencoded(corpus, fmt="qnt"), max_dist=2)
 
 
+def q_img_dedup_dihedral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation/mirror-invariant duplicate pairs: every multiple-of-8
+    image gets ONE planted dihedral transform (losslessly re-encoded),
+    and the join groups on the dihedral-invariant canonical pHash
+    (minimum packed block-bit grid over all 8 rotations/reflections) —
+    pairs a plain pHash band join structurally misses, since a
+    quarter-turn permutes all 64 bits.  Rows-only check (binary
+    decode); exactness of the invariant and planted-pair recovery are
+    pytest-proven (tests/test_dihedral.py)."""
+    from s2geometry_spark.operators.image_dedup import (
+        dihedral_dup_pairs,
+        dihedral_variants,
+    )
+    from s2geometry_spark.sources import images as imgsrc
+
+    n = imgsrc.n_images_for_sf_dir(sf_dir)
+    corpus = imgsrc.images_df(spark, n).select("image_id", "bytes")
+    allimgs = corpus.unionByName(dihedral_variants(corpus))
+    return dihedral_dup_pairs(allimgs)
+
+
 def q_img_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-tile mosaic rendering at level 5: per-tile selection (window
     over the narrow geo projection, BEFORE any decode), bytes join-back,
@@ -3318,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_index": q_shape_index,
         "shape_index_lookup": q_shape_index_lookup,
         "polygon_degeneracies": q_polygon_degeneracies,
+        "img_dedup_dihedral": q_img_dedup_dihedral,
         "edge_clip_cells": q_edge_clip_cells,
         "face_segments": q_face_segments,
         "edge_clip_faces": q_edge_clip_faces,

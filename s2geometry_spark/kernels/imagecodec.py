@@ -404,3 +404,51 @@ def decode_real(buf: bytes, fmt: str) -> np.ndarray:  # pragma: no cover
     from PIL import Image
 
     return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+
+
+def _phash_block_bits(pixels: np.ndarray) -> np.ndarray:
+    """8x8 boolean block grid of phash64's decision, computed from EXACT
+    integer luma block sums: each block's mean and the global mean are
+    single divisions of orientation-invariant integer totals, so for
+    images whose dimensions are multiples of 8 the grid of a rotated or
+    mirrored image is exactly the rotated/mirrored grid (no float
+    summation-order dependence)."""
+    h, w, _ = pixels.shape
+    p = pixels.astype(np.uint64)
+    luma = 77 * p[:, :, 0] + 150 * p[:, :, 1] + 29 * p[:, :, 2]
+    bh, bw = max(1, h // 8), max(1, w // 8)
+    lb = luma[: bh * 8, : bw * 8]
+    s = lb.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+    bm = s.astype(np.float64) / float(bh * bw)
+    g = float(s.sum()) / float(64 * bh * bw)
+    return bm > g
+
+
+def phash64_canon(pixels: np.ndarray) -> int:
+    """Dihedral-invariant perceptual hash: the minimum packed value of
+    the 8x8 block-bit grid over all 8 rotations/reflections.  For
+    multiple-of-8 dimensions, canon(transform(img)) == canon(img)
+    EXACTLY for every dihedral transform — the key a rotated/mirrored
+    near-dup join groups on."""
+    bits = _phash_block_bits(pixels)
+    best = None
+    g = bits
+    for _ in range(4):
+        for gg in (g, g[:, ::-1]):
+            v = int.from_bytes(
+                np.packbits(gg.reshape(-1), bitorder="little").tobytes(),
+                "little",
+            )
+            if best is None or v < best:
+                best = v
+        g = np.rot90(g)
+    return int(np.uint64(best).astype(np.int64))
+
+
+def dihedral_transform(pixels: np.ndarray, k: int) -> np.ndarray:
+    """The k-th element of the dihedral group D4 acting on the pixel
+    grid: k%4 quarter-turns, then a horizontal mirror if k >= 4."""
+    t = np.rot90(pixels, k % 4)
+    if k >= 4:
+        t = t[:, ::-1]
+    return np.ascontiguousarray(t)

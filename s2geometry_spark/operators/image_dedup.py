@@ -415,3 +415,72 @@ def phash_dedup_clusters(
     return labeled.join(groups, "component_id").select(
         id_col, "canonical_id", "cluster_size"
     )
+
+
+def dihedral_variants(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Planted rotated/mirrored duplicates: for every image whose
+    dimensions are multiples of 8 (the exact-invariance precondition of
+    kernels/imagecodec.phash64_canon), emit ONE dihedral transform of
+    its DECODED pixels, losslessly re-encoded (PNG) so the variant's
+    decoded pixels are an exact transform of the source's.  The
+    transform index 1..7 derives deterministically from the image id."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids: list[str] = []
+            out_bytes: list[bytes] = []
+            for iid, buf in zip(pdf[id_col], pdf["bytes"]):
+                px, _ = imagecodec.decode(bytes(buf))
+                h, w = px.shape[:2]
+                if h % 8 or w % 8:
+                    continue
+                k = 1 + (int(str(iid)[3:]) % 7)
+                out_ids.append(f"{iid}:d{k}")
+                out_bytes.append(
+                    imagecodec.encode_png(imagecodec.dihedral_transform(px, k))
+                )
+            yield pd.DataFrame({id_col: out_ids, "bytes": out_bytes})
+
+    return images.mapInPandas(batches, f"{id_col} string, bytes binary")
+
+
+def phash_canon_from_bytes(
+    images: DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """(id_col, canon): the dihedral-invariant perceptual hash of each
+    decoded payload — one stateless mapInPandas decode pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(dtype="object"),
+                        "canon": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            hashes = np.empty(len(pdf), np.int64)
+            for i, buf in enumerate(pdf["bytes"]):
+                px, _ = imagecodec.decode(bytes(buf))
+                hashes[i] = imagecodec.phash64_canon(px)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "canon": hashes})
+
+    return images.mapInPandas(batches, f"{id_col} string, canon long")
+
+
+def dihedral_dup_pairs(
+    images: DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """(canon, id_a, id_b): all image pairs sharing the dihedral-
+    invariant hash — catches rotated and mirrored duplicates that the
+    plain pHash band join structurally cannot (a quarter-turn permutes
+    all 64 bits).  One decode pass, then a pure-Catalyst exact-hash
+    self-join: one shuffle on a uniformly distributed 64-bit key, the
+    same shape at 10^12 rows."""
+    ph = phash_canon_from_bytes(images, id_col)
+    a = ph.select(F.col("canon"), F.col(id_col).alias("id_a"))
+    b = ph.select(F.col("canon"), F.col(id_col).alias("id_b"))
+    return a.join(b, "canon").filter(F.col("id_a") < F.col("id_b")).select(
+        "canon", "id_a", "id_b"
+    )
