@@ -124,6 +124,10 @@ def shape_index_build(
     spark = active.sparkSession
     outs: list[DataFrame] = []
     for lvl in range(max_level + 1):
+        # eager checkpoint: one job per round; once the frontier
+        # finalizes everywhere, the remaining rounds run on empty
+        # checkpoints at negligible cost (an isEmpty early-break would
+        # itself cost one job per round)
         active = active.localCheckpoint(eager=True)
         g = active.groupBy("face", "ci", "cj").agg(
             F.count("*").alias("n_edges"),
@@ -158,8 +162,6 @@ def shape_index_build(
             )
             .filter(F.expr(_intersects_sql(rect)))
         )
-        if active.isEmpty():
-            break
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -281,14 +283,48 @@ def shape_index_lookup(
     each index level (a 9x map-side explode) and equi-join the
     (broadcast) frontier on (face, level, ci, cj).  The frontier-
     property pytest guarantees at most one match per point.  One
-    broadcast hash join, no shuffle of the point table."""
-    e = point_cell_exprs(key_expr)
+    broadcast hash join, no shuffle of the point table.
+
+    The leaf (face, i, j) derivation runs as the NumPy geotag/coords
+    kernels in one Arrow pass — bit-identical to the oracle's
+    point_cell_exprs SQL (the chain-fixture precedent: the equivalent
+    Catalyst expression tree costs seconds of janino compile per job
+    for zero benefit)."""
+    import pandas as pd
+
+    def batches(it):
+        import numpy as np
+
+        from s2geometry_spark.kernels.coords import xyz_to_face_uv
+        from s2geometry_spark.kernels.faceclip import _st_to_ij, _uv_to_st
+        from s2geometry_spark.kernels.geotag import (
+            int_triplet_from_key,
+            xyz_from_triplet,
+        )
+
+        for pdf in it:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype="int64")
+                     for c in ("pid", "face", "i30", "j30")}
+                )
+                continue
+            k = pdf["_k"].to_numpy(np.int64)
+            x, y, z = xyz_from_triplet(*int_triplet_from_key(k))
+            face, u, v = xyz_to_face_uv(x, y, z)
+            yield pd.DataFrame(
+                {
+                    "pid": pdf["pid"].to_numpy(np.int64),
+                    "face": face.astype(np.int64),
+                    "i30": _st_to_ij(_uv_to_st(u)),
+                    "j30": _st_to_ij(_uv_to_st(v)),
+                }
+            )
+
     pts = points.select(
         F.expr(id_expr).cast("long").alias("pid"),
-        F.expr(e["face"]).alias("face"),
-        F.expr(e["i30"]).alias("i30"),
-        F.expr(e["j30"]).alias("j30"),
-    )
+        F.expr(key_expr).cast("long").alias("_k"),
+    ).mapInPandas(batches, "pid long, face long, i30 long, j30 long")
     ancs = F.array(
         *[
             F.struct(
