@@ -3333,8 +3333,22 @@ def q_ann_topk_sq8(spark, sf_dir):
     return ann.sq8_topk(emb, _emb_queries(emb), k=ANN_K, rerank=4)
 
 
+def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EncodedS2CellIdVector (encoded_s2cell_id_vector.cc:62-151) as a
+    distributed storage op: per level-4 tile, encode the sorted distinct
+    leaf ids, decode back, and emit size + round-trip + lower_bound
+    stats.  The oracle recomputes the encoded byte size ANALYTICALLY
+    (shift selection, 8-way base-length minimization, delta width,
+    varint) from the raw ids in pure HUGEINT SQL."""
+    from s2geometry_spark.operators.cellvec import tile_cell_vector_codec
+
+    return tile_cell_vector_codec(_order_points(spark, sf_dir), level=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- new in r4 session 5: never driver-checked, so first ---
+        "cell_vector_codec": q_cell_vector_codec,
         # --- new in r4 session 4: never driver-checked, so first ---
         "shape_index": q_shape_index,
         "shape_index_lookup": q_shape_index_lookup,
@@ -3767,7 +3781,13 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
     GROUP BY q.qid
   )
 )"""
+    from s2geometry_spark.operators.cellvec import cell_vector_codec_oracle_sql
+
     return {
+        "cell_vector_codec": cell_vector_codec_oracle_sql(
+            oracle.leaf_cell_sql_cte("orders", "o_orderkey"),
+            oracle.parent_sql_expr("cell_leaf", 4),
+        ),
         "hausdorff": hausdorff_sql,
         "edge_crossings": _edge_crossings_oracle(),
         "knn_edges": _knn_edges_oracle(),
