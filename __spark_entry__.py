@@ -3333,6 +3333,43 @@ def q_ann_topk_sq8(spark, sf_dir):
     return ann.sq8_topk(emb, _emb_queries(emb), k=ANN_K, rerank=4)
 
 
+def q_img_caption_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal label-noise screen: perceptual near-dup image pairs
+    whose captions DISAGREE (same photo crawled twice with drifted
+    alt-text).  Fixture plants a qnt re-encoded variant per image and
+    edits the caption on odd source indices only, so the conflict set is
+    the odd planted pairs within the Hamming radius (a few jpeg-decoded
+    sources drift past it under qnt — legitimately not near-dups), plus
+    background near-collisions across different sources whose captions
+    genuinely differ.  Rows-only check (binary decode); planted
+    inclusion/exclusion is pytest-proven (tests/test_image_dedup.py)."""
+    from s2geometry_spark.operators.image_dedup import (
+        caption_conflict_pairs,
+        phash_near_dup_pairs,
+        reencoded_variants,
+    )
+    from s2geometry_spark.sources import images as imgsrc
+
+    n = imgsrc.n_images_for_sf_dir(sf_dir)
+    corpus = imgsrc.images_df(spark, n)
+    both = corpus.select("image_id", "bytes").unionByName(
+        reencoded_variants(corpus.select("image_id", "bytes"), fmt="qnt")
+    )
+    idx = F.substring("image_id", 4, 12).cast("long")
+    captions = corpus.select("image_id", "caption").unionByName(
+        corpus.select(
+            F.concat(F.lit("dup-"), "image_id").alias("image_id"),
+            F.when(
+                idx % 2 == 1, F.concat("caption", F.lit(" (edited)"))
+            )
+            .otherwise(F.col("caption"))
+            .alias("caption"),
+        )
+    )
+    pairs = phash_near_dup_pairs(images_a=both, max_dist=2)
+    return caption_conflict_pairs(pairs, captions)
+
+
 def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EncodedS2CellIdVector (encoded_s2cell_id_vector.cc:62-151) as a
     distributed storage op: per level-4 tile, encode the sorted distinct
@@ -3349,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 5: never driver-checked, so first ---
         "cell_vector_codec": q_cell_vector_codec,
+        "img_caption_conflict": q_img_caption_conflict,
         # --- new in r4 session 4: never driver-checked, so first ---
         "shape_index": q_shape_index,
         "shape_index_lookup": q_shape_index_lookup,

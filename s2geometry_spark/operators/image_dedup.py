@@ -484,3 +484,30 @@ def dihedral_dup_pairs(
     return a.join(b, "canon").filter(F.col("id_a") < F.col("id_b")).select(
         "canon", "id_a", "id_b"
     )
+
+
+def caption_conflict_pairs(
+    pairs: DataFrame, captions: DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """Near-duplicate image pairs whose captions DISAGREE — the standard
+    web-crawl label-noise screen (the same photo crawled twice with
+    drifted alt-text poisons caption-supervised training; near-dups with
+    IDENTICAL captions are ordinary dups and handled by dedup).
+
+    ``pairs``: (id_a, id_b, ...) from phash_near_dup_pairs /
+    dihedral_dup_pairs.  ``captions``: (id_col, caption).  Two hash
+    equi-joins on the pair endpoints then a caption filter — pairs are
+    a tiny fraction of the corpus, so both joins stay skew-free at any
+    scale (AQE may broadcast the pair side)."""
+    ca = captions.select(
+        F.col(id_col).alias("id_a"), F.col("caption").alias("caption_a")
+    )
+    cb = captions.select(
+        F.col(id_col).alias("id_b"), F.col("caption").alias("caption_b")
+    )
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(F.col("caption_a") != F.col("caption_b"))
+        .select("id_a", "id_b", "caption_a", "caption_b")
+    )

@@ -209,3 +209,58 @@ class TestHammingBall:
         df = spark.createDataFrame([(0,)], "phash long")
         with pytest.raises(ValueError):
             hamming_ball_hash_pairs(df, 3)
+
+
+def test_caption_conflict_planted(spark):
+    """Odd-index planted variants get edited captions -> must surface as
+    conflicts; even-index planted pairs share the caption -> excluded."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from s2geometry_spark.operators.image_dedup import caption_conflict_pairs
+    from pyspark.sql import functions as F
+
+    n = 200
+    corpus = imgsrc.images_df(spark, n)
+    both = corpus.select("image_id", "bytes").unionByName(
+        reencoded_variants(corpus.select("image_id", "bytes"), fmt="qnt")
+    )
+    idx = F.substring("image_id", 4, 12).cast("long")
+    captions = corpus.select("image_id", "caption").unionByName(
+        corpus.select(
+            F.concat(F.lit("dup-"), "image_id").alias("image_id"),
+            F.when(idx % 2 == 1, F.concat("caption", F.lit(" (edited)")))
+            .otherwise(F.col("caption"))
+            .alias("caption"),
+        )
+    )
+    pairs = phash_near_dup_pairs(images_a=both, max_dist=2)
+    got = {
+        (r.id_a, r.id_b)
+        for r in caption_conflict_pairs(pairs, captions).collect()
+    }
+    n_odd = 0
+    for i in range(n):
+        row = imgsrc.make_row(i)
+        px, _ = imagecodec.decode(row["bytes"])
+        vpx, _ = imagecodec.decode(imagecodec.encode(px, "qnt"))
+        d = bin(imagecodec.phash64(px) ^ imagecodec.phash64(vpx)).count("1")
+        rid = f"img{i:012d}"
+        planted = tuple(sorted((rid, "dup-" + rid)))
+        if i % 2 == 1 and d <= 2:
+            # a planted near-dup with an edited caption MUST surface
+            n_odd += 1
+            assert planted in got, (planted, d)
+        else:
+            # same-caption (even) planted pairs are excluded regardless
+            # of distance; odd pairs beyond the radius aren't near-dups
+            assert planted not in got, (planted, d)
+    assert n_odd > 50  # the fixture plants a meaningful conflict set
+    # every surfaced conflict is a true near-dup pair with distinct captions
+    cap = {r.image_id: r.caption for r in captions.collect()}
+    for a, b in got:
+        assert cap[a] != cap[b]
