@@ -3226,6 +3226,22 @@ def q_dedup_components(spark, sf_dir):
     return graph.connected_components(pairs)
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Keep-rule dedup: minhash-LSH pairs -> transitive clusters ->
+    canonical representative per cluster (max quality score, ties to the
+    smallest doc_id).  Engine = struct-max hash aggregate (map-side
+    combinable, no per-cluster sort); oracle = recursive-CTE closure +
+    window rank — two different physical recipes for the same answer."""
+    from s2geometry_spark.operators import dedup, graph, text
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, tau=JACCARD_TAU
+    )
+    comp = graph.connected_components(pairs)
+    return graph.canonical_keep(comp, text.quality_score(docs))
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash banded Hamming pairs — bit-exact DuckDB oracle (portable
     md5-h64 feature hashes)."""
@@ -3387,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 5: never driver-checked, so first ---
         "cell_vector_codec": q_cell_vector_codec,
         "img_caption_conflict": q_img_caption_conflict,
+        "dedup_canonical": q_dedup_canonical,
         # --- new in r4 session 4: never driver-checked, so first ---
         "shape_index": q_shape_index,
         "shape_index_lookup": q_shape_index_lookup,
@@ -3909,6 +3926,12 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
             dedup.minhash_lsh_oracle_sql(
                 num_hashes=32, bands=16, n=JACCARD_N, tau=JACCARD_TAU
             )
+        ),
+        "dedup_canonical": graph.canonical_oracle_sql(
+            dedup.minhash_lsh_oracle_sql(
+                num_hashes=32, bands=16, n=JACCARD_N, tau=JACCARD_TAU
+            ),
+            text.quality_score_oracle_sql(),
         ),
         "dedup_simhash": dedup.simhash_oracle_sql(max_hamming=16),
         "text_fingerprint": text.fingerprint_oracle_sql(),
