@@ -3386,6 +3386,24 @@ def q_img_caption_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_conflict_pairs(pairs, captions)
 
 
+WEBMERC_ZOOM = 4
+
+
+def q_webmercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z/x/y map-tile assignment under BOTH s2projections.h projections
+    (MercatorProjection s2projections.h:128-152, PlateCarreeProjection
+    :97-126): per-(proj, xt, yt) counts at zoom 4.  Pure codegen — the
+    tile index is the count of precomputed boundary literals the point
+    lies past (half-plane sign tests for longitude, tanh/sin-folded z
+    comparisons for latitude), so there is NO transcendental and NO
+    Python in the plan; engine and oracle evaluate the identical
+    generated SQL text."""
+    from s2geometry_spark.operators.projections import projection_tiles
+
+    pts = _order_points_xyz(spark, sf_dir).select("pid", "x", "y", "z")
+    return projection_tiles(pts, WEBMERC_ZOOM)
+
+
 def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EncodedS2CellIdVector (encoded_s2cell_id_vector.cc:62-151) as a
     distributed storage op: per level-4 tile, encode the sorted distinct
@@ -3400,6 +3418,8 @@ def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- new in r4 session 6: never driver-checked, so first ---
+        "webmercator_tiles": q_webmercator_tiles,
         # --- new in r4 session 5: never driver-checked, so first ---
         "cell_vector_codec": q_cell_vector_codec,
         "img_caption_conflict": q_img_caption_conflict,
@@ -3838,7 +3858,13 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
 )"""
     from s2geometry_spark.operators.cellvec import cell_vector_codec_oracle_sql
 
+    from s2geometry_spark.operators.projections import projection_tiles_oracle_sql
+
     return {
+        "webmercator_tiles": projection_tiles_oracle_sql(
+            oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),
+            WEBMERC_ZOOM,
+        ),
         "cell_vector_codec": cell_vector_codec_oracle_sql(
             oracle.leaf_cell_sql_cte("orders", "o_orderkey"),
             oracle.parent_sql_expr("cell_leaf", 4),
