@@ -3386,6 +3386,44 @@ def q_img_caption_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_conflict_pairs(pairs, captions)
 
 
+def q_loop_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2::GetCurvature (s2loop_measures.cc:206-244) per loop: sum of
+    turn angles under the canonical traversal (GetCanonicalLoopOrder,
+    cc:290-330) with Kahan compensated summation, plus
+    GetCurvatureMaxError (cc:246).  Two loop families: star-ordered
+    customer chains (simple loops) and the raw closed chains (mostly
+    self-intersecting — longer mixed-sign angle sequences exercise the
+    compensation term), ids offset by 1e5.  The oracle replays the
+    identical operation order — turn angles as CTE columns, the Kahan
+    fold as a recursive CTE — so curvature is bit-exact, not approx."""
+    from s2geometry_spark.operators.curvature import loop_curvature
+    from s2geometry_spark.operators.validate import star_order_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    star = star_order_chains(spark, ca).withColumn(
+        "chain_id", F.col("chain_id") + F.lit(100000)
+    )
+    return loop_curvature(ca.unionByName(star))
+
+
+def _loop_curvature_oracle() -> str:
+    from s2geometry_spark.operators.curvature import curvature_oracle_sql
+    from s2geometry_spark.operators.validate import star_order_cte_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    star = star_order_cte_sql(raw)
+    union = (
+        f"SELECT chain_id, seq, x, y, z FROM ({raw}) "
+        f"UNION ALL SELECT chain_id + 100000 AS chain_id, seq, x, y, z FROM ({star})"
+    )
+    return curvature_oracle_sql(union)
+
+
 WEBMERC_ZOOM = 4
 
 
@@ -3420,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 6: never driver-checked, so first ---
         "webmercator_tiles": q_webmercator_tiles,
+        "loop_curvature": q_loop_curvature,
         # --- new in r4 session 5: never driver-checked, so first ---
         "cell_vector_codec": q_cell_vector_codec,
         "img_caption_conflict": q_img_caption_conflict,
@@ -3865,6 +3904,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
             oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),
             WEBMERC_ZOOM,
         ),
+        "loop_curvature": _loop_curvature_oracle(),
         "cell_vector_codec": cell_vector_codec_oracle_sql(
             oracle.leaf_cell_sql_cte("orders", "o_orderkey"),
             oracle.parent_sql_expr("cell_leaf", 4),
