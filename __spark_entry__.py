@@ -3386,6 +3386,39 @@ def q_img_caption_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_conflict_pairs(pairs, captions)
 
 
+def q_point_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 point compression (s2point_compression.cc:317-391 wire format,
+    pinned to the reference's own byte-size goldens in
+    tests/test_pointcodec.py): each customer chain's vertices are
+    snapped to cell centers (level 20 for every 5th vertex — off-center
+    at the level-18 encode level, exercising the raw tail — level 18
+    otherwise), run through encode/decode with a bit-exact round-trip
+    assert, and summarized.  The oracle recomputes the encoded byte
+    size ANALYTICALLY (face-run RLE, fixed first point, zigzag/
+    interleave varint widths, off-center tail) plus the decoded (pi,
+    qi) stream XORs, in pure integer SQL over the leaf coordinates."""
+    from s2geometry_spark.operators.pointcodec import chain_point_codec
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    return chain_point_codec(ca)
+
+
+def _point_vector_codec_oracle() -> str:
+    from s2geometry_spark import oracle
+    from s2geometry_spark.operators.pointcodec import point_codec_oracle_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    verts = (
+        f"WITH {cte}, {oracle.leaf_from_xyz_cte('axyz')} "
+        "SELECT chain_id, seq, face, i, j FROM leaf"
+    )
+    return point_codec_oracle_sql(verts)
+
+
 def q_loop_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2::GetCurvature (s2loop_measures.cc:206-244) per loop: sum of
     turn angles under the canonical traversal (GetCanonicalLoopOrder,
@@ -3459,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 6: never driver-checked, so first ---
         "webmercator_tiles": q_webmercator_tiles,
         "loop_curvature": q_loop_curvature,
+        "point_vector_codec": q_point_vector_codec,
         # --- new in r4 session 5: never driver-checked, so first ---
         "cell_vector_codec": q_cell_vector_codec,
         "img_caption_conflict": q_img_caption_conflict,
@@ -3905,6 +3939,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
             WEBMERC_ZOOM,
         ),
         "loop_curvature": _loop_curvature_oracle(),
+        "point_vector_codec": _point_vector_codec_oracle(),
         "cell_vector_codec": cell_vector_codec_oracle_sql(
             oracle.leaf_cell_sql_cte("orders", "o_orderkey"),
             oracle.parent_sql_expr("cell_leaf", 4),
