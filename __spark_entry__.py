@@ -3386,6 +3386,46 @@ def q_img_caption_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_conflict_pairs(pairs, captions)
 
 
+SHAPE_MEASURES_IDX = 8
+
+
+def q_shape_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s2shape_index_measures.cc parity: per distributed shape index
+    (index_id = id % 8 over points, polyline chains, polygon loops; the
+    tail indexes withhold higher dimensions so the max-dimension rule is
+    exercised at 0, 1 and 2), GetDimension / GetNumPoints / GetLength /
+    GetPerimeter / GetApproxArea (2*pi - curvature per loop,
+    s2loop_measures.cc:150).  All float sums are ORDER-DEFINED folds
+    replayed by recursive CTEs — never a bare SUM()."""
+    from s2geometry_spark.operators.shape_measures import shape_measures
+    from s2geometry_spark.operators.validate import star_order_chains
+
+    ca = _chain_points_df(
+        spark, sf_dir, "customer", _CHAIN_A_EXPR, _CHAIN_A_BASE, "c_custkey", "c_custkey"
+    )
+    n = SHAPE_MEASURES_IDX
+    lines = ca.where(F.col("chain_id") % n <= 6)
+    loops = star_order_chains(spark, ca).where(F.col("chain_id") % n <= 5)
+    pts = _order_points_xyz(spark, sf_dir).select("pid")
+    return shape_measures(spark, pts, lines, loops, n_indexes=n)
+
+
+def _shape_measures_oracle() -> str:
+    from s2geometry_spark.operators.shape_measures import shape_measures_oracle_sql
+    from s2geometry_spark.operators.validate import star_order_cte_sql
+
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    n = SHAPE_MEASURES_IDX
+    lines = f"SELECT * FROM ({raw}) WHERE chain_id % {n} <= 6"
+    star = star_order_cte_sql(raw)
+    loops = f"SELECT * FROM ({star}) WHERE chain_id % {n} <= 5"
+    points = "SELECT o_orderkey AS pid FROM orders"
+    return shape_measures_oracle_sql(lines, loops, points, n_indexes=n)
+
+
 def q_point_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 point compression (s2point_compression.cc:317-391 wire format,
     pinned to the reference's own byte-size goldens in
@@ -3493,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webmercator_tiles": q_webmercator_tiles,
         "loop_curvature": q_loop_curvature,
         "point_vector_codec": q_point_vector_codec,
+        "shape_measures": q_shape_measures,
         # --- new in r4 session 5: never driver-checked, so first ---
         "cell_vector_codec": q_cell_vector_codec,
         "img_caption_conflict": q_img_caption_conflict,
@@ -3940,6 +3981,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "loop_curvature": _loop_curvature_oracle(),
         "point_vector_codec": _point_vector_codec_oracle(),
+        "shape_measures": _shape_measures_oracle(),
         "cell_vector_codec": cell_vector_codec_oracle_sql(
             oracle.leaf_cell_sql_cte("orders", "o_orderkey"),
             oracle.parent_sql_expr("cell_leaf", 4),
