@@ -3349,6 +3349,24 @@ def q_ann_topk_sq8(spark, sf_dir):
     return ann.sq8_topk(emb, _emb_queries(emb), k=ANN_K, rerank=4)
 
 
+def q_emb_caption_align(spark, sf_dir):
+    """CLIP-style in-batch retrieval audit over the paired-embedding
+    corpus (even vec_id = image, odd = its caption): per pair, the true
+    caption's rank among its fixed-size batch and the top-1 margin —
+    recall@1 is THE curation gate for contrastive multimodal data."""
+    from s2geometry_spark.operators import ann
+
+    return ann.caption_alignment(_emb(spark, sf_dir), batch_pairs=32)
+
+
+def q_emb_hard_negatives(spark, sf_dir):
+    """Top-3 hardest in-batch negative captions per image (contrastive
+    hard-negative mining) — shares caption_alignment's ranked frame."""
+    from s2geometry_spark.operators import ann
+
+    return ann.hard_negatives(_emb(spark, sf_dir), batch_pairs=32, k=3)
+
+
 def q_img_caption_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal label-noise screen: perceptual near-dup image pairs
     whose captions DISAGREE (same photo crawled twice with drifted
@@ -3529,6 +3547,9 @@ def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- new in r4 session 7: never driver-checked, so first ---
+        "emb_caption_align": q_emb_caption_align,
+        "emb_hard_negatives": q_emb_hard_negatives,
         # --- new in r4 session 6: never driver-checked, so first ---
         "webmercator_tiles": q_webmercator_tiles,
         "loop_curvature": q_loop_curvature,
@@ -4091,6 +4112,10 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "ann_ivf_recall": ann.ivf_recall_oracle_sql(
             k=ANN_K, n_centroids=8, nprobe=2, qfilter=_ANN_QFILTER
+        ),
+        "emb_caption_align": ann.caption_alignment_oracle_sql(batch_pairs=32),
+        "emb_hard_negatives": ann.hard_negatives_oracle_sql(
+            batch_pairs=32, k=3
         ),
         "tile_hulls": _leaf_sql(
             f"SELECT {oracle.parent_sql_expr('cell_leaf', 2)} AS cell_l2, "

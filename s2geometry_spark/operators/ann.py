@@ -822,3 +822,144 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST(sum(tp) AS DOUBLE) / CAST(sum(nx) AS DOUBLE) AS recall,
        min(CAST(tp AS DOUBLE) / CAST(nx AS DOUBLE)) AS worst_q_recall
 FROM pq"""
+
+
+# ---------- CLIP-style caption/image alignment (multimodal curation) ----------
+#
+# A contrastive image/caption corpus is audited by in-batch retrieval: for
+# every (image, caption) pair, rank the image's cosine against every caption
+# in its batch and check the true caption wins (recall@1), exactly the
+# training-time objective of CLIP-style models.  Here "image embedding" =
+# even vec_id and "caption embedding" = the following odd vec_id — the
+# pairing a multimodal curation pipeline materializes before training.
+# Batches are FIXED SIZE (`batch_pairs`), so the batch join fans out a
+# constant 32x regardless of corpus size: linear at 100 TB, one equi-join
+# shuffle on batch_id, and the per-image window ranks only batch_pairs rows.
+
+
+def _paired_views(emb: DataFrame, batch_pairs: int):
+    """(image, caption) views keyed by pair id + fixed-size batch id."""
+    img = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.expr("vec_id DIV 2").alias("ipair"),
+        F.expr(f"(vec_id DIV 2) DIV {batch_pairs}").alias("batch_id"),
+        F.col("embedding").alias("i_emb"),
+    )
+    cap = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.expr("vec_id DIV 2").alias("cpair"),
+        F.expr(f"(vec_id DIV 2) DIV {batch_pairs}").alias("batch_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    return img, cap
+
+
+def _ranked_batch(emb: DataFrame, batch_pairs: int) -> DataFrame:
+    img, cap = _paired_views(emb, batch_pairs)
+    scored = img.join(cap, "batch_id").select(
+        "ipair",
+        "cpair",
+        cosine_expr(F.col("i_emb"), F.col("c_emb")).alias("cos"),
+    )
+    w = Window.partitionBy("ipair").orderBy(F.desc("cos"), F.asc("cpair"))
+    return scored.select(
+        "ipair", "cpair", "cos", F.row_number().over(w).alias("rnk")
+    )
+
+
+def caption_alignment(emb: DataFrame, batch_pairs: int = 32) -> DataFrame:
+    """Per-pair in-batch retrieval audit: (pair_id, true_rank, top1_pair,
+    true_cos, top1_cos, margin, aligned).  aligned=1 iff the true caption
+    is the image's nearest in-batch caption (margin is then exactly 0)."""
+    ranked = _ranked_batch(emb, batch_pairs)
+    true_c = F.col("cpair") == F.col("ipair")
+    return (
+        ranked.groupBy(F.col("ipair").alias("pair_id"))
+        .agg(
+            F.max(F.when(true_c, F.col("rnk"))).cast("long").alias("true_rank"),
+            F.max(F.when(F.col("rnk") == 1, F.col("cpair"))).alias("top1_pair"),
+            F.max(F.when(true_c, F.col("cos"))).alias("true_cos"),
+            F.max(F.when(F.col("rnk") == 1, F.col("cos"))).alias("top1_cos"),
+        )
+        .withColumn("margin", F.col("top1_cos") - F.col("true_cos"))
+        .withColumn("aligned", (F.col("true_rank") == 1).cast("int"))
+        .select(
+            "pair_id",
+            "true_rank",
+            "top1_pair",
+            "true_cos",
+            "top1_cos",
+            "margin",
+            "aligned",
+        )
+    )
+
+
+def hard_negatives(
+    emb: DataFrame, batch_pairs: int = 32, k: int = 3
+) -> DataFrame:
+    """Top-k hardest in-batch negative captions per image — the mining
+    step a contrastive trainer runs over the curated corpus.  Reuses the
+    caption_alignment ranking; negatives keep their deterministic order
+    (cos DESC, cpair ASC) so neg_rank 1 is the hardest negative."""
+    ranked = _ranked_batch(emb, batch_pairs)
+    neg = ranked.where(F.col("cpair") != F.col("ipair"))
+    w = Window.partitionBy("ipair").orderBy(F.asc("rnk"))
+    return (
+        neg.select(
+            F.col("ipair").alias("pair_id"),
+            F.row_number().over(w).cast("long").alias("neg_rank"),
+            F.col("cpair").alias("neg_pair"),
+            "cos",
+        )
+        .where(F.col("neg_rank") <= k)
+    )
+
+
+def _ranked_batch_ctes(batch_pairs: int, dim: int) -> str:
+    d = dot_sql("i.e", "c.e", dim)
+    ni = norm_sql("i.e", dim)
+    nc = norm_sql("c.e", dim)
+    return f"""
+img AS (SELECT vec_id // 2 AS ipair, (vec_id // 2) // {batch_pairs} AS batch_id,
+               embedding AS e
+        FROM embeddings WHERE vec_id % 2 = 0),
+cap AS (SELECT vec_id // 2 AS cpair, (vec_id // 2) // {batch_pairs} AS batch_id,
+               embedding AS e
+        FROM embeddings WHERE vec_id % 2 = 1),
+scored AS (SELECT i.ipair, c.cpair, ({d}) / (({ni}) * ({nc})) AS cos
+           FROM img i JOIN cap c ON i.batch_id = c.batch_id),
+ranked AS (SELECT ipair, cpair, cos,
+                  ROW_NUMBER() OVER (PARTITION BY ipair
+                                     ORDER BY cos DESC, cpair ASC) AS rnk
+           FROM scored)"""
+
+
+def caption_alignment_oracle_sql(batch_pairs: int = 32, dim: int = DIM) -> str:
+    """DuckDB replay: identical pairing, batching, left-assoc fold cosine,
+    window rank, and aggregation (rank/ids BIGINT-pinned)."""
+    return f"""
+WITH {_ranked_batch_ctes(batch_pairs, dim)}
+SELECT CAST(ipair AS BIGINT) AS pair_id,
+       CAST(MAX(CASE WHEN cpair = ipair THEN rnk END) AS BIGINT) AS true_rank,
+       CAST(MAX(CASE WHEN rnk = 1 THEN cpair END) AS BIGINT) AS top1_pair,
+       MAX(CASE WHEN cpair = ipair THEN cos END) AS true_cos,
+       MAX(CASE WHEN rnk = 1 THEN cos END) AS top1_cos,
+       MAX(CASE WHEN rnk = 1 THEN cos END)
+         - MAX(CASE WHEN cpair = ipair THEN cos END) AS margin,
+       CAST(CASE WHEN MAX(CASE WHEN cpair = ipair THEN rnk END) = 1
+                 THEN 1 ELSE 0 END AS INTEGER) AS aligned
+FROM ranked GROUP BY ipair"""
+
+
+def hard_negatives_oracle_sql(
+    batch_pairs: int = 32, k: int = 3, dim: int = DIM
+) -> str:
+    return f"""
+WITH {_ranked_batch_ctes(batch_pairs, dim)},
+neg AS (SELECT ipair, cpair, cos,
+               ROW_NUMBER() OVER (PARTITION BY ipair ORDER BY rnk ASC) AS neg_rank
+        FROM ranked WHERE cpair <> ipair)
+SELECT CAST(ipair AS BIGINT) AS pair_id,
+       CAST(neg_rank AS BIGINT) AS neg_rank,
+       CAST(cpair AS BIGINT) AS neg_pair,
+       cos
+FROM neg WHERE neg_rank <= {k}"""

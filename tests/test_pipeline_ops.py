@@ -308,3 +308,30 @@ def test_pack_assign_stream_is_gap_free_and_partition_invariant(docs):
         for r in text.pack_assign(docs.repartition(13)).collect()
     )
     assert got == again
+
+
+def test_caption_alignment_invariants(emb):
+    """aligned=1 iff true_rank=1 iff margin==0 exactly; every pair_id
+    appears once; hard negatives never include the true caption and
+    neg_rank 1's cosine bounds the rest of its image's negatives."""
+    align = ann.caption_alignment(emb, batch_pairs=32).toPandas()
+    n_pairs = emb.where(F.col("vec_id") % 2 == 0).count()
+    assert len(align) == n_pairs
+    assert align["pair_id"].is_unique
+    on_target = align[align["aligned"] == 1]
+    off_target = align[align["aligned"] == 0]
+    assert (on_target["true_rank"] == 1).all()
+    assert (on_target["margin"] == 0.0).all()  # top1 IS the true caption
+    assert (off_target["true_rank"] > 1).all()
+    assert (off_target["margin"] > 0.0).all()
+    assert (align["true_rank"] <= 32).all()
+
+    neg = ann.hard_negatives(emb, batch_pairs=32, k=3).toPandas()
+    assert (neg["neg_pair"] != neg["pair_id"]).all()
+    per_img = neg.groupby("pair_id")
+    assert (per_img["neg_rank"].max() <= 3).all()
+    # within each image, cosines are non-increasing in neg_rank
+    srt = neg.sort_values(["pair_id", "neg_rank"])
+    assert (
+        srt.groupby("pair_id")["cos"].apply(lambda s: s.is_monotonic_decreasing)
+    ).all()
