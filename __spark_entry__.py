@@ -398,6 +398,20 @@ def q_edge_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_crossing_join_cogrouped(spark, ea, eb, robust=False)
 
 
+def q_edge_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2::GetIntersection over every S2CrossingEdgeQuery hit
+    (s2edge_crossings.cc:520+ stable path): the edge_crossings cogrouped
+    join, but emitting the unit intersection point (ix,iy,iz) computed
+    map-side inside the cogroup — no second pass over the pair list."""
+    from s2geometry_spark.operators.edge_join import (
+        edge_intersection_join_cogrouped,
+    )
+
+    ea = _edges_df(spark, sf_dir, "orders", "o_orderkey", _EDGE_A_KEY2, "eid_a", "a")
+    eb = _edges_df(spark, sf_dir, "customer", "c_custkey", _EDGE_B_KEY2, "eid_b", "b")
+    return edge_intersection_join_cogrouped(spark, ea, eb, robust=False)
+
+
 def _customer_queries(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
     """customer-derived unit query points with leaf cells (pinned math)."""
     customer = _load(spark, sf_dir, "customer")
@@ -3550,6 +3564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 7: never driver-checked, so first ---
         "emb_caption_align": q_emb_caption_align,
         "emb_hard_negatives": q_emb_hard_negatives,
+        "edge_intersections": q_edge_intersections,
         # --- new in r4 session 6: never driver-checked, so first ---
         "webmercator_tiles": q_webmercator_tiles,
         "loop_curvature": q_loop_curvature,
@@ -3878,6 +3893,79 @@ sg0 AS (
 SELECT eid_a, eid_b FROM sg0
 WHERE db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s"""
 
+def _edge_intersections_oracle() -> str:
+    """The crossings oracle's pinned sign chain, then S2::GetIntersection's
+    stable-path arithmetic (na=(a0-a1)x(a0+a1), nb likewise, x=na x nb,
+    normalize, hemisphere sign-pick) in MATERIALIZED CTEs so DuckDB keeps
+    the exact IEEE op order of the NumPy kernel."""
+    ea = _edge_cte_sql("ea", "orders", "o_orderkey", _EDGE_A_KEY2, "o_orderkey AS eid_a", "a")
+    eb = _edge_cte_sql("eb", "customer", "c_custkey", _EDGE_B_KEY2, "c_custkey AS eid_b", "b")
+    return f"""WITH {ea}, {eb},
+pr AS (
+  SELECT eid_a, eid_b,
+    (a0y*a1z - a0z*a1y) AS nx, (a0z*a1x - a0x*a1z) AS ny, (a0x*a1y - a0y*a1x) AS nz,
+    (b0y*b1z - b0z*b1y) AS mx, (b0z*b1x - b0x*b1z) AS my, (b0x*b1y - b0y*b1x) AS mz,
+    a0x, a0y, a0z, a1x, a1y, a1z, b0x, b0y, b0z, b1x, b1y, b1z
+  FROM ea CROSS JOIN eb
+),
+dt AS (
+  SELECT *,
+    (nx*b0x + ny*b0y) + nz*b0z AS db0, (nx*b1x + ny*b1y) + nz*b1z AS db1,
+    (mx*a0x + my*a0y) + mz*a0z AS da0, (mx*a1x + my*a1y) + mz*a1z AS da1
+  FROM pr
+),
+sg0 AS (
+  SELECT *,
+    CASE WHEN abs(db0) <= 1e-15 THEN 0 ELSE sign(db0) END AS db0s,
+    CASE WHEN abs(db1) <= 1e-15 THEN 0 ELSE sign(db1) END AS db1s,
+    CASE WHEN abs(da0) <= 1e-15 THEN 0 ELSE sign(da0) END AS da0s,
+    CASE WHEN abs(da1) <= 1e-15 THEN 0 ELSE sign(da1) END AS da1s
+  FROM dt
+),
+cr AS MATERIALIZED (
+  SELECT eid_a, eid_b, a0x, a0y, a0z, a1x, a1y, a1z,
+         b0x, b0y, b0z, b1x, b1y, b1z
+  FROM sg0 WHERE db0s * db1s < 0 AND da0s * da1s < 0 AND db1s = da0s
+),
+dv AS MATERIALIZED (
+  SELECT eid_a, eid_b,
+    (a0x-a1x) AS dax, (a0y-a1y) AS day_, (a0z-a1z) AS daz,
+    (a0x+a1x) AS sax, (a0y+a1y) AS say_, (a0z+a1z) AS saz,
+    (b0x-b1x) AS dbx, (b0y-b1y) AS dby_, (b0z-b1z) AS dbz,
+    (b0x+b1x) AS sbx, (b0y+b1y) AS sby_, (b0z+b1z) AS sbz
+  FROM cr
+),
+nv AS MATERIALIZED (
+  SELECT eid_a, eid_b,
+    (day_*saz - daz*say_) AS nax, (daz*sax - dax*saz) AS nay,
+    (dax*say_ - day_*sax) AS naz,
+    (dby_*sbz - dbz*sby_) AS nbx, (dbz*sbx - dbx*sbz) AS nby,
+    (dbx*sby_ - dby_*sbx) AS nbz,
+    sax, say_, saz, sbx, sby_, sbz
+  FROM dv
+),
+xv AS MATERIALIZED (
+  SELECT eid_a, eid_b,
+    (nay*nbz - naz*nby) AS xx, (naz*nbx - nax*nbz) AS xy,
+    (nax*nby - nay*nbx) AS xz,
+    sax, say_, saz, sbx, sby_, sbz
+  FROM nv
+),
+un AS MATERIALIZED (
+  SELECT eid_a, eid_b,
+    xx / sqrt((xx*xx + xy*xy) + xz*xz) AS ux,
+    xy / sqrt((xx*xx + xy*xy) + xz*xz) AS uy,
+    xz / sqrt((xx*xx + xy*xy) + xz*xz) AS uz,
+    (sax+sbx) AS tx, (say_+sby_) AS ty, (saz+sbz) AS tz
+  FROM xv
+)
+SELECT eid_a, eid_b,
+  CASE WHEN (ux*tx + uy*ty) + uz*tz < CAST(0 AS DOUBLE) THEN -ux ELSE ux END AS ix,
+  CASE WHEN (ux*tx + uy*ty) + uz*tz < CAST(0 AS DOUBLE) THEN -uy ELSE uy END AS iy,
+  CASE WHEN (ux*tx + uy*ty) + uz*tz < CAST(0 AS DOUBLE) THEN -uz ELSE uz END AS iz
+FROM un"""
+
+
 def oracle_sql() -> dict[str, str]:
     p5 = oracle.parent_sql_expr("cell_leaf", 5)
     p12 = oracle.parent_sql_expr("cell_leaf", 12)
@@ -4009,6 +4097,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "hausdorff": hausdorff_sql,
         "edge_crossings": _edge_crossings_oracle(),
+        "edge_intersections": _edge_intersections_oracle(),
         "knn_edges": _knn_edges_oracle(),
         "project_to_edges": _project_to_edges_oracle(),
         "dist_to_boundary": _dist_to_boundary_oracle(),

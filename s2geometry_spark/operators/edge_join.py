@@ -360,3 +360,113 @@ def edge_crossing_join_cogrouped(
         .applyInPandas(group_cross, out_schema)
         .dropDuplicates(dedup_cols)
     )
+
+
+# ---------- intersection points (S2::GetIntersection) ----------
+
+
+def _intersection_points(A0, A1, B0, B1):
+    """Vectorized S2::GetIntersection stable path
+    (s2edge_crossings.cc:520+, kStable simple method) with PINNED
+    per-component arithmetic order so a SQL replay is bit-identical:
+    na = (a0-a1) x (a0+a1), nb likewise, x = na x nb, normalize, then
+    sign-pick x onto the hemisphere of (a0+a1)+(b0+b1).  Caller
+    guarantees the edges actually cross (norm > 0)."""
+    DA, SA = A0 - A1, A0 + A1
+    DB, SB = B0 - B1, B0 + B1
+    nax = DA[:, 1] * SA[:, 2] - DA[:, 2] * SA[:, 1]
+    nay = DA[:, 2] * SA[:, 0] - DA[:, 0] * SA[:, 2]
+    naz = DA[:, 0] * SA[:, 1] - DA[:, 1] * SA[:, 0]
+    nbx = DB[:, 1] * SB[:, 2] - DB[:, 2] * SB[:, 1]
+    nby = DB[:, 2] * SB[:, 0] - DB[:, 0] * SB[:, 2]
+    nbz = DB[:, 0] * SB[:, 1] - DB[:, 1] * SB[:, 0]
+    xx = nay * nbz - naz * nby
+    xy = naz * nbx - nax * nbz
+    xz = nax * nby - nay * nbx
+    nrm = np.sqrt((xx * xx + xy * xy) + xz * xz)
+    ux, uy, uz = xx / nrm, xy / nrm, xz / nrm
+    tx, ty, tz = SA[:, 0] + SB[:, 0], SA[:, 1] + SB[:, 1], SA[:, 2] + SB[:, 2]
+    flip = (ux * tx + uy * ty) + uz * tz < 0.0
+    sgn = np.where(flip, -1.0, 1.0)
+    return ux * sgn, uy * sgn, uz * sgn
+
+
+def edge_intersection_join_cogrouped(
+    spark: SparkSession,
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    robust: bool = False,
+    split_rounds: int = SPLIT_ROUNDS,
+    group_level: int = 4,
+) -> DataFrame:
+    """Interior-crossing join that also EMITS the intersection point
+    (eid_a, eid_b, ix, iy, iz) — the distributed form of running
+    S2::GetIntersection on every S2CrossingEdgeQuery hit.  Same cogrouped
+    term-table shape as edge_crossing_join_cogrouped (coordinates ride
+    the term tables, so the point kernel runs map-side in the cogroup);
+    duplicate candidate hits across term cells collapse in the final
+    dropDuplicates because the pinned arithmetic emits bit-identical
+    doubles for the same pair."""
+    ta = _term_table(edges_a, "eid_a", "a", "query", split_rounds, group_level)
+    tb = _term_table(edges_b, "eid_b", "b", "index", split_rounds, group_level)
+    out_schema = "eid_a long, eid_b long, ix double, iy double, iz double"
+
+    def group_points(key, adf: pd.DataFrame, bdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                "eid_a": pd.Series(dtype="int64"),
+                "eid_b": pd.Series(dtype="int64"),
+                "ix": pd.Series(dtype="float64"),
+                "iy": pd.Series(dtype="float64"),
+                "iz": pd.Series(dtype="float64"),
+            }
+        )
+        if len(adf) == 0 or len(bdf) == 0:
+            return empty
+        kb = (
+            bdf["term_cell"].to_numpy(np.int64).view(np.uint64) << np.uint64(1)
+        ) | bdf["is_covering"].to_numpy(bool).astype(np.uint64)
+        order = np.argsort(kb, kind="stable")
+        kb_s = kb[order]
+        B0 = bdf[["b0x", "b0y", "b0z"]].to_numpy(np.float64)[order]
+        B1 = bdf[["b1x", "b1y", "b1z"]].to_numpy(np.float64)[order]
+        b_ids = bdf["eid_b"].to_numpy(np.int64)[order]
+        ka = (
+            adf["term_cell"].to_numpy(np.int64).view(np.uint64) << np.uint64(1)
+        ) | adf["is_covering"].to_numpy(bool).astype(np.uint64)
+        lo = np.searchsorted(kb_s, ka, "left")
+        hi = np.searchsorted(kb_s, ka, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        ii = np.repeat(np.arange(len(ka)), cnt)
+        starts = np.zeros(len(ka), np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        jj = np.arange(total, dtype=np.int64) - starts[ii] + lo[ii]
+        A0 = adf[["a0x", "a0y", "a0z"]].to_numpy(np.float64)
+        A1 = adf[["a1x", "a1y", "a1z"]].to_numpy(np.float64)
+        a_ids = adf["eid_a"].to_numpy(np.int64)
+        A0i, A1i, B0j, B1j = A0[ii], A1[ii], B0[jj], B1[jj]
+        cross = predicates.edges_cross_batch(A0i, A1i, B0j, B1j, robust=robust)
+        if not cross.any():
+            return empty
+        ix, iy, iz = _intersection_points(
+            A0i[cross], A1i[cross], B0j[cross], B1j[cross]
+        )
+        return pd.DataFrame(
+            {
+                "eid_a": a_ids[ii[cross]],
+                "eid_b": b_ids[jj[cross]],
+                "ix": ix,
+                "iy": iy,
+                "iz": iz,
+            }
+        ).drop_duplicates()
+
+    return (
+        ta.groupBy("g")
+        .cogroup(tb.groupBy("g"))
+        .applyInPandas(group_points, out_schema)
+        .dropDuplicates(["eid_a", "eid_b"])
+    )

@@ -164,3 +164,35 @@ def test_crossing_type_all_vs_bruteforce(spark):
         if r.eid_a < r.eid_b
     }
     assert interior == {k for k, v in got.items() if v == 1}
+
+
+def test_edge_intersection_join_points(spark):
+    """The distributed intersection join finds exactly the brute-force
+    crossing pairs, and every emitted point matches the scalar
+    S2::GetIntersection kernel (booleanop.edge_intersection), is unit
+    length, lies on both edges' great circles, and inside both arcs."""
+    from s2geometry_spark.kernels.booleanop import edge_intersection
+    from s2geometry_spark.operators.edge_join import (
+        edge_intersection_join_cogrouped,
+    )
+
+    rng = np.random.default_rng(7)
+    A0, A1 = random_edges(rng, 40)
+    B0, B1 = random_edges(rng, 40)
+    da = to_df(spark, "a", np.arange(40), A0, A1)
+    db = to_df(spark, "b", np.arange(40), B0, B1)
+    rows = edge_intersection_join_cogrouped(spark, da, db, robust=True).collect()
+    got = {(r.eid_a, r.eid_b): np.array([r.ix, r.iy, r.iz]) for r in rows}
+    assert set(got) == brute_pairs(A0, A1, B0, B1)
+    assert len(got) > 0
+    for (i, j), x in got.items():
+        ref = edge_intersection(A0[i], A1[i], B0[j], B1[j])
+        assert np.allclose(x, ref, atol=1e-12)
+        assert abs(np.linalg.norm(x) - 1.0) < 1e-12
+        for p, q in ((A0[i], A1[i]), (B0[j], B1[j])):
+            n = np.cross(p, q)
+            assert abs(np.dot(n, x)) < 1e-12 * np.linalg.norm(n)
+            # inside the arc: x is on the positive side of both
+            # endpoint-perpendicular planes
+            assert np.dot(np.cross(n, p), x) > 0
+            assert np.dot(np.cross(q, n), x) > 0
