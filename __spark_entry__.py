@@ -206,6 +206,18 @@ def q_cellunion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_union_contains_join(spark, pts, _cap_coverings())
 
 
+def q_cell_index_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2CellIndex Build() range decomposition (s2cell_index.h:36-107,
+    s2cell_index.cc Build): data-derived labelled cells compiled into
+    non-overlapping leaf ranges x contents — RangeIterator +
+    ContentsIterator output in exploded form, computed with a two-level
+    distributed lead and an ancestor equi-join (no global window)."""
+    from s2geometry_spark.operators.cell_index import cell_index_ranges
+
+    pts = _order_points(spark, sf_dir)
+    return cell_index_ranges(pts)
+
+
 def q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Points inside >= 1 fixture loop (left_semi variant)."""
     from s2geometry_spark.operators.contains_join import contains_semi_join
@@ -3561,6 +3573,8 @@ def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- new in r4 session 8: never driver-checked, so first ---
+        "cell_index_ranges": q_cell_index_ranges,
         # --- new in r4 session 7: never driver-checked, so first ---
         "emb_caption_align": q_emb_caption_align,
         "emb_hard_negatives": q_emb_hard_negatives,
@@ -3706,6 +3720,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _leaf_sql(select: str) -> str:
     cte = oracle.leaf_cell_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
     return f"WITH {cte} {select}"
+
+
+def _cell_index_ranges_oracle() -> str:
+    """SQL replay of the S2CellIndex range table: identical labelled-cell
+    derivation (parent at the per-label level over the SQL-encoded leaf),
+    boundary multiset {range_min, range_max+2}, single-window lead (oracle
+    scale only), and a BETWEEN stabbing join for the contents."""
+    from s2geometry_spark.operators.cell_index import (
+        BASE_LEVEL,
+        LEVEL_SPAN,
+        N_LABELS,
+    )
+
+    lvls = list(range(BASE_LEVEL, BASE_LEVEL + LEVEL_SPAN))
+    pcase = (
+        "CASE lv "
+        + " ".join(
+            f"WHEN {lv} THEN {oracle.parent_sql_expr('cell_leaf', lv)}" for lv in lvls
+        )
+        + " END"
+    )
+    halfcase = (
+        "CASE lv "
+        + " ".join(f"WHEN {lv} THEN {(1 << (2 * (30 - lv))) - 1}" for lv in lvls)
+        + " END"
+    )
+    cte = oracle.leaf_cell_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid")
+    return f"""WITH {cte},
+lab AS (
+  SELECT pid % {N_LABELS} AS label,
+         CAST({BASE_LEVEL} + (pid % {N_LABELS}) % {LEVEL_SPAN} AS INTEGER) AS lv,
+         cell_leaf
+  FROM leaf
+),
+cells AS (
+  SELECT DISTINCT label, lv, {pcase} AS cid FROM lab
+),
+cr AS (
+  SELECT label, lv, cid,
+         cid - ({halfcase}) AS rmin,
+         cid + ({halfcase}) AS rmax
+  FROM cells
+),
+bounds AS (
+  SELECT DISTINCT b FROM (
+    SELECT rmin AS b FROM cr UNION ALL SELECT rmax + 2 AS b FROM cr
+  )
+),
+rng AS (
+  SELECT b AS range_start, lead(b) OVER (ORDER BY b) AS range_limit FROM bounds
+)
+SELECT r.range_start,
+       CAST(r.range_limit AS BIGINT) AS range_limit,
+       c.cid AS cell,
+       c.label,
+       c.lv
+FROM rng r
+JOIN cr c ON r.range_start BETWEEN c.rmin AND c.rmax
+WHERE r.range_limit IS NOT NULL"""
 
 
 def _cellunion_join_oracle() -> str:
@@ -4084,6 +4157,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
     from s2geometry_spark.operators.projections import projection_tiles_oracle_sql
 
     return {
+        "cell_index_ranges": _cell_index_ranges_oracle(),
         "webmercator_tiles": projection_tiles_oracle_sql(
             oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),
             WEBMERC_ZOOM,
