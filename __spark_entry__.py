@@ -3302,6 +3302,15 @@ def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_chunks(spark, sf_dir):
+    """Token-window chunking with overlap (the tokenize-and-chunk step
+    between curation and packing): fixed 64-token windows, stride 48,
+    md5-certified window content; map-only explode, no shuffle."""
+    from s2geometry_spark.operators import text
+
+    return text.doc_chunks(_docs(spark, sf_dir))
+
+
 def q_text_repetition(spark, sf_dir):
     """Repetition quality signals (dup-token ratio, top-bigram fraction,
     duplicated-trigram occurrence fraction — the Gopher/MassiveText
@@ -3575,6 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 8: never driver-checked, so first ---
         "cell_index_ranges": q_cell_index_ranges,
+        "text_chunks": q_text_chunks,
         # --- new in r4 session 7: never driver-checked, so first ---
         "emb_caption_align": q_emb_caption_align,
         "emb_hard_negatives": q_emb_hard_negatives,
@@ -4158,6 +4168,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
 
     return {
         "cell_index_ranges": _cell_index_ranges_oracle(),
+        "text_chunks": text.doc_chunks_oracle_sql(),
         "webmercator_tiles": projection_tiles_oracle_sql(
             oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),
             WEBMERC_ZOOM,

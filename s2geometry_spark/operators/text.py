@@ -861,3 +861,70 @@ folded AS (
 SELECT f.doc_id, dl, -(_ll) / CAST(dl AS DOUBLE) AS avg_nll
 FROM folded f JOIN dl USING (doc_id)
 """
+
+
+# ---------- token-window chunking ----------
+
+# sliding context windows: the tokenize-and-chunk step every LLM
+# training pipeline runs between curation and packing
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def doc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, start, chunk_len, chunk_md5): fixed-size token
+    windows with overlap.
+
+    Chunk k covers tokens [k*STRIDE, k*STRIDE + CHUNK); the chunk count
+    ceil(max(n - OVERLAP, 1) / STRIDE) guarantees every token is covered
+    and the final chunk carries > OVERLAP fresh tokens (no chunk is a
+    subset of its predecessor).  chunk_md5 certifies the exact token
+    content of every window.
+
+    Scale: one projection + one in-row explode — NO shuffle, no Python;
+    at 10^12 docs this is a map-only pass whose output partitioning
+    inherits the scan's.
+    """
+    w = words_col()
+    n = F.size(w).cast("long")
+    n_chunks = (
+        (F.greatest(n - F.lit(CHUNK_OVERLAP), F.lit(1)) + F.lit(CHUNK_STRIDE - 1))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("long")
+    base = docs.select("doc_id", w.alias("w"), n_chunks.alias("nc"))
+    out = base.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * F.lit(CHUNK_STRIDE)
+    piece = F.slice(F.col("w"), start + 1, F.lit(CHUNK_TOKENS))
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        start.cast("long").alias("start"),
+        F.size(piece).cast("long").alias("chunk_len"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+def doc_chunks_oracle_sql() -> str:
+    s, c, o = CHUNK_STRIDE, CHUNK_TOKENS, CHUNK_OVERLAP
+    return f"""
+WITH wrds AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST((greatest(len(w) - {o}, 1) + {s - 1}) // {s} AS BIGINT) AS nc
+  FROM documents
+)
+SELECT doc_id,
+       gs.chunk_id,
+       CAST(gs.chunk_id * {s} AS BIGINT) AS start,
+       CAST(len(list_slice(w, gs.chunk_id * {s} + 1, gs.chunk_id * {s} + {c}))
+            AS BIGINT) AS chunk_len,
+       md5(array_to_string(
+           list_slice(w, gs.chunk_id * {s} + 1, gs.chunk_id * {s} + {c}), ' '))
+         AS chunk_md5
+FROM wrds,
+     LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS chunk_id) gs
+"""

@@ -335,3 +335,49 @@ def test_caption_alignment_invariants(emb):
     assert (
         srt.groupby("pair_id")["cos"].apply(lambda s: s.is_monotonic_decreasing)
     ).all()
+
+
+def test_doc_chunks_brute_force(spark):
+    """doc_chunks vs a literal Python replay: every token covered, chunk
+    boundaries/stride/md5 exact, no chunk a subset of its predecessor."""
+    import hashlib
+    import math
+
+    from s2geometry_spark.operators.text import (
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunks,
+    )
+
+    texts = {
+        1: "a",                               # 1 token -> 1 chunk
+        2: " ".join(f"t{i}" for i in range(CHUNK_TOKENS)),        # exactly 1
+        3: " ".join(f"t{i}" for i in range(CHUNK_TOKENS + 1)),    # -> 2
+        4: " ".join(f"t{i}" for i in range(CHUNK_TOKENS + CHUNK_STRIDE)),  # full 2
+        5: " ".join(f"t{i}" for i in range(3 * CHUNK_STRIDE + CHUNK_OVERLAP + 7)),
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): r for r in doc_chunks(docs).collect()
+    }
+    n_rows = 0
+    for doc_id, t in texts.items():
+        w = t.split(" ")
+        n = len(w)
+        nc = math.ceil(max(n - CHUNK_OVERLAP, 1) / CHUNK_STRIDE)
+        covered = set()
+        for k in range(nc):
+            r = got[(doc_id, k)]
+            piece = w[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_TOKENS]
+            assert r.start == k * CHUNK_STRIDE
+            assert r.chunk_len == len(piece)
+            assert r.chunk_md5 == hashlib.md5(" ".join(piece).encode()).hexdigest()
+            if k > 0:
+                assert r.start + r.chunk_len > (k - 1) * CHUNK_STRIDE + CHUNK_TOKENS
+            covered.update(range(r.start, r.start + r.chunk_len))
+            n_rows += 1
+        assert covered == set(range(n)), f"doc {doc_id} not fully covered"
+    assert len(got) == n_rows
