@@ -2560,6 +2560,28 @@ def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAP_REL_R2_UNIT = 2.5e-4  # r2max = 7 units ~ RANGE_PAIRS_R2 scale
+
+
+def q_cap_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Cap pair algebra (s2cap.cc:73-87 Contains/Intersects/
+    InteriorIntersects on S1ChordAngle addition s1chord_angle.cc:75-110):
+    every intersecting cap pair + the relation flags, via the certified
+    grid-neighbor candidate join and one shared codegen SQL text."""
+    from s2geometry_spark.operators.caps import cap_pair_relations
+
+    return cap_pair_relations(
+        _customer_points_xyz(spark, sf_dir), CAP_REL_R2_UNIT
+    )
+
+
+def _cap_relations_oracle() -> str:
+    from s2geometry_spark.operators.caps import cap_pair_relations_oracle_sql
+
+    xyz_cte = oracle.xyz_sql_cte("customer", "c_custkey", keep_cols="c_custkey AS pid")
+    return cap_pair_relations_oracle_sql(xyz_cte, CAP_REL_R2_UNIT)
+
+
 def _range_pairs_oracle_at(r2: float) -> str:
     """Brute-force O(n^2) pair join with the identical pinned chord^2."""
     xyz_cte = oracle.xyz_sql_cte("customer", "c_custkey", keep_cols="c_custkey AS pid")
@@ -3585,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 8: never driver-checked, so first ---
         "cell_index_ranges": q_cell_index_ranges,
         "text_chunks": q_text_chunks,
+        "cap_relations": q_cap_relations,
         # --- new in r4 session 7: never driver-checked, so first ---
         "emb_caption_align": q_emb_caption_align,
         "emb_hard_negatives": q_emb_hard_negatives,
@@ -4169,6 +4192,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
     return {
         "cell_index_ranges": _cell_index_ranges_oracle(),
         "text_chunks": text.doc_chunks_oracle_sql(),
+        "cap_relations": _cap_relations_oracle(),
         "webmercator_tiles": projection_tiles_oracle_sql(
             oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),
             WEBMERC_ZOOM,
