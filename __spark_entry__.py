@@ -2560,6 +2560,102 @@ def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _polyline_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic directed edge set with paths, branch vertices,
+    duplicate edges, and complete all-interior cycles: path edges from
+    integer-mixed endpoints over a FIXED 4096-vertex space (density —
+    and therefore branching — grows with sf, so chain lengths stay
+    bounded), plus 3-cycles per orderkey decade."""
+    pid = F.col("pid")
+    base = _load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("pid"))
+    src_p = F.expr("1000000 + ((pid * 1103515245 + 12345) % 2147483648) % 4096")
+    dst_p = F.expr("1000000 + (((pid + 777) * 69069 + 1) % 2147483648) % 4096")
+    path = (
+        base.where(pid % 10 < 7)
+        .select(pid.alias("eid"), src_p.alias("src"), dst_p.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    loops = base.where(pid % 10 >= 7).select(
+        pid.alias("eid"),
+        F.expr("2000000 + (pid div 10) * 3 + (pid % 10 - 7)").alias("src"),
+        F.expr("2000000 + (pid div 10) * 3 + ((pid % 10 - 7 + 1) % 3)").alias("dst"),
+    )
+    return path.unionByName(loops)
+
+
+def q_polyline_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2PolylineVectorLayer / Graph::GetPolylines(PATH)
+    (s2builderutil_s2polyline_vector_layer.h:41-90,
+    s2builder_graph.cc:635-787): directed edges assembled into maximal
+    polylines split at every non-interior vertex, leftover cycles
+    canonicalized with the max edge id last."""
+    from s2geometry_spark.operators.polyline_layer import assemble_polylines
+
+    return assemble_polylines(_polyline_graph_edges(spark, sf_dir))
+
+
+def _polyline_assembly_oracle() -> str:
+    """Full SQL replay: degree tables -> interior vertices -> next
+    links -> recursive walks from every edge; paths keyed by their
+    heads, cycles by the successor of the per-cycle max edge id."""
+    return """WITH RECURSIVE
+base AS (SELECT o_orderkey AS pid FROM orders),
+edges AS (
+  SELECT pid AS eid,
+         1000000 + ((pid * 1103515245 + 12345) % 2147483648) % 4096 AS src,
+         1000000 + (((pid + 777) * 69069 + 1) % 2147483648) % 4096 AS dst
+  FROM base WHERE pid % 10 < 7
+    AND 1000000 + ((pid * 1103515245 + 12345) % 2147483648) % 4096
+     <> 1000000 + (((pid + 777) * 69069 + 1) % 2147483648) % 4096
+  UNION ALL
+  SELECT pid AS eid,
+         2000000 + (pid // 10) * 3 + (pid % 10 - 7) AS src,
+         2000000 + (pid // 10) * 3 + ((pid % 10 - 7 + 1) % 3) AS dst
+  FROM base WHERE pid % 10 >= 7
+),
+outd AS (SELECT src AS v, count(*) AS outd FROM edges GROUP BY 1),
+ind  AS (SELECT dst AS v, count(*) AS ind  FROM edges GROUP BY 1),
+iv AS (SELECT v FROM outd JOIN ind USING (v) WHERE outd = 1 AND ind = 1),
+nx AS (
+  SELECT e.eid, f.eid AS nxt
+  FROM edges e JOIN iv ON e.dst = iv.v JOIN edges f ON e.dst = f.src
+),
+heads AS (SELECT eid FROM edges WHERE eid NOT IN (SELECT nxt FROM nx)),
+wk AS (
+  SELECT eid AS start, eid AS cur, 0 AS seq FROM edges
+  UNION ALL
+  SELECT w.start, nx.nxt, w.seq + 1
+  FROM wk w JOIN nx ON w.cur = nx.eid
+  WHERE nx.nxt <> w.start
+),
+path_rows AS (
+  SELECT min(w.cur) OVER (PARTITION BY w.start) AS chain_id,
+         w.seq, w.cur AS eid, FALSE AS is_loop
+  FROM wk w JOIN heads h ON w.start = h.eid
+),
+loop_eids AS (
+  SELECT eid FROM edges WHERE eid NOT IN (SELECT eid FROM path_rows)
+),
+cyc_max AS (
+  SELECT w.start, max(w.cur) AS mx
+  FROM wk w JOIN loop_eids le ON w.start = le.eid
+  GROUP BY w.start
+  HAVING w.start = max(w.cur)
+),
+canon AS (SELECT nx.nxt AS eid FROM cyc_max cm JOIN nx ON cm.mx = nx.eid),
+loop_rows AS (
+  SELECT min(w.cur) OVER (PARTITION BY w.start) AS chain_id,
+         w.seq, w.cur AS eid, TRUE AS is_loop
+  FROM wk w JOIN canon c ON w.start = c.eid
+),
+allrows AS (
+  SELECT * FROM path_rows UNION ALL SELECT * FROM loop_rows
+)
+SELECT CAST(r.chain_id AS BIGINT) AS chain_id, CAST(r.seq AS BIGINT) AS seq,
+       r.eid, e.src, e.dst, r.is_loop
+FROM allrows r JOIN edges e USING (eid)"""
+
+
 CAP_REL_R2_UNIT = 2.5e-4  # r2max = 7 units ~ RANGE_PAIRS_R2 scale
 
 
@@ -3608,6 +3704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_ranges": q_cell_index_ranges,
         "text_chunks": q_text_chunks,
         "cap_relations": q_cap_relations,
+        "polyline_assembly": q_polyline_assembly,
         # --- new in r4 session 7: never driver-checked, so first ---
         "emb_caption_align": q_emb_caption_align,
         "emb_hard_negatives": q_emb_hard_negatives,
@@ -4193,6 +4290,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "cell_index_ranges": _cell_index_ranges_oracle(),
         "text_chunks": text.doc_chunks_oracle_sql(),
         "cap_relations": _cap_relations_oracle(),
+        "polyline_assembly": _polyline_assembly_oracle(),
         "webmercator_tiles": projection_tiles_oracle_sql(
             oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),
             WEBMERC_ZOOM,
