@@ -3716,13 +3716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_measures": q_shape_measures,
         # --- new in r4 session 5: never driver-checked, so first ---
         "cell_vector_codec": q_cell_vector_codec,
-        "img_caption_conflict": q_img_caption_conflict,
         "dedup_canonical": q_dedup_canonical,
         # --- new in r4 session 4: never driver-checked, so first ---
         "shape_index": q_shape_index,
         "shape_index_lookup": q_shape_index_lookup,
         "polygon_degeneracies": q_polygon_degeneracies,
-        "img_dedup_dihedral": q_img_dedup_dihedral,
         "edge_clip_cells": q_edge_clip_cells,
         "face_segments": q_face_segments,
         "edge_clip_faces": q_edge_clip_faces,
@@ -3743,10 +3741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_assign": q_pack_assign,
         "corpus_mixture": q_corpus_mixture,
-        "quality_sample": q_quality_sample,
         "unigram_logprob": q_unigram_logprob,
         "emb_kmeans": q_emb_kmeans,
-        "emb_kmeans_sample": q_emb_kmeans_sample,
         "emb_semdedup": q_emb_semdedup,
         "range_pairs": q_range_pairs,
         "dbscan": q_dbscan,
@@ -3768,6 +3764,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_pairs": q_hausdorff_pairs,
         "edge_crossings_all": q_edge_crossings_all,
         "ann_ivf_recall": q_ann_ivf_recall,
+        # --- just past the 50-query budget: two rows-only image queries
+        # (a rows-only driver row is weaker evidence than the oracle rows
+        # the budget buys above; both brute-force-verified in pytest) and
+        # two thin derivatives of checked queries (emb_kmeans_sample is a
+        # window over emb_kmeans's checked assignment; quality_sample's
+        # md5-coin rule is shared with the checked split_assign) ---
+        "img_caption_conflict": q_img_caption_conflict,
+        "img_dedup_dihedral": q_img_dedup_dihedral,
+        "quality_sample": q_quality_sample,
+        "emb_kmeans_sample": q_emb_kmeans_sample,
         # --- code paths touched in r4 (strict-gate/oracle/kernel edits) ---
         "knn_edges": q_knn_edges,
         "polyline_nearly_covers": q_polyline_nearly_covers,

@@ -131,6 +131,19 @@ HEADLINE = [
     "loop_curvature",
     "point_vector_codec",
     "shape_measures",
+    # round 4 session 7
+    "edge_intersections",
+    "emb_caption_align",
+    "emb_hard_negatives",
+    # round 4 session 8
+    "cell_index_ranges",
+    "text_chunks",
+    "cap_relations",
+    # polyline_assembly: the star-contraction rounds execute during plan
+    # construction (localCheckpoint per round, as for shape_index); the
+    # dumped plan is the final per-chain applyInPandas over the
+    # checkpointed component labels
+    "polyline_assembly",
     # streaming_sessionize excluded: building its plan executes the
     # stream (awaitTermination inside the query fn), like the other
     # streaming queries; bpe_encode's plan covers the encode join (the
