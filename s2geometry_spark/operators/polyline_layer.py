@@ -25,10 +25,19 @@ If two edges shared a successor its source would have indegree >= 2
 
 Distributed plan: two hash-agg degree tables, one equi-join to build
 the links, large/small-star contraction (operators/graph) to label
-chains with their min edge id in O(log n) rounds, then ONE
-applyInPandas per chain to sequence it (group size == polyline length,
-the natural bounded unit — same justification as every per-chain
-kernel in this engine).  No driver-side graph state.
+chains with their min edge id in O(log n) rounds, then applyInPandas
+to sequence the multi-edge chains.  Two overhead rules learned the
+hard way (BENCH.md §3):
+
+* single-edge polylines (an edge in NO link — the overwhelmingly
+  common case in branch-dense graphs) never enter Python at all: they
+  are a pure-Catalyst anti-join projection.  Without this, a graph of
+  n mostly-isolated edges pays n per-group pandas invocations
+  (measured: 121 s at sf0.1, vs ~3 s after);
+* multi-edge chains are grouped by a 256-bucket hash of the chain
+  label with in-group pandas slicing, not one group per chain.
+
+No driver-side graph state.
 """
 
 from __future__ import annotations
@@ -72,6 +81,15 @@ def _sequence_chain(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _sequence_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One pandas invocation per chain-label bucket: sequence every
+    chain in the bucket with in-group slicing."""
+    return pd.concat(
+        [_sequence_chain(g) for _, g in pdf.groupby("chain_id", sort=False)],
+        ignore_index=True,
+    )
+
+
 def assemble_polylines(edges: DataFrame) -> DataFrame:
     """edges(eid, src, dst) -> (chain_id, seq, eid, src, dst, is_loop):
     the PATH polyline decomposition, chain_id = min edge id of the
@@ -90,12 +108,24 @@ def assemble_polylines(edges: DataFrame) -> DataFrame:
         .join(f, F.col("e.dst") == F.col("f.src"))
         .select(F.col("e.eid").alias("eid"), F.col("f.eid").alias("nxt"))
     )
-    comp = connected_components(links, "eid", "nxt", node_col="eid", label_col="chain_id")
-    labeled = (
-        edges.join(links, "eid", "left")
-        .join(comp, "eid", "left")
-        .withColumn("chain_id", F.coalesce("chain_id", "eid"))
+    comp = connected_components(
+        links, "eid", "nxt", node_col="eid", label_col="chain_id"
     )
-    return labeled.groupBy("chain_id").applyInPandas(
-        lambda pdf: _sequence_chain(pdf), _OUT_SCHEMA
+    # comp covers exactly the edges participating in a link (multi-edge
+    # chains); everything else is a single-edge polyline and stays JVM-side
+    trivial = edges.join(comp.select("eid"), "eid", "left_anti").select(
+        F.col("eid").alias("chain_id"),
+        F.lit(0).cast("long").alias("seq"),
+        "eid",
+        "src",
+        "dst",
+        F.lit(False).alias("is_loop"),
     )
+    seqd = (
+        edges.join(comp, "eid")
+        .join(links, "eid", "left")
+        .withColumn("bkt", F.pmod(F.col("chain_id"), F.lit(256)))
+        .groupBy("bkt")
+        .applyInPandas(lambda pdf: _sequence_bucket(pdf), _OUT_SCHEMA)
+    )
+    return seqd.unionByName(trivial)
