@@ -2656,6 +2656,51 @@ SELECT CAST(r.chain_id AS BIGINT) AS chain_id, CAST(r.seq AS BIGINT) AS seq,
 FROM allrows r JOIN edges e USING (eid)"""
 
 
+def q_rect_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2LatLngRect pair algebra (r1interval.h:114-199,
+    s1interval.cc:62-281, s2latlng_rect.cc Contains/Intersects/Union/
+    Intersection): per adjacent-key rect pair, the relation flags plus
+    Union and Intersection endpoints with full longitude-wrap
+    semantics — one shared generated SQL text, no transcendentals."""
+    from s2geometry_spark.operators import rect_algebra as ra
+
+    cust = _load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("pid"))
+    synth = ra.rect_synth_exprs("pid")
+    rects = cust.select(
+        "pid", *[F.expr(v).alias(k) for k, v in synth.items()]
+    )
+    a = rects.where(F.col("pid") % 2 == 0).select(
+        F.col("pid").alias("pair_id"),
+        *[F.col(k).alias(f"a{k}") for k in synth],
+    )
+    b = rects.where(F.col("pid") % 2 == 1).select(
+        (F.col("pid") - 1).alias("pair_id"),
+        *[F.col(k).alias(f"b{k}") for k in synth],
+    )
+    j = a.join(b, "pair_id")
+    return j.select(
+        "pair_id",
+        *[F.expr(v).alias(k) for k, v in ra.rect_pair_exprs().items()],
+    )
+
+
+def _rect_algebra_oracle() -> str:
+    from s2geometry_spark.operators import rect_algebra as ra
+
+    synth = ra.rect_synth_exprs("pid")
+    synth_cols = ", ".join(f"{v} AS {k}" for k, v in synth.items())
+    acols = ", ".join(f"{k} AS a{k}" for k in synth)
+    bcols = ", ".join(f"{k} AS b{k}" for k in synth)
+    outs = ", ".join(f"{v} AS {k}" for k, v in ra.rect_pair_exprs().items())
+    return f"""
+WITH r AS (SELECT c_custkey AS pid, {synth_cols} FROM customer),
+a AS (SELECT pid AS pair_id, {acols} FROM r WHERE pid % 2 = 0),
+b AS (SELECT pid - 1 AS pair_id, {bcols} FROM r WHERE pid % 2 = 1)
+SELECT pair_id, {outs}
+FROM a JOIN b USING (pair_id)
+"""
+
+
 CAP_REL_R2_UNIT = 2.5e-4  # r2max = 7 units ~ RANGE_PAIRS_R2 scale
 
 
@@ -3705,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "cap_relations": q_cap_relations,
         "polyline_assembly": q_polyline_assembly,
+        "rect_algebra": q_rect_algebra,
         # --- new in r4 session 7: never driver-checked, so first ---
         "emb_caption_align": q_emb_caption_align,
         "emb_hard_negatives": q_emb_hard_negatives,
@@ -3740,7 +3786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget runs in dict order, so these MUST come first (VERDICT r3 #2) ---
         "decontaminate": q_decontaminate,
         "pack_assign": q_pack_assign,
-        "corpus_mixture": q_corpus_mixture,
         "unigram_logprob": q_unigram_logprob,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
@@ -3774,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_dedup_dihedral": q_img_dedup_dihedral,
         "quality_sample": q_quality_sample,
         "emb_kmeans_sample": q_emb_kmeans_sample,
+        "corpus_mixture": q_corpus_mixture,
         # --- code paths touched in r4 (strict-gate/oracle/kernel edits) ---
         "knn_edges": q_knn_edges,
         "polyline_nearly_covers": q_polyline_nearly_covers,
@@ -4297,6 +4343,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "text_chunks": text.doc_chunks_oracle_sql(),
         "cap_relations": _cap_relations_oracle(),
         "polyline_assembly": _polyline_assembly_oracle(),
+        "rect_algebra": _rect_algebra_oracle(),
         "webmercator_tiles": projection_tiles_oracle_sql(
             oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),
             WEBMERC_ZOOM,

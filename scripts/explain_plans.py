@@ -139,6 +139,7 @@ HEADLINE = [
     "cell_index_ranges",
     "text_chunks",
     "cap_relations",
+    "rect_algebra",
     # polyline_assembly: the star-contraction rounds execute during plan
     # construction (localCheckpoint per round, as for shape_index); the
     # dumped plan is the final per-chain applyInPandas over the
