@@ -64,22 +64,27 @@ def labelled_cells(pts: DataFrame, pid: str = "pid", cell: str = "cell") -> Data
     that label's level.
     """
     lab = F.pmod(F.col(pid), F.lit(N_LABELS)).cast("long")
-    branches = []
-    for k in range(LEVEL_SPAN):
-        lv = BASE_LEVEL + k
-        branches.append(
-            pts.where(F.pmod(lab, F.lit(LEVEL_SPAN)) == k).select(
-                lab.alias("label"),
-                F.lit(lv).cast("int").alias("lv"),
-                parent_expr(cell, lv).alias("cid"),
-                range_min_expr(parent_expr(cell, lv), lv).alias("rmin"),
-                range_max_expr(parent_expr(cell, lv), lv).alias("rmax"),
-            )
-        )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out.distinct()
+    k = F.pmod(lab, F.lit(LEVEL_SPAN))
+    # ONE scan: per-level constant parent expressions selected by a
+    # when-chain (a 4-way union re-scans the fact table 4 times)
+    cid = None
+    for i in range(LEVEL_SPAN - 1, -1, -1):
+        p = parent_expr(cell, BASE_LEVEL + i)
+        cid = p if cid is None else F.when(k == i, p).otherwise(cid)
+    cells = pts.select(
+        lab.alias("label"),
+        (F.lit(BASE_LEVEL) + k).cast("int").alias("lv"),
+        cid.alias("cid"),
+    ).distinct()
+    # rmin/rmax from the id's own lsb (biased ids keep the raw lsb:
+    # the bias flips only bit 63, far above any cell's lowest set bit)
+    return cells.select(
+        "label",
+        "lv",
+        "cid",
+        F.expr("cid - (cid & -cid) + 1").alias("rmin"),
+        F.expr("cid + (cid & -cid) - 1").alias("rmax"),
+    )
 
 
 def index_ranges(cells: DataFrame) -> DataFrame:
@@ -110,21 +115,24 @@ def index_ranges(cells: DataFrame) -> DataFrame:
         .select(F.col("b").alias("range_start"), "range_limit")
     )
     # contents: parent of the start leaf at each indexed level,
-    # equi-joined against the cell table (ancestor-term resolution)
-    probes = []
-    for k in range(LEVEL_SPAN):
-        lv = BASE_LEVEL + k
-        probes.append(
-            ranges.select(
-                "range_start",
-                "range_limit",
-                F.lit(lv).cast("int").alias("lv"),
-                parent_expr("range_start", lv).alias("cid"),
+    # equi-joined against the cell table (ancestor-term resolution);
+    # the level fan-out is ONE in-row explode, not a 4-way union
+    # (a union would recompute the range derivation per branch)
+    probe = ranges.select(
+        "range_start",
+        "range_limit",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(BASE_LEVEL + k).cast("int").alias("lv"),
+                        parent_expr("range_start", BASE_LEVEL + k).alias("cid"),
+                    )
+                    for k in range(LEVEL_SPAN)
+                ]
             )
-        )
-    probe = probes[0]
-    for p in probes[1:]:
-        probe = probe.unionByName(p)
+        ).alias("p"),
+    ).select("range_start", "range_limit", "p.lv", "p.cid")
     return probe.join(cells.select("label", "lv", "cid"), ["lv", "cid"]).select(
         "range_start",
         F.col("range_limit").cast("long").alias("range_limit"),
