@@ -2656,6 +2656,343 @@ SELECT CAST(r.chain_id AS BIGINT) AS chain_id, CAST(r.seq AS BIGINT) AS seq,
 FROM allrows r JOIN edges e USING (eid)"""
 
 
+_LOOP_EID_BASE = 268435456  # 2^28: eid = src*2^28 + dst — order-isomorphic
+# to the reference's (src, dst)-sorted edge array (no duplicate directed
+# edges in the fixture), so every eid comparison matches the C++ edge ids
+_LOOP_CENTER = 200000000  # flower-center vertex pool, disjoint from pid*8+k
+
+
+def _wide_unit_xyz_sql(key: str) -> dict[str, str]:
+    """Unit-vector SQL (identical text for Spark and DuckDB) from an
+    integer key, on a ~2048^3-times finer grid than sql_xyz_exprs's
+    [-1000,1000]^3 lattice: three independent triplet draws combined
+    with stride 2048.  The coarse lattice has exactly-coplanar incident
+    direction triples at ~1/2001 per pair, which would make the
+    clockwise vertex orderings of loop assembly tie; the wide grid
+    pushes exact ties below ~1e-9 per pair."""
+    from s2geometry_spark.kernels.geotag import sql_xyz_exprs
+
+    a = sql_xyz_exprs(f"({key})")
+    b = sql_xyz_exprs(f"((({key})*31 + 7) % 999983)")
+    c = sql_xyz_exprs(f"((({key})*37 + 11) % 999979)")
+    comp = {
+        k: f"(({a[k]})*4194304 + ({b[k]})*2048 + ({c[k]}))"
+        for k in ("x0", "y0", "z0")
+    }
+    nrm = "sqrt(" + " + ".join(
+        f"CAST({comp[k]} AS DOUBLE)*CAST({comp[k]} AS DOUBLE)"
+        for k in ("x0", "y0", "z0")
+    ) + ")"
+    return {
+        ax: f"(CAST({comp[k]} AS DOUBLE) / {nrm})"
+        for ax, k in zip("xyz", ("x0", "y0", "z0"))
+    }
+
+
+def _loop_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge fixture for Graph::GetDirectedLoops(SIMPLE): each
+    orderkey contributes one complete directed cycle (so indegree ==
+    outdegree holds at every vertex for ANY key subset — loops can
+    share vertices without breaking the invariant):
+
+    * pid%4==0 — triangle petal through a per-family shared center
+      vertex (pid div 64): flowers whose left-turn map interleaves
+      petals, exercising the clockwise vertex ordering + stack
+      matching + SIMPLE peeling across loops;
+    * pid%4==1 — quad whose input-edge ids are (h, h, h-3, h-2): a
+      duplicated run from a snap-split input edge, exercising the
+      CanonicalizeLoopOrder saw_gap rotation;
+    * pid%4==2 — sibling pair (u->w, w->u): the AddVertexEdges out/in
+      interleave forming a degenerate two-edge loop;
+    * pid%4==3 — figure-eight of two triangles sharing one vertex:
+      in-cycle peeling at a 4-endpoint vertex.
+    """
+    base = _load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("pid"))
+
+    def s(iid: str, src: str, dst: str):
+        return F.struct(
+            F.expr(iid).cast("long").alias("iid"),
+            F.expr(src).cast("long").alias("src"),
+            F.expr(dst).cast("long").alias("dst"),
+        )
+
+    c = f"{_LOOP_CENTER} + pid div 64"
+    arms = base.withColumn(
+        "e",
+        F.explode(
+            F.when(
+                F.expr("pid % 4 = 0"),
+                F.array(
+                    s("pid*8", c, "pid*8"),
+                    s("pid*8+1", "pid*8", "pid*8+1"),
+                    s("pid*8+2", "pid*8+1", c),
+                ),
+            )
+            .when(
+                F.expr("pid % 4 = 1"),
+                F.array(
+                    s("pid*8+7", "pid*8", "pid*8+1"),
+                    s("pid*8+7", "pid*8+1", "pid*8+2"),
+                    s("pid*8+4", "pid*8+2", "pid*8+3"),
+                    s("pid*8+5", "pid*8+3", "pid*8"),
+                ),
+            )
+            .when(
+                F.expr("pid % 4 = 2"),
+                F.array(
+                    s("pid*8", "pid*8", "pid*8+1"),
+                    s("pid*8+1", "pid*8+1", "pid*8"),
+                ),
+            )
+            .otherwise(
+                F.array(
+                    s("pid*8", "pid*8+6", "pid*8"),
+                    s("pid*8+1", "pid*8", "pid*8+1"),
+                    s("pid*8+2", "pid*8+1", "pid*8+6"),
+                    s("pid*8+3", "pid*8+6", "pid*8+2"),
+                    s("pid*8+4", "pid*8+2", "pid*8+3"),
+                    s("pid*8+5", "pid*8+3", "pid*8+6"),
+                ),
+            )
+        ),
+    ).select(
+        F.col("e.iid").alias("iid"),
+        F.col("e.src").alias("src"),
+        F.col("e.dst").alias("dst"),
+        # builder-graph id: the flower family for petals, the pid
+        # otherwise; merging vertex-disjoint graphs under one gid is
+        # harmless (assemble_loops_grouped contract), splitting is not
+        F.expr(
+            "CASE WHEN pid % 4 = 0 THEN pid div 64 ELSE pid END"
+        ).alias("gid"),
+    )
+    bare = arms.select(
+        F.expr(f"src * {_LOOP_EID_BASE} + dst").alias("eid"),
+        "iid",
+        "src",
+        "dst",
+        "gid",
+    )
+
+    # the wide unit-vector expression trees cost seconds of codegen as
+    # Spark SQL (BENCH.md §3: giant unrolled column expressions); one
+    # Arrow-batched NumPy pass computes the identical values
+    def _coords(batches):
+        import pandas as pd
+
+        from s2geometry_spark.kernels.geotag import wide_unit_xyz
+
+        for pdf in batches:
+            sx, sy, sz = wide_unit_xyz(pdf["src"].to_numpy())
+            dx, dy, dz = wide_unit_xyz(pdf["dst"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "eid": pdf["eid"],
+                    "iid": pdf["iid"],
+                    "src": pdf["src"],
+                    "dst": pdf["dst"],
+                    "gid": pdf["gid"],
+                    "sx": sx,
+                    "sy": sy,
+                    "sz": sz,
+                    "dx": dx,
+                    "dy": dy,
+                    "dz": dz,
+                }
+            )
+
+    return bare.mapInPandas(
+        _coords,
+        "eid long, iid long, src long, dst long, gid long, sx double, "
+        "sy double, sz double, dx double, dy double, dz double",
+    )
+
+
+def q_loop_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2PolygonLayer loop assembly / Graph::GetDirectedLoops(SIMPLE)
+    (s2builderutil_s2polygon_layer.h; s2builder_graph.cc:367-417 on
+    GetLeftTurnMap .cc:236-321 + AddVertexEdges .cc:196-234): directed
+    edges assembled into vertex-simple loops by clockwise left turns,
+    peeled at repeated vertices, each loop rotated per
+    CanonicalizeLoopOrder and keyed for CanonicalizeVectorOrder."""
+    from s2geometry_spark.operators.polygon_layer import assemble_loops_grouped
+
+    return assemble_loops_grouped(_loop_graph_edges(spark, sf_dir))
+
+
+def _loop_assembly_oracle() -> str:
+    """Independent-procedure SQL replay: the per-vertex clockwise order
+    via tangent-plane atan2 angles (vs the engine's OrderedCCW
+    comparator — identical order in generic position, which the wide
+    vertex grid guarantees), AddVertexEdges ranks in closed form, the
+    stack matching via the floor-at-zero running-depth identity
+    (match(out p) = last incoming q<p with post_depth(q) =
+    pre_depth(p); leftovers pair circularly deepest-in to first-out),
+    then the cycle walk + SIMPLE peel + saw_gap rotation replayed by
+    recursive CTEs carrying list state."""
+    vx = _wide_unit_xyz_sql("v")
+    return f"""WITH RECURSIVE
+base AS (SELECT o_orderkey AS pid FROM orders),
+earms AS (
+  SELECT pid*8 AS iid, {_LOOP_CENTER} + pid//64 AS src, pid*8 AS dst FROM base WHERE pid % 4 = 0
+  UNION ALL SELECT pid*8+1, pid*8, pid*8+1 FROM base WHERE pid % 4 = 0
+  UNION ALL SELECT pid*8+2, pid*8+1, {_LOOP_CENTER} + pid//64 FROM base WHERE pid % 4 = 0
+  UNION ALL SELECT pid*8+7, pid*8,   pid*8+1 FROM base WHERE pid % 4 = 1
+  UNION ALL SELECT pid*8+7, pid*8+1, pid*8+2 FROM base WHERE pid % 4 = 1
+  UNION ALL SELECT pid*8+4, pid*8+2, pid*8+3 FROM base WHERE pid % 4 = 1
+  UNION ALL SELECT pid*8+5, pid*8+3, pid*8   FROM base WHERE pid % 4 = 1
+  UNION ALL SELECT pid*8,   pid*8,   pid*8+1 FROM base WHERE pid % 4 = 2
+  UNION ALL SELECT pid*8+1, pid*8+1, pid*8   FROM base WHERE pid % 4 = 2
+  UNION ALL SELECT pid*8,   pid*8+6, pid*8   FROM base WHERE pid % 4 = 3
+  UNION ALL SELECT pid*8+1, pid*8,   pid*8+1 FROM base WHERE pid % 4 = 3
+  UNION ALL SELECT pid*8+2, pid*8+1, pid*8+6 FROM base WHERE pid % 4 = 3
+  UNION ALL SELECT pid*8+3, pid*8+6, pid*8+2 FROM base WHERE pid % 4 = 3
+  UNION ALL SELECT pid*8+4, pid*8+2, pid*8+3 FROM base WHERE pid % 4 = 3
+  UNION ALL SELECT pid*8+5, pid*8+3, pid*8+6 FROM base WHERE pid % 4 = 3
+),
+e AS MATERIALIZED (SELECT iid, src, dst, src*{_LOOP_EID_BASE} + dst AS eid FROM earms),
+verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+vc AS MATERIALIZED (SELECT v, {vx["x"]} AS x, {vx["y"]} AS y, {vx["z"]} AS z FROM verts),
+sides AS (
+  SELECT eid, src AS v0, dst AS v1, FALSE AS inc FROM e
+  UNION ALL
+  SELECT eid, dst, src, TRUE FROM e
+),
+g1 AS (SELECT s.*, row_number() OVER (PARTITION BY v0, v1, inc ORDER BY eid) - 1 AS idx
+       FROM sides s),
+cn AS (SELECT v0, v1,
+        count(*) FILTER (WHERE inc) AS n_in,
+        count(*) FILTER (WHERE NOT inc) AS n_out
+       FROM sides GROUP BY v0, v1),
+rk AS (
+  SELECT g1.*,
+    CASE WHEN inc THEN
+      CASE WHEN (n_in-1-idx) < greatest(0, n_in-n_out) THEN n_in-1-idx
+           ELSE greatest(0, n_in-n_out) + 2*((n_in-1-idx) - greatest(0, n_in-n_out)) + 1 END
+    ELSE
+      CASE WHEN idx < n_in - greatest(0, n_in-n_out)
+           THEN greatest(0, n_in-n_out) + 2*idx
+           ELSE greatest(0, n_in-n_out)
+                + 2*(n_in - greatest(0, n_in-n_out))
+                + (idx - (n_in - greatest(0, n_in-n_out))) END
+    END AS rnk
+  FROM g1 JOIN cn USING (v0, v1)
+),
+mep AS (SELECT v0, min(v1) AS min_ep FROM rk GROUP BY v0),
+angbase AS (
+  SELECT r.*, m.min_ep,
+         o.x AS ox, o.y AS oy, o.z AS oz,
+         f.x - (f.x*o.x + f.y*o.y + f.z*o.z)*o.x AS ux,
+         f.y - (f.x*o.x + f.y*o.y + f.z*o.z)*o.y AS uy,
+         f.z - (f.x*o.x + f.y*o.y + f.z*o.z)*o.z AS uz,
+         o.y*f.z - o.z*f.y AS wx,
+         o.z*f.x - o.x*f.z AS wy,
+         o.x*f.y - o.y*f.x AS wz,
+         t.x AS tx, t.y AS ty, t.z AS tz
+  FROM rk r
+  JOIN mep m USING (v0)
+  JOIN vc o ON o.v = r.v0
+  JOIN vc f ON f.v = m.min_ep
+  JOIN vc t ON t.v = r.v1
+),
+ang AS (
+  SELECT *, CASE WHEN v1 = min_ep THEN 0.0 ELSE
+      2*pi() - (CASE WHEN th < 0 THEN th + 2*pi() ELSE th END) END AS cwk
+  FROM (SELECT ab.*, atan2(tx*wx + ty*wy + tz*wz, tx*ux + ty*uy + tz*uz) AS th
+        FROM angbase ab)
+),
+circ AS (SELECT eid, v0, inc, cwk, rnk,
+                row_number() OVER (PARTITION BY v0 ORDER BY cwk, rnk) - 1 AS p,
+                CASE WHEN inc THEN 1 ELSE -1 END AS dlt
+         FROM ang),
+dep1 AS (SELECT *, sum(dlt) OVER (PARTITION BY v0 ORDER BY p) AS c FROM circ),
+dep2 AS (SELECT *, c - least(0, min(c) OVER (PARTITION BY v0 ORDER BY p)) AS post FROM dep1),
+dep3 AS (SELECT *, COALESCE(lag(post) OVER (PARTITION BY v0 ORDER BY p), 0) AS pre FROM dep2),
+mt AS (
+  SELECT o.v0, o.p AS op, o.eid AS out_eid, max(i.p) AS ip
+  FROM dep3 o
+  JOIN dep3 i ON i.v0 = o.v0 AND i.inc AND i.p < o.p AND i.post = o.pre
+  WHERE NOT o.inc AND o.pre >= 1
+  GROUP BY o.v0, o.p, o.eid
+),
+pm AS (SELECT mt.out_eid, d.eid AS in_eid FROM mt JOIN dep3 d ON d.v0 = mt.v0 AND d.p = mt.ip),
+uin AS (SELECT d.* FROM dep3 d
+        WHERE d.inc AND NOT EXISTS (SELECT 1 FROM mt WHERE mt.v0 = d.v0 AND mt.ip = d.p)),
+uout AS (SELECT d.* FROM dep3 d WHERE NOT d.inc AND d.pre = 0),
+wr AS (
+  SELECT i.eid AS in_eid, o.eid AS out_eid
+  FROM (SELECT v0, eid, row_number() OVER (PARTITION BY v0 ORDER BY p DESC) AS r FROM uin) i
+  JOIN (SELECT v0, eid, row_number() OVER (PARTITION BY v0 ORDER BY p ASC) AS r FROM uout) o
+  ON i.v0 = o.v0 AND i.r = o.r
+),
+ltm AS MATERIALIZED (SELECT in_eid AS eid, out_eid AS nxt FROM pm
+        UNION ALL SELECT in_eid, out_eid FROM wr),
+wk AS (
+  SELECT eid AS start, eid AS cur, 0 AS k FROM e
+  UNION ALL
+  SELECT w.start, l.nxt, w.k+1 FROM wk w JOIN ltm l ON w.cur = l.eid
+  WHERE l.nxt <> w.start
+),
+cyc AS (SELECT start FROM wk GROUP BY start HAVING start = min(cur)),
+seqw AS MATERIALIZED (SELECT w.start AS cid, w.k, w.cur AS eid FROM wk w JOIN cyc c USING (start)),
+peel AS (
+  SELECT cid, -1 AS k,
+         CAST([] AS BIGINT[]) AS path, CAST([] AS BIGINT[]) AS vsrcs,
+         CAST(NULL AS BIGINT[]) AS emitted
+  FROM (SELECT DISTINCT cid FROM seqw)
+  UNION ALL
+  SELECT cid, k,
+     CASE WHEN hit > 0 THEN path2[1:hit-1] ELSE path2 END,
+     CASE WHEN hit > 0 THEN vs2[1:hit-1] ELSE vs2 END,
+     CASE WHEN hit > 0 THEN path2[hit:] ELSE NULL END
+  FROM (
+    SELECT p.cid, p.k+1 AS k,
+           list_append(p.path, s.eid) AS path2,
+           list_append(p.vsrcs, e2.src) AS vs2,
+           list_position(list_append(p.vsrcs, e2.src), e2.dst) AS hit
+    FROM peel p
+    JOIN seqw s ON s.cid = p.cid AND s.k = p.k + 1
+    JOIN e e2 ON e2.eid = s.eid
+  )
+),
+loops AS MATERIALIZED (
+  SELECT row_number() OVER () AS lid, emitted, len(emitted) AS n
+  FROM peel WHERE emitted IS NOT NULL
+),
+lx AS (
+  SELECT lid, n, unnest(emitted) AS eid, generate_subscripts(emitted, 1) AS i
+  FROM loops
+),
+lxm AS MATERIALIZED (SELECT lx.lid, lx.n, lx.i, lx.eid, e.iid AS mii, e.src, e.dst
+        FROM lx JOIN e USING (eid)),
+rot AS (
+  SELECT lid, n, 0 AS i, 0 AS pos, FALSE AS saw_gap FROM loops
+  UNION ALL
+  SELECT r.lid, r.n, r.i + 1,
+     CASE WHEN cur.mii - prev.mii > 0
+            OR (cur.mii - prev.mii = 0 AND NOT r.saw_gap)
+          THEN r.i + 1 ELSE r.pos END,
+     CASE WHEN cur.mii - prev.mii < 0 THEN TRUE
+          WHEN cur.mii - prev.mii > 0 OR NOT r.saw_gap THEN FALSE
+          ELSE TRUE END
+  FROM rot r
+  JOIN lxm cur ON cur.lid = r.lid AND cur.i = r.i + 2
+  JOIN lxm prev ON prev.lid = r.lid AND prev.i = r.pos + 1
+  WHERE r.i + 1 <= r.n - 1
+),
+rfin AS MATERIALIZED (SELECT lid, pos, n FROM rot WHERE i = n - 1),
+outp AS (
+  SELECT x.lid, ((x.i - 1) - ((rf.pos + 1) % rf.n) + rf.n) % rf.n AS pos,
+         x.eid, x.mii, x.src, x.dst
+  FROM lxm x JOIN rfin rf USING (lid)
+),
+heads AS (SELECT lid, eid AS loop_id, mii AS vec_key FROM outp WHERE pos = 0)
+SELECT CAST(h.loop_id AS BIGINT) AS loop_id, CAST(h.vec_key AS BIGINT) AS vec_key,
+       CAST(o.pos AS BIGINT) AS pos, CAST(o.eid AS BIGINT) AS eid,
+       CAST(o.src AS BIGINT) AS src, CAST(o.dst AS BIGINT) AS dst
+FROM outp o JOIN heads h USING (lid)"""
+
+
 def q_rect_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2LatLngRect pair algebra (r1interval.h:114-199,
     s1interval.cc:62-281, s2latlng_rect.cc Contains/Intersects/Union/
@@ -3745,6 +4082,8 @@ def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- new in r4 session 9: never driver-checked, so first ---
+        "loop_assembly": q_loop_assembly,
         # --- new in r4 session 8: never driver-checked, so first ---
         "cell_index_ranges": q_cell_index_ranges,
         "text_chunks": q_text_chunks,
@@ -4343,6 +4682,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "text_chunks": text.doc_chunks_oracle_sql(),
         "cap_relations": _cap_relations_oracle(),
         "polyline_assembly": _polyline_assembly_oracle(),
+        "loop_assembly": _loop_assembly_oracle(),
         "rect_algebra": _rect_algebra_oracle(),
         "webmercator_tiles": projection_tiles_oracle_sql(
             oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),

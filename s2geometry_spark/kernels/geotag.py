@@ -43,6 +43,26 @@ def int_triplet_from_key(key: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.nd
     return x0, y0, z0
 
 
+def wide_unit_xyz(
+    key: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unit vector on a ~2048^3-times finer grid than the triplet
+    lattice: three independent triplet draws combined with strides
+    4194304/2048/1.  Bit-identical to the shared SQL text
+    (__spark_entry__._wide_unit_xyz_sql): int64 modular draws, squares
+    and the sum computed in DOUBLE left-to-right, one sqrt, divides."""
+    k = np.asarray(key, np.int64)
+    a = int_triplet_from_key(k)
+    b = int_triplet_from_key((k * 31 + 7) % 999983)
+    c = int_triplet_from_key((k * 37 + 11) % 999979)
+    comp = [
+        (aa * 4194304 + bb * 2048 + cc).astype(np.float64)
+        for aa, bb, cc in zip(a, b, c)
+    ]
+    nrm = np.sqrt(comp[0] * comp[0] + comp[1] * comp[1] + comp[2] * comp[2])
+    return comp[0] / nrm, comp[1] / nrm, comp[2] / nrm
+
+
 def xyz_from_triplet(
     x0: np.ndarray, y0: np.ndarray, z0: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
