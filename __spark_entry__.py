@@ -1524,19 +1524,12 @@ _DEGEN_PLAN = [
 ]
 
 
-def q_polygon_degeneracies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FindPolygonDegeneracies
-    (s2builderutil_find_polygon_degeneracies.h:44-79): classify planted
-    degenerate edges and sibling pairs as shells or holes of each
-    star-ordered customer loop.  The per-family kernel is the faithful
-    reference algorithm (component BFS + CrossingParity +
-    S2ContainsVertexQuery + EdgeOrVertexCrossing sign walk, robust
-    predicates); the oracle is an INDEPENDENT procedure — containment
-    parity of each degeneracy vertex from the family's antipodal center
-    — so port and parity check each other."""
+def _degen_star_and_rows(spark: SparkSession, sf_dir: str):
+    """Shared fixture of q_polygon_degeneracies and
+    q_closed_set_normalize: the star-ordered customer loops plus the
+    planted-degeneracy rows of _DEGEN_PLAN.  Returns (star, rows)."""
     from pyspark import StorageLevel
 
-    from s2geometry_spark.operators.degeneracies import polygon_degeneracies
     from s2geometry_spark.operators.polygon_distance import shrink_loops
     from s2geometry_spark.operators.validate import star_order_chains
 
@@ -1569,6 +1562,22 @@ def q_polygon_degeneracies(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = parts[0]
     for p in parts[1:]:
         rows = rows.unionByName(p)
+    return star, rows
+
+
+def q_polygon_degeneracies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FindPolygonDegeneracies
+    (s2builderutil_find_polygon_degeneracies.h:44-79): classify planted
+    degenerate edges and sibling pairs as shells or holes of each
+    star-ordered customer loop.  The per-family kernel is the faithful
+    reference algorithm (component BFS + CrossingParity +
+    S2ContainsVertexQuery + EdgeOrVertexCrossing sign walk, robust
+    predicates); the oracle is an INDEPENDENT procedure — containment
+    parity of each degeneracy vertex from the family's antipodal center
+    — so port and parity check each other."""
+    from s2geometry_spark.operators.degeneracies import polygon_degeneracies
+
+    _, rows = _degen_star_and_rows(spark, sf_dir)
     return polygon_degeneracies(rows)
 
 
@@ -1604,6 +1613,185 @@ def _polygon_degeneracies_oracle() -> str:
         f"WITH star_m AS MATERIALIZED ({star}) " + " UNION ALL ".join(arms)
     )
     return polygon_degeneracies_oracle_sql(boundary, planted)
+
+
+# --- ClosedSetNormalizer fixture (shared vertex namespace per family):
+# boundary vertex = star seq; degeneracy (deg_id, slot) = 100 + 10*d + s;
+# fresh vertices 900+.  The polyline/point layers are chosen to hit every
+# NormalizeEdges branch (closed_set.py module docstring):
+#   (0,1)      boundary edge forward        -> suppressed
+#   (2,1)      boundary edge reversed       -> suppressed
+#   (160,161)  shell-pair coincident        -> KEPT (demotion re-adds it)
+#   (150,151)  hole-pair coincident         -> suppressed (reverse sibling)
+#   (900,900)  isolated degenerate polyline -> demoted to a point
+#   (3,3)      degenerate at boundary vtx   -> suppressed vertex, dropped
+#   (901,902)  free polyline                -> kept (suppresses 901's point)
+# points at 0 (boundary: suppressed), 903 (free: kept), 901 (polyline
+# endpoint: suppressed), 900 (vertex of a DEGENERATE edge only: kept —
+# alongside the demoted point, hence n=2 at (900,900)).
+_CSN_DEG_VID = lambda d, s: 100 + 10 * d + s  # noqa: E731
+_CSN_LINES = [(0, 1), (2, 1), (160, 161), (150, 151), (900, 900), (3, 3), (901, 902)]
+_CSN_POINTS = [0, 903, 901, 900]
+
+
+def _csn_poly_deg_edges() -> list[tuple[int, int, int]]:
+    """(src, dst, deg_id) polygon edges planted by _DEGEN_PLAN."""
+    out = []
+    for deg_id, ts, _seq in _DEGEN_PLAN:
+        if len(ts) == 1:
+            v = _CSN_DEG_VID(deg_id, 0)
+            out.append((v, v, deg_id))
+        else:
+            a, b = _CSN_DEG_VID(deg_id, 0), _CSN_DEG_VID(deg_id, 1)
+            out.append((a, b, deg_id))
+            out.append((b, a, deg_id))
+    return out
+
+
+def q_closed_set_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClosedSetNormalizer / NormalizeClosedSet
+    (s2builderutil_closed_set_normalizer.h:34-118, .cc:165-238) with
+    suppress_lower_dimensions: point/polyline/polygon layers over each
+    star-ordered customer loop + its planted degeneracies; holes
+    discarded, degenerate shells demoted (pairs -> polylines,
+    single-vertex loops -> points), degenerate polylines -> points,
+    lower-dimensional duplicates suppressed.  The degeneracy
+    classification is the distributed FindPolygonDegeneracies query;
+    the normalization itself is pure Catalyst (no Python stage)."""
+    from s2geometry_spark.operators.closed_set import normalize_closed_set
+    from s2geometry_spark.operators.degeneracies import polygon_degeneracies
+
+    star, rows = _degen_star_and_rows(spark, sf_dir)
+    deg = polygon_degeneracies(rows).select(
+        F.col("family_id").alias("gid"), "deg_id", "is_hole"
+    )
+    b = star.select(F.col("chain_id").alias("gid"), "seq")
+    mx = b.groupBy("gid").agg(F.max("seq").alias("mx"))
+    bedges = b.join(mx, "gid").select(
+        "gid",
+        F.col("seq").cast("long").alias("src"),
+        F.when(F.col("seq") == F.col("mx"), F.lit(0))
+        .otherwise(F.col("seq") + 1)
+        .cast("long")
+        .alias("dst"),
+        F.lit(None).cast("long").alias("deg_id"),
+    )
+    fams = b.select("gid").distinct()
+
+    def _explode(tuples, cols):
+        arr = F.array(
+            *[
+                F.struct(
+                    *[
+                        F.lit(t[i]).cast("long").alias(c)
+                        for i, c in enumerate(cols)
+                    ]
+                )
+                for t in tuples
+            ]
+        )
+        e = fams.select("gid", F.explode(arr).alias("e"))
+        return e.select("gid", *[F.col(f"e.{c}").alias(c) for c in cols])
+
+    dpoly = _explode(_csn_poly_deg_edges(), ["src", "dst", "deg_id"])
+    polys = bedges.unionByName(dpoly)
+    lines = _explode(_CSN_LINES, ["src", "dst"])
+    points = _explode([(v,) for v in _CSN_POINTS], ["v"])
+    out = normalize_closed_set(points, lines, polys, deg)
+    return out.select(
+        F.col("gid").alias("family_id"), F.col("dim").cast("long").alias("dim"), "src", "dst", "n"
+    )
+
+
+def _closed_set_oracle() -> str:
+    """Replay: degcls = the INDEPENDENT containment-parity degeneracy
+    oracle spliced in as a CTE, then the normalization rules as plain
+    joins over the same generated layers."""
+    from s2geometry_spark.operators.validate import star_order_cte_sql
+
+    full = _polygon_degeneracies_oracle()
+    i = full.rindex("SELECT CAST(family_id")
+    deg_ctes = full[:i].rstrip().rstrip(",")
+    deg_final = full[i:].rstrip()
+    cte = _chain_cte_sql(
+        "axyz", "customer", _CHAIN_A_EXPR_SQL, _CHAIN_A_BASE_SQL, "c_custkey"
+    )
+    raw = f"WITH {cte} SELECT chain_id, seq, x, y, z FROM axyz"
+    star = star_order_cte_sql(raw)
+    dpoly_arms = " UNION ALL ".join(
+        f"SELECT gid, CAST({s} AS BIGINT) AS src, CAST({d} AS BIGINT) AS dst, "
+        f"CAST({g} AS BIGINT) AS deg_id FROM fams"
+        for s, d, g in _csn_poly_deg_edges()
+    )
+    line_arms = " UNION ALL ".join(
+        f"SELECT gid, CAST({s} AS BIGINT) AS src, CAST({d} AS BIGINT) AS dst FROM fams"
+        for s, d in _CSN_LINES
+    )
+    pt_arms = " UNION ALL ".join(
+        f"SELECT gid, CAST({v} AS BIGINT) AS v FROM fams" for v in _CSN_POINTS
+    )
+    return f"""{deg_ctes},
+degcls AS MATERIALIZED ({deg_final}),
+cstar AS MATERIALIZED ({star}),
+cb AS (SELECT chain_id AS gid, seq FROM cstar),
+cbn AS (SELECT gid, max(seq) AS mx FROM cb GROUP BY gid),
+bedges AS (
+  SELECT cb.gid, CAST(cb.seq AS BIGINT) AS src,
+         CAST(CASE WHEN cb.seq = cbn.mx THEN 0 ELSE cb.seq + 1 END AS BIGINT) AS dst,
+         CAST(NULL AS BIGINT) AS deg_id
+  FROM cb JOIN cbn USING (gid)
+),
+fams AS (SELECT DISTINCT gid FROM cb),
+dpoly AS ({dpoly_arms}),
+polys AS MATERIALIZED (SELECT * FROM bedges UNION ALL SELECT * FROM dpoly),
+lines AS MATERIALIZED ({line_arms}),
+pts AS ({pt_arms}),
+p2 AS MATERIALIZED (
+  SELECT p.gid, p.src, p.dst, p.deg_id, d.is_hole
+  FROM polys p LEFT JOIN degcls d ON d.family_id = p.gid AND d.deg_id = p.deg_id
+),
+sup AS MATERIALIZED (
+  SELECT DISTINCT gid, v FROM (
+    SELECT gid, src AS v FROM lines WHERE src <> dst
+    UNION ALL SELECT gid, dst FROM lines WHERE src <> dst
+    UNION ALL SELECT gid, src FROM polys WHERE src <> dst
+    UNION ALL SELECT gid, dst FROM polys WHERE src <> dst
+  )
+),
+out2 AS (SELECT gid, 2 AS dim, src, dst FROM p2 WHERE deg_id IS NULL),
+shell_pair AS (
+  SELECT gid, 1 AS dim, src, dst FROM p2
+  WHERE deg_id IS NOT NULL AND NOT is_hole AND src <> dst
+),
+shell_pt AS (
+  SELECT gid, src, dst FROM p2
+  WHERE deg_id IS NOT NULL AND NOT is_hole AND src = dst
+),
+l_keep AS (
+  SELECT l.gid, 1 AS dim, l.src, l.dst
+  FROM lines l
+  LEFT JOIN p2 f ON f.gid = l.gid AND f.src = l.src AND f.dst = l.dst
+  LEFT JOIN polys r ON r.gid = l.gid AND r.src = l.dst AND r.dst = l.src
+  WHERE l.src <> l.dst
+    AND ((f.deg_id IS NOT NULL AND NOT f.is_hole)
+         OR (f.src IS NULL AND r.src IS NULL))
+),
+out0 AS (
+  SELECT gid, 0 AS dim, src, dst FROM (
+    SELECT gid, v AS src, v AS dst FROM pts
+    UNION ALL SELECT gid, src, dst FROM shell_pt
+    UNION ALL SELECT gid, src, dst FROM lines WHERE src = dst
+  ) c
+  WHERE NOT EXISTS (SELECT 1 FROM sup WHERE sup.gid = c.gid AND sup.v = c.src)
+),
+allout AS (
+  SELECT * FROM out2 UNION ALL SELECT * FROM shell_pair
+  UNION ALL SELECT * FROM l_keep UNION ALL SELECT * FROM out0
+)
+SELECT CAST(gid AS BIGINT) AS family_id, CAST(dim AS BIGINT) AS dim,
+       CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       CAST(count(*) AS BIGINT) AS n
+FROM allout GROUP BY gid, dim, src, dst"""
 
 
 def q_loop_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4084,6 +4272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 9: never driver-checked, so first ---
         "loop_assembly": q_loop_assembly,
+        "closed_set_normalize": q_closed_set_normalize,
         # --- new in r4 session 8: never driver-checked, so first ---
         "cell_index_ranges": q_cell_index_ranges,
         "text_chunks": q_text_chunks,
@@ -4683,6 +4872,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "cap_relations": _cap_relations_oracle(),
         "polyline_assembly": _polyline_assembly_oracle(),
         "loop_assembly": _loop_assembly_oracle(),
+        "closed_set_normalize": _closed_set_oracle(),
         "rect_algebra": _rect_algebra_oracle(),
         "webmercator_tiles": projection_tiles_oracle_sql(
             oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),
