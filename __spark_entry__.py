@@ -3226,6 +3226,58 @@ FROM a JOIN b USING (pair_id)
 """
 
 
+def _rect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pair_id, alat_lo..blng_hi): the rect_algebra pair fixture with
+    a/b prefixes — adjacent customer keys, wrapped lng intervals and
+    both containment directions by construction."""
+    from s2geometry_spark.operators import rect_algebra as ra
+
+    cust = _load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("pid"))
+    synth = ra.rect_synth_exprs("pid")
+    rects = cust.select("pid", *[F.expr(v).alias(k) for k, v in synth.items()])
+    a = rects.where(F.col("pid") % 2 == 0).select(
+        F.col("pid").alias("pair_id"),
+        *[F.col(k).alias(f"a{k}") for k in synth],
+    )
+    b = rects.where(F.col("pid") % 2 == 1).select(
+        (F.col("pid") - 1).alias("pair_id"),
+        *[F.col(k).alias(f"b{k}") for k in synth],
+    )
+    return a.join(b, "pair_id")
+
+
+def q_rect_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2LatLngRect::Get(Directed)HausdorffDistance
+    (s2latlng_rect.cc:588-729): per rect pair, both directed distances
+    and their max as squared chords — the S1-interval longitude
+    Hausdorff reduction plus the Voronoi edge-pair case analysis
+    (equator crossing, bisector intersection, interior maxima), all
+    pinned arithmetic with portable trig (kernels/portable_trig) so
+    the DuckDB oracle reproduces every double."""
+    from s2geometry_spark.operators.rect_hausdorff import rect_hausdorff_pairs
+
+    return rect_hausdorff_pairs(_rect_pairs(spark, sf_dir))
+
+
+def _rect_hausdorff_oracle() -> str:
+    from s2geometry_spark.operators import rect_algebra as ra
+    from s2geometry_spark.operators.rect_hausdorff import (
+        rect_hausdorff_sql_ctes,
+    )
+
+    synth = ra.rect_synth_exprs("pid")
+    synth_cols = ", ".join(f"{v} AS {k}" for k, v in synth.items())
+    acols = ", ".join(f"{k} AS a{k}" for k in synth)
+    bcols = ", ".join(f"{k} AS b{k}" for k in synth)
+    return f"""
+WITH r AS (SELECT c_custkey AS pid, {synth_cols} FROM customer),
+ha AS (SELECT pid AS pair_id, {acols} FROM r WHERE pid % 2 = 0),
+hb AS (SELECT pid - 1 AS pair_id, {bcols} FROM r WHERE pid % 2 = 1),
+hpairs AS (SELECT * FROM ha JOIN hb USING (pair_id)),
+{rect_hausdorff_sql_ctes("hpairs")}
+"""
+
+
 CAP_REL_R2_UNIT = 2.5e-4  # r2max = 7 units ~ RANGE_PAIRS_R2 scale
 
 
@@ -4273,6 +4325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 9: never driver-checked, so first ---
         "loop_assembly": q_loop_assembly,
         "closed_set_normalize": q_closed_set_normalize,
+        "rect_hausdorff": q_rect_hausdorff,
         # --- new in r4 session 8: never driver-checked, so first ---
         "cell_index_ranges": q_cell_index_ranges,
         "text_chunks": q_text_chunks,
@@ -4873,6 +4926,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "polyline_assembly": _polyline_assembly_oracle(),
         "loop_assembly": _loop_assembly_oracle(),
         "closed_set_normalize": _closed_set_oracle(),
+        "rect_hausdorff": _rect_hausdorff_oracle(),
         "rect_algebra": _rect_algebra_oracle(),
         "webmercator_tiles": projection_tiles_oracle_sql(
             oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),
