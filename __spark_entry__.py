@@ -3278,6 +3278,214 @@ hpairs AS (SELECT * FROM ha JOIN hb USING (pair_id)),
 """
 
 
+def _refpoint_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-orderkey shape fixture for GetReferencePoint, one shape per
+    pid (gid), m = pid % 3:
+
+    * m=0 — figure-eight sharing vertex A = pid*8+6: the FIRST edge's
+      source is unbalanced with four incident targets (the immediate
+      S2ContainsVertexQuery path, clockwise selection exercised);
+    * m=1 — a sibling pair at the first vertex (balanced) plus a
+      disjoint triangle: forces the sorted edges-vs-reversed sweep,
+      whose pick is the min unmatched pair's source (B = pid*8+1);
+    * m=2 — sibling pairs only: every vertex balanced, contained=false
+      with the -1 sentinel vertex.
+    """
+    base = _load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("pid"))
+
+    def s(seq: int, src: str, dst: str):
+        return F.struct(
+            F.lit(seq).cast("long").alias("seq"),
+            F.expr(src).cast("long").alias("src"),
+            F.expr(dst).cast("long").alias("dst"),
+        )
+
+    arms = base.withColumn(
+        "e",
+        F.explode(
+            F.when(
+                F.expr("pid % 3 = 0"),
+                F.array(
+                    s(0, "pid*8+6", "pid*8"),
+                    s(1, "pid*8", "pid*8+1"),
+                    s(2, "pid*8+1", "pid*8+6"),
+                    s(3, "pid*8+6", "pid*8+2"),
+                    s(4, "pid*8+2", "pid*8+3"),
+                    s(5, "pid*8+3", "pid*8+6"),
+                ),
+            )
+            .when(
+                F.expr("pid % 3 = 1"),
+                F.array(
+                    s(0, "pid*8", "pid*8+3"),
+                    s(1, "pid*8+3", "pid*8"),
+                    s(2, "pid*8+1", "pid*8+2"),
+                    s(3, "pid*8+2", "pid*8+4"),
+                    s(4, "pid*8+4", "pid*8+1"),
+                ),
+            )
+            .otherwise(
+                F.array(
+                    s(0, "pid*8", "pid*8+1"),
+                    s(1, "pid*8+1", "pid*8"),
+                    s(2, "pid*8+2", "pid*8+3"),
+                    s(3, "pid*8+3", "pid*8+2"),
+                ),
+            )
+        ),
+    ).select(
+        F.col("pid").alias("gid"),
+        F.col("e.seq").alias("seq"),
+        F.col("e.src").alias("src"),
+        F.col("e.dst").alias("dst"),
+    )
+
+    def _coords(batches):
+        import pandas as pd
+
+        from s2geometry_spark.kernels.geotag import wide_unit_xyz
+
+        for pdf in batches:
+            sx, sy, sz = wide_unit_xyz(pdf["src"].to_numpy())
+            dx, dy, dz = wide_unit_xyz(pdf["dst"].to_numpy())
+            out = pdf[["gid", "seq", "src", "dst"]].copy()
+            out["sx"], out["sy"], out["sz"] = sx, sy, sz
+            out["dx"], out["dy"], out["dz"] = dx, dy, dz
+            yield out
+
+    return arms.mapInPandas(
+        _coords,
+        "gid long, seq long, src long, dst long, sx double, sy double, "
+        "sz double, dx double, dy double, dz double",
+    )
+
+
+def q_shape_reference_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s2shapeutil::GetReferencePoint
+    (s2shapeutil_get_reference_point.cc:40-105): per shape, the
+    containment seed — first-edge vertex if unbalanced, else the
+    min-unmatched-edge vertex (the sorted-sweep pick), decided by
+    S2ContainsVertexQuery; all-matched shapes are not-contained."""
+    from s2geometry_spark.operators.reference_point import reference_points
+
+    return reference_points(_refpoint_edges(spark, sf_dir)).select(
+        F.col("gid").alias("shape_id"), "ref_vertex", "contained"
+    )
+
+
+def _ortho_sql(vx: str, vy: str, vz: str) -> tuple[str, str, str]:
+    """S2::Ortho (unnormalized — only the direction is consumed):
+    temp = perturbation with 1.0 at (largest_abs_component(v) - 1) mod 3,
+    returns cross(v, temp)."""
+    ax, ay, az = f"abs({vx})", f"abs({vy})", f"abs({vz})"
+    k0 = (
+        f"(CASE WHEN {ax} > {ay} THEN (CASE WHEN {ax} > {az} THEN 0 ELSE 2 END)"
+        f" ELSE (CASE WHEN {ay} > {az} THEN 1 ELSE 2 END) END)"
+    )
+    k = f"(CASE WHEN {k0} - 1 < 0 THEN 2 ELSE {k0} - 1 END)"
+    tx = f"(CASE WHEN {k} = 0 THEN 1.0 ELSE 1.2e-2 END)"
+    ty = f"(CASE WHEN {k} = 1 THEN 1.0 ELSE 5.3e-3 END)"
+    tz = f"(CASE WHEN {k} = 2 THEN 1.0 ELSE 4.57e-3 END)"
+    return (
+        f"(({vy})*{tz} - ({vz})*{ty})",
+        f"(({vz})*{tx} - ({vx})*{tz})",
+        f"(({vx})*{ty} - ({vy})*{tx})",
+    )
+
+
+def _shape_reference_point_oracle() -> str:
+    """Relational replay of the sweep + an INDEPENDENT contains-vertex
+    procedure: among net-signed targets, the one at the maximum
+    counterclockwise tangent-plane angle from RefDir(v) (= immediately
+    clockwise) decides containment."""
+    vx = _wide_unit_xyz_sql("v")
+    wx = _wide_unit_xyz_sql("w")
+    ox, oy, oz = _ortho_sql("cvx", "cvy", "cvz")
+    return f"""
+WITH base AS (SELECT o_orderkey AS pid FROM orders),
+earms AS (
+  SELECT pid, 0 AS seq, pid*8+6 AS src, pid*8 AS dst FROM base WHERE pid % 3 = 0
+  UNION ALL SELECT pid, 1, pid*8,   pid*8+1 FROM base WHERE pid % 3 = 0
+  UNION ALL SELECT pid, 2, pid*8+1, pid*8+6 FROM base WHERE pid % 3 = 0
+  UNION ALL SELECT pid, 3, pid*8+6, pid*8+2 FROM base WHERE pid % 3 = 0
+  UNION ALL SELECT pid, 4, pid*8+2, pid*8+3 FROM base WHERE pid % 3 = 0
+  UNION ALL SELECT pid, 5, pid*8+3, pid*8+6 FROM base WHERE pid % 3 = 0
+  UNION ALL SELECT pid, 0, pid*8,   pid*8+3 FROM base WHERE pid % 3 = 1
+  UNION ALL SELECT pid, 1, pid*8+3, pid*8   FROM base WHERE pid % 3 = 1
+  UNION ALL SELECT pid, 2, pid*8+1, pid*8+2 FROM base WHERE pid % 3 = 1
+  UNION ALL SELECT pid, 3, pid*8+2, pid*8+4 FROM base WHERE pid % 3 = 1
+  UNION ALL SELECT pid, 4, pid*8+4, pid*8+1 FROM base WHERE pid % 3 = 1
+  UNION ALL SELECT pid, 0, pid*8,   pid*8+1 FROM base WHERE pid % 3 = 2
+  UNION ALL SELECT pid, 1, pid*8+1, pid*8   FROM base WHERE pid % 3 = 2
+  UNION ALL SELECT pid, 2, pid*8+2, pid*8+3 FROM base WHERE pid % 3 = 2
+  UNION ALL SELECT pid, 3, pid*8+3, pid*8+2 FROM base WHERE pid % 3 = 2
+),
+e AS MATERIALIZED (SELECT pid AS gid, seq, src, dst FROM earms),
+firstv AS (SELECT gid, arg_min(src, seq) AS v0 FROM e GROUP BY gid),
+cnt AS (SELECT gid, src AS a, dst AS b, count(*) AS n FROM e GROUP BY 1, 2, 3),
+unm2 AS (
+  SELECT COALESCE(c.gid, r.gid) AS gid,
+         COALESCE(c.a, r.b) AS a, COALESCE(c.b, r.a) AS b
+  FROM cnt c FULL OUTER JOIN (SELECT gid, a, b, n FROM cnt) r
+    ON c.gid = r.gid AND c.a = r.b AND c.b = r.a
+  WHERE COALESCE(c.n, 0) <> COALESCE(r.n, 0)
+),
+fallback AS (
+  SELECT gid, a AS vf FROM (
+    SELECT gid, a, b, row_number() OVER (PARTITION BY gid ORDER BY a, b) AS rk
+    FROM unm2
+  ) WHERE rk = 1
+),
+ubv AS (SELECT DISTINCT gid, a AS v FROM unm2),
+chosen AS (
+  SELECT f.gid,
+         CASE WHEN u.v IS NOT NULL THEN f.v0 ELSE fb.vf END AS v
+  FROM firstv f
+  LEFT JOIN ubv u ON u.gid = f.gid AND u.v = f.v0
+  LEFT JOIN fallback fb ON fb.gid = f.gid
+),
+balanced AS (
+  SELECT gid, CAST(-1 AS BIGINT) AS ref_vertex, FALSE AS contained
+  FROM chosen WHERE v IS NULL
+),
+inc AS (
+  SELECT e.gid, c.v, e.dst AS w, 1 AS sgn FROM e JOIN chosen c ON c.gid = e.gid AND e.src = c.v
+  UNION ALL
+  SELECT e.gid, c.v, e.src, -1 FROM e JOIN chosen c ON c.gid = e.gid AND e.dst = c.v
+),
+net AS (
+  SELECT gid, v, w, sum(sgn) AS s FROM inc GROUP BY 1, 2, 3 HAVING sum(sgn) <> 0
+),
+netc AS MATERIALIZED (
+  SELECT gid, v, w, s,
+         {vx["x"]} AS cvx, {vx["y"]} AS cvy, {vx["z"]} AS cvz,
+         {wx["x"]} AS cwx, {wx["y"]} AS cwy, {wx["z"]} AS cwz
+  FROM net
+),
+ang AS (
+  SELECT gid, v, s,
+    atan2(cwx*(cvy*rz - cvz*ry) + cwy*(cvz*rx - cvx*rz) + cwz*(cvx*ry - cvy*rx),
+          cwx*ux + cwy*uy + cwz*uz) AS th
+  FROM (
+    SELECT *, rx - (rx*cvx + ry*cvy + rz*cvz)*cvx AS ux,
+              ry - (rx*cvx + ry*cvy + rz*cvz)*cvy AS uy,
+              rz - (rx*cvx + ry*cvy + rz*cvz)*cvz AS uz
+    FROM (SELECT *, {ox} AS rx, {oy} AS ry, {oz} AS rz FROM netc)
+  )
+),
+best AS (
+  SELECT gid, v AS ref_vertex,
+         arg_max(s, CASE WHEN th < 0 THEN th + 2*pi() ELSE th END) > 0 AS contained
+  FROM ang GROUP BY gid, v
+)
+SELECT CAST(gid AS BIGINT) AS shape_id, CAST(ref_vertex AS BIGINT) AS ref_vertex,
+       contained
+FROM best
+UNION ALL
+SELECT CAST(gid AS BIGINT), ref_vertex, contained FROM balanced
+"""
+
+
 CAP_REL_R2_UNIT = 2.5e-4  # r2max = 7 units ~ RANGE_PAIRS_R2 scale
 
 
@@ -4326,6 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loop_assembly": q_loop_assembly,
         "closed_set_normalize": q_closed_set_normalize,
         "rect_hausdorff": q_rect_hausdorff,
+        "shape_reference_point": q_shape_reference_point,
         # --- new in r4 session 8: never driver-checked, so first ---
         "cell_index_ranges": q_cell_index_ranges,
         "text_chunks": q_text_chunks,
@@ -4927,6 +5136,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "loop_assembly": _loop_assembly_oracle(),
         "closed_set_normalize": _closed_set_oracle(),
         "rect_hausdorff": _rect_hausdorff_oracle(),
+        "shape_reference_point": _shape_reference_point_oracle(),
         "rect_algebra": _rect_algebra_oracle(),
         "webmercator_tiles": projection_tiles_oracle_sql(
             oracle.xyz_sql_cte("orders", "o_orderkey", keep_cols="o_orderkey AS pid"),
