@@ -4559,17 +4559,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_degeneracies": q_polygon_degeneracies,
         "edge_clip_cells": q_edge_clip_cells,
         "face_segments": q_face_segments,
-        "edge_clip_faces": q_edge_clip_faces,
         "edge_cells": q_edge_cells,
         "bpe_encode": q_bpe_encode,
         "zonal_stats": q_zonal_stats,
-        "streaming_sessionize": q_streaming_sessionize,
         # --- new in r4 session 3: never driver-checked ---
         "bpe_merges": q_bpe_merges,
-        "bpe_vocab": q_bpe_vocab,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
-        "streaming_interval_join": q_streaming_interval_join,
         "text_dup_spans": q_text_dup_spans,
         "text_pii": q_text_pii,
         # --- never driver-checked (r3 additions): the driver's 50-query correctness
@@ -4599,6 +4595,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_pairs": q_hausdorff_pairs,
         "edge_crossings_all": q_edge_crossings_all,
         "ann_ivf_recall": q_ann_ivf_recall,
+        # --- demoted past the 50-query budget to keep loop_nesting +
+        # the r4s9 queries inside it: each is pytest-gate green and its
+        # MECHANISM is driver-covered by an in-budget sibling
+        # (bpe_merges for bpe_vocab, sessionize for streaming_sessionize,
+        # interval_join for streaming_interval_join, edge_clip_cells/
+        # face_segments for the padded clip) ---
+        "streaming_sessionize": q_streaming_sessionize,
+        "bpe_vocab": q_bpe_vocab,
+        "streaming_interval_join": q_streaming_interval_join,
+        "edge_clip_faces": q_edge_clip_faces,
         # --- just past the 50-query budget: two rows-only image queries
         # (a rows-only driver row is weaker evidence than the oracle rows
         # the budget buys above; both brute-force-verified in pytest) and

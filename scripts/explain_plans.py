@@ -145,6 +145,14 @@ HEADLINE = [
     # dumped plan is the final per-chain applyInPandas over the
     # checkpointed component labels
     "polyline_assembly",
+    # round 4 session 9
+    # loop_assembly (grouped path): scan -> explode -> coords map ->
+    # ONE exchange -> per-graph FlatMapGroupsInPandas; the edge fixture
+    # is localCheckpointed, so the dumped plan reads the checkpoint
+    "loop_assembly",
+    "closed_set_normalize",
+    "rect_hausdorff",
+    "shape_reference_point",
     # streaming_sessionize excluded: building its plan executes the
     # stream (awaitTermination inside the query fn), like the other
     # streaming queries; bpe_encode's plan covers the encode join (the
