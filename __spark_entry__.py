@@ -2431,6 +2431,135 @@ FROM r GROUP BY 1, 2
 """
 
 
+# point layer: level 5 so scattered order points actually share snap
+# sites (tile_counts_l5 shows ~2.7 points/cell at sf0.01) and a few
+# block edges genuinely collapse to points
+POINT_LAYER_LEVEL = 5
+_PL_BLOCK = 16
+
+
+_PL_KEY2 = "o_orderkey*31+17"
+
+
+def _point_layer_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge mix for the point layer, three classes by key residue:
+    even keys yield a zero-length edge at their point (input point
+    edges); keys % 4 == 1 an edge to their 16-key block leader (long —
+    skipped with the layer's InvalidArgument); keys % 4 == 3 a short
+    ~eps-radian edge (_edges_df) that usually COLLAPSES to a point at
+    the snap level and sometimes straddles a cell boundary — the
+    collapse path of DegenerateEdges::KEEP.  Pure relational + the
+    shared edge fixture, replayed verbatim by the oracle; the block
+    table is tiny (|orders|/16) and broadcast."""
+    pts = _order_points_xyz(spark, sf_dir).select("pid", "x", "y", "z")
+    self_e = pts.filter(F.col("pid") % 2 == 0).select(
+        F.col("pid").alias("eid"),
+        (F.col("pid") % 50).alias("label"),
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("z").alias("az"),
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("z").alias("bz"),
+    )
+    blocks = pts.groupBy(F.expr(f"pid div {_PL_BLOCK}").alias("blk")).agg(
+        F.min("pid").alias("leader")
+    )
+    leaders = pts.select(
+        F.col("pid").alias("leader"),
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("z").alias("bz"),
+    )
+    blk_info = blocks.join(leaders, "leader")
+    blk_e = (
+        pts.filter(F.col("pid") % 4 == 1)
+        .withColumn("blk", F.expr(f"pid div {_PL_BLOCK}"))
+        .join(F.broadcast(blk_info), "blk")
+        .select(
+            F.col("pid").alias("eid"),
+            (F.col("pid") % 50).alias("label"),
+            F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("z").alias("az"),
+            "bx", "by", "bz",
+        )
+    )
+    short_e = (
+        _edges_df(spark, sf_dir, "orders", "o_orderkey", _PL_KEY2, "eid", "e")
+        .filter(F.col("eid") % 4 == 3)
+        .select(
+            "eid",
+            (F.col("eid") % 50).alias("label"),
+            F.col("e0x").alias("ax"), F.col("e0y").alias("ay"),
+            F.col("e0z").alias("az"),
+            F.col("e1x").alias("bx"), F.col("e1y").alias("by"),
+            F.col("e1z").alias("bz"),
+        )
+    )
+    return self_e.unionByName(blk_e).unionByName(short_e)
+
+
+def q_point_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2PointVectorLayer (s2builderutil_s2point_vector_layer.cc:60-84):
+    edges degenerate after snapping collected as points,
+    DuplicateEdges::MERGE per snap site with the IdSetLexicon label-set
+    union — (site, n_merged, labels, cx, cy, cz).  One Arrow snap pass
+    + one hash agg; still-non-degenerate edges are the layer's error
+    signal and are skipped, as in the reference."""
+    from s2geometry_spark.operators.point_layer import point_vector_layer
+
+    return point_vector_layer(
+        _point_layer_edges(spark, sf_dir), POINT_LAYER_LEVEL
+    )
+
+
+def _point_layer_oracle() -> str:
+    lvl = POINT_LAYER_LEVEL
+    pa = oracle.parent_sql_expr("la", lvl)
+    pb = oracle.parent_sql_expr("lb", lvl)
+    se = _edge_cte_sql(
+        "se", "orders", "o_orderkey", _PL_KEY2, "o_orderkey AS eid", "e"
+    )
+    return f"""
+WITH {se},
+pts0 AS MATERIALIZED (
+  SELECT eid, 0 AS endp, e0x AS x, e0y AS y, e0z AS z FROM se
+  UNION ALL
+  SELECT eid, 1, e1x, e1y, e1z FROM se WHERE eid % 4 = 3
+),
+xyz AS MATERIALIZED (SELECT * FROM pts0),
+{oracle.leaf_from_xyz_cte("xyz")},
+a AS MATERIALIZED (SELECT eid AS pid, cell_leaf FROM leaf WHERE endp = 0),
+bshort AS (SELECT eid AS pid, cell_leaf FROM leaf WHERE endp = 1),
+blocks AS (
+  SELECT pid // {_PL_BLOCK} AS blk, min(pid) AS leader FROM a GROUP BY 1
+),
+e AS MATERIALIZED (
+  SELECT pid AS eid, pid % 50 AS label, cell_leaf AS la, cell_leaf AS lb
+  FROM a WHERE pid % 2 = 0
+  UNION ALL
+  SELECT l.pid, l.pid % 50, l.cell_leaf, lf.cell_leaf
+  FROM a l
+  JOIN blocks b ON l.pid // {_PL_BLOCK} = b.blk
+  JOIN a lf ON lf.pid = b.leader
+  WHERE l.pid % 4 = 1
+  UNION ALL
+  SELECT s.pid, s.pid % 50, l.cell_leaf, s.cell_leaf
+  FROM a l JOIN bshort s ON s.pid = l.pid
+  WHERE l.pid % 4 = 3
+),
+deg AS MATERIALIZED (
+  SELECT {pa} AS site, eid, label FROM e WHERE {pa} = {pb}
+),
+cnt AS (
+  SELECT site, CAST(count(*) AS BIGINT) AS n_merged FROM deg GROUP BY 1
+),
+lbl AS (
+  SELECT site, string_agg(CAST(label AS VARCHAR), ',' ORDER BY label) AS labels
+  FROM (SELECT DISTINCT site, label FROM deg) GROUP BY 1
+),
+sites AS MATERIALIZED (SELECT DISTINCT site FROM deg),
+{oracle.cell_center_xyz_cte("sites", "site", lvl)}
+SELECT c.site, c.n_merged, l.labels, t.cx, t.cy, t.cz
+FROM cnt c
+JOIN lbl l ON l.site = c.site
+JOIN ctr t ON t.site = c.site
+"""
+
+
 CLOSEST_CELL_K = 2
 
 
@@ -4530,6 +4659,8 @@ def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- new in r4 session 10: never driver-checked, so first ---
+        "point_layer": q_point_layer,
         # --- new in r4 session 9: never driver-checked, so first ---
         "loop_assembly": q_loop_assembly,
         "closed_set_normalize": q_closed_set_normalize,
@@ -5140,6 +5271,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "cap_relations": _cap_relations_oracle(),
         "polyline_assembly": _polyline_assembly_oracle(),
         "loop_assembly": _loop_assembly_oracle(),
+        "point_layer": _point_layer_oracle(),
         "closed_set_normalize": _closed_set_oracle(),
         "rect_hausdorff": _rect_hausdorff_oracle(),
         "shape_reference_point": _shape_reference_point_oracle(),
