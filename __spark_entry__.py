@@ -4461,6 +4461,19 @@ def q_ann_topk_sq8(spark, sf_dir):
     return ann.sq8_topk(emb, _emb_queries(emb), k=ANN_K, rerank=4)
 
 
+def q_ann_topk_pq(spark, sf_dir):
+    """Product-quantized ANN (Jegou TPAMI'11 ADC): codebooks trained by
+    the exact-integer Lloyd recipe, corpus encoded to M=4 subspace
+    codes, coarse scan = int64 lookup-table sums over the NARROW codes
+    frame (64x less data than the embeddings at scale), exact-cosine
+    rerank of the k*rerank survivors.  Bit-reproducible end to end; the
+    oracle replays the whole pipeline — training included — in SQL."""
+    from s2geometry_spark.operators import pq
+
+    emb = _emb(spark, sf_dir)
+    return pq.pq_topk(emb, _emb_queries(emb), k=ANN_K, rerank=4)
+
+
 def q_emb_caption_align(spark, sf_dir):
     """CLIP-style in-batch retrieval audit over the paired-embedding
     corpus (even vec_id = image, odd = its caption): per pair, the true
@@ -4661,6 +4674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 10: never driver-checked, so first ---
         "point_layer": q_point_layer,
+        "ann_topk_pq": q_ann_topk_pq,
         # --- new in r4 session 9: never driver-checked, so first ---
         "loop_assembly": q_loop_assembly,
         "closed_set_normalize": q_closed_set_normalize,
@@ -5149,6 +5163,8 @@ FROM un"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from s2geometry_spark.operators import pq as pq_ops
+
     p5 = oracle.parent_sql_expr("cell_leaf", 5)
     p12 = oracle.parent_sql_expr("cell_leaf", 12)
     rollup_parts = " UNION ALL ".join(
@@ -5389,6 +5405,9 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
             k=ANN_K, n_centroids=8, nprobe=4, qfilter=_ANN_QFILTER
         ),
         "ann_topk_sq8": ann.sq8_topk_oracle_sql(
+            k=ANN_K, rerank=4, qfilter=_ANN_QFILTER
+        ),
+        "ann_topk_pq": pq_ops.pq_topk_oracle_sql(
             k=ANN_K, rerank=4, qfilter=_ANN_QFILTER
         ),
         "ann_ivf_recall": ann.ivf_recall_oracle_sql(
