@@ -2560,6 +2560,36 @@ JOIN ctr t ON t.site = c.site
 """
 
 
+def q_shrink_to_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2PaddedCell::ShrinkToFit (s2padded_cell.cc:128-168) as a query:
+    per key-derived (face, uv-rect) row, the smallest cell whose
+    kCellPadding-padded bound contains the rect — the index-descent
+    seek MutableS2ShapeIndex performs per edge.  ONE stateless Arrow
+    map (no shuffle); oracle replays the quick-reject / clamp / xor
+    bit-width / FromFaceIJ / variable-level-parent chain in SQL."""
+    from s2geometry_spark.kernels.faceclip import K_CELL_PADDING
+    from s2geometry_spark.operators.paddedcell_ops import (
+        rect_fixture,
+        shrink_to_fit_cells,
+    )
+
+    rects = rect_fixture(
+        _load(spark, sf_dir, "orders"), "o_orderkey", "o_orderkey"
+    )
+    return shrink_to_fit_cells(rects, K_CELL_PADDING)
+
+
+def _shrink_to_fit_oracle() -> str:
+    from s2geometry_spark.kernels.faceclip import K_CELL_PADDING
+    from s2geometry_spark.operators.paddedcell_ops import (
+        shrink_to_fit_oracle_sql,
+    )
+
+    return shrink_to_fit_oracle_sql(
+        "orders", "o_orderkey", "o_orderkey", K_CELL_PADDING
+    )
+
+
 CLOSEST_CELL_K = 2
 
 
@@ -4675,6 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 10: never driver-checked, so first ---
         "point_layer": q_point_layer,
         "ann_topk_pq": q_ann_topk_pq,
+        "shrink_to_fit": q_shrink_to_fit,
         # --- new in r4 session 9: never driver-checked, so first ---
         "loop_assembly": q_loop_assembly,
         "closed_set_normalize": q_closed_set_normalize,
@@ -5288,6 +5319,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "polyline_assembly": _polyline_assembly_oracle(),
         "loop_assembly": _loop_assembly_oracle(),
         "point_layer": _point_layer_oracle(),
+        "shrink_to_fit": _shrink_to_fit_oracle(),
         "closed_set_normalize": _closed_set_oracle(),
         "rect_hausdorff": _rect_hausdorff_oracle(),
         "shape_reference_point": _shape_reference_point_oracle(),

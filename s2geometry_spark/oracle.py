@@ -108,6 +108,33 @@ leaf AS MATERIALIZED (
 )"""
 
 
+def leaf_from_face_ij_cte(src: str) -> str:
+    """WITH-clause body ending in CTE ``leaf`` (biased int64
+    ``cell_leaf`` plus ``src``'s columns), encoding INTEGER columns
+    face, i, j of ``src`` — FromFaceIJ (s2cell_id.cc:267-307) alone,
+    for callers whose (face, i, j) do not come from a point decode
+    (e.g. ShrinkToFit's clamped ij minima)."""
+    rounds = []
+    prev = "f_ij"
+    for k in range(7, -1, -1):
+        sh = 1 << (4 * k)
+        carry = "(face % 2)" if k == 7 else f"(b{k + 1} % 4)"
+        rounds.append(
+            f"r{k} AS (SELECT *, CAST(lk_t[((i // {sh}) % 16) * 64 + ((j // {sh}) % 16) * 4 "
+            f"+ {carry} + 1] AS BIGINT) AS b{k} FROM {prev})"
+        )
+        prev = f"r{k}"
+    pos_terms = " + ".join(f"(b{k} // 4) * {1 << (8 * k)}" for k in range(7, -1, -1))
+    return f"""
+f_ij AS (SELECT *, {_lookup_list_sql()} AS lk_t FROM {src}),
+{",".join(rounds)},
+leaf AS MATERIALIZED (
+  SELECT * EXCLUDE (lk_t),
+         2*(face * {1 << 60} + {pos_terms} - {_HALF_BIAS}) + 1 AS cell_leaf
+  FROM r0
+)"""
+
+
 def leaf_cell_sql_cte(table: str, key_expr: str, keep_cols: str = "") -> str:
     """Return a WITH-clause body ending in CTE ``leaf`` with column
     ``cell_leaf`` (biased int64 leaf cell id) alongside ``keep_cols``.
