@@ -2560,6 +2560,21 @@ JOIN ctr t ON t.site = c.site
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-curation feature screen over the deterministic WAV table
+    (the audio leg of the multimodal axis; PNG/JPEG/MJPEG are already
+    real, this adds real RIFF/PCM): ONE fused decode pass emitting
+    exact-integer peak / sum-of-squares / zero-crossing / clipping
+    features plus the typed-metadata invariant (decoded rate/channels/
+    length must equal the claimed columns; PCM is lossless so the check
+    is exact).  Rows-only: binary decode is not SQL-expressible; the
+    codec and features are brute-force-verified in tests/test_audio.py."""
+    from s2geometry_spark.operators.audio_pipeline import audio_features
+    from s2geometry_spark.sources.audio import audio_df, n_audio_for_sf_dir
+
+    return audio_features(audio_df(spark, n_audio_for_sf_dir(sf_dir)))
+
+
 def q_shrink_to_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2PaddedCell::ShrinkToFit (s2padded_cell.cc:128-168) as a query:
     per key-derived (face, uv-rect) row, the smallest cell whose
@@ -4706,6 +4721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_layer": q_point_layer,
         "ann_topk_pq": q_ann_topk_pq,
         "shrink_to_fit": q_shrink_to_fit,
+        "audio_features": q_audio_features,
         # --- new in r4 session 9: never driver-checked, so first ---
         "loop_assembly": q_loop_assembly,
         "closed_set_normalize": q_closed_set_normalize,
