@@ -4715,8 +4715,89 @@ def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_cell_vector_codec(_order_points(spark, sf_dir), level=4)
 
 
+_LEXICON_SRC_SQL = """
+SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS row_id,
+       list_slice([CAST(l_partkey % 32 AS BIGINT),
+                   CAST(l_suppkey % 32 AS BIGINT),
+                   CAST((l_partkey + l_suppkey) % 32 AS BIGINT),
+                   CAST(l_partkey % 8 AS BIGINT)],
+                  1, l_linenumber % 5) AS labels
+FROM lineitem
+"""
+
+
+def _lexicon_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-set fixture: every lineitem row contributes 0-4 labels in
+    [0, 32) derived from its part/supp keys (l_linenumber % 5 of them —
+    empties, singletons, within-row duplicates, and heavy cross-row
+    repetition all occur).  Mirrors _LEXICON_SRC_SQL verbatim."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("row_id"),
+        F.slice(
+            F.array(
+                (F.col("l_partkey") % 32).cast("long"),
+                (F.col("l_suppkey") % 32).cast("long"),
+                ((F.col("l_partkey") + F.col("l_suppkey")) % 32).cast("long"),
+                (F.col("l_partkey") % 8).cast("long"),
+            ),
+            F.lit(1),
+            (F.col("l_linenumber") % 5).cast("int"),
+        ).alias("labels"),
+    )
+
+
+def q_polyline_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph::GetPolylines(PolylineType::WALK) (s2builder_graph.cc:
+    732-857): maximal Eulerian-style walk decomposition with loop
+    splicing and the early-termination idempotency rule, distributed
+    per weak component (star-contraction labels + one applyInPandas
+    over component buckets; both-endpoints-isolated edges stay
+    JVM-side).  Fixture: per-64-key block digraph over a 32-vertex
+    space (key-range blocking bounds component size, BENCH.md §3) —
+    branch vertices, shared loops, and self-loops all occur.  Rows-only
+    by construction: the walk order is a loop-carried sequential
+    fixpoint (verified against the reference's layer-test goldens in
+    tests/test_polyline_walks.py)."""
+    from s2geometry_spark.operators.polyline_walks import polyline_walks
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    r = k % 64
+    base = F.expr("o_orderkey div 64") * 32
+    edges = orders.select(
+        k.cast("long").alias("eid"),
+        (base + (r * 7 + 3) % 32).cast("long").alias("src"),
+        (base + (r * 13 + 5) % 32).cast("long").alias("dst"),
+    )
+    return polyline_walks(edges)
+
+
+def q_label_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IdSetLexicon (id_set_lexicon.cc:57-77 AddInternal + the
+    SequenceLexicon first-seen id order) as a distributed query: every
+    row's label set to its canonical 32-bit set id — empty -> INT32_MIN,
+    singleton-after-dedup -> the element, multi -> ~k with k the
+    first-occurrence rank among distinct multi-sets, computed via the
+    two-level range-bucketed prefix rank (no global window)."""
+    from s2geometry_spark.operators.lexicon import id_set_lexicon
+
+    return id_set_lexicon(_lexicon_rows(spark, sf_dir))
+
+
+def _label_lexicon_oracle() -> str:
+    from s2geometry_spark.operators.lexicon import id_set_lexicon_oracle_sql
+
+    return id_set_lexicon_oracle_sql(_LEXICON_SRC_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- new in r4 session 11: never driver-checked, so first ---
+        "label_lexicon": q_label_lexicon,
+        "polyline_walks": q_polyline_walks,
         # --- new in r4 session 10: never driver-checked, so first ---
         "point_layer": q_point_layer,
         "ann_topk_pq": q_ann_topk_pq,
@@ -5329,6 +5410,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
     from s2geometry_spark.operators.projections import projection_tiles_oracle_sql
 
     return {
+        "label_lexicon": _label_lexicon_oracle(),
         "cell_index_ranges": _cell_index_ranges_oracle(),
         "text_chunks": text.doc_chunks_oracle_sql(),
         "cap_relations": _cap_relations_oracle(),

@@ -1,0 +1,229 @@
+"""Graph::GetPolylines(PolylineType::WALK) as a distributed query.
+
+Parity target: s2builder_graph.cc:732-799 (PolylineBuilder::BuildWalks)
+with :802-830 (BuildWalk), :833-857 (MaximizeWalk), and
+CanonicalizeVectorOrder (:756-766) — directed edges, input edge ids ==
+edge ids (the same identification operators/polyline_layer.py uses for
+PATH).  Where PATH stops at every branch vertex, WALK builds maximal
+Eulerian-style walks: it may pass through a vertex any number of times,
+splices unused loops into walks it already built (MaximizeWalk), and
+terminates early where an earlier input polyline plausibly ended
+(the idempotency rule) — reproduced here check-for-check:
+
+* phase 1 starts walks, in edge-id order, at vertices with positive
+  remaining excess (outdegree - indegree - excess_used);
+* BuildWalk repeatedly follows the smallest-id unused out-edge, but
+  stops early at a vertex with negative remaining excess if some unused
+  in-edge has id <= the best out-edge (a different incoming polyline
+  may continue there);
+* phase 2 maximizes each walk by splicing in loops at visited vertices;
+* phase 3 sweeps leftover edges (with unique input ids every unused
+  edge qualifies — the reference's same-min-input-id excess scan
+  degenerates to excess == 1 or a self-loop) into loop walks, each
+  maximized;
+* walks are finally ordered by their first edge id (with unique input
+  ids CanonicalizeVectorOrder's key (min_input_id[a[0]], a[0]) is
+  exactly a[0]).
+
+The algorithm is sequential WITHIN a weakly-connected component (the
+`used_` array) but walks never cross components, so the distributed
+decomposition is exact: label vertices with their weak component
+(large/small-star contraction, operators/graph — O(log n) rounds, no
+driver state), run the faithful per-component kernel inside one
+applyInPandas over ~256 component-hash buckets with in-group slicing,
+and keep the overwhelmingly-common trivial case — an edge both of
+whose endpoints touch no other edge — entirely JVM-side as a pure
+anti-join projection (the polyline_layer.py lesson: per-group pandas
+overhead, BENCH.md §3).  Like every iterative/stateful entry
+(streaming, components), this query is verified by reference-golden
+pytest cases rather than a SQL oracle: the walk order is a loop-carried
+fixpoint no recursive CTE replays faithfully.
+
+Scale contract: per-component work is O(E_c * maxdeg_c); the caller
+must bound component sizes (the fixture uses key-range blocking so
+components are O(64) edges — the same bounded-density rule every
+cogrouped fixture follows, BENCH.md §3).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import connected_components
+
+_OUT_SCHEMA = (
+    "walk_id long, seq long, eid long, src long, dst long, closed boolean"
+)
+
+_WALK_BUCKETS = 256
+
+
+def build_walks(edge_rows):
+    """Faithful sequential BuildWalks over one edge set.
+
+    ``edge_rows``: iterable of (eid, src, dst) with unique eids.
+    Returns the list of walks, each a list of eids, in canonical order.
+    """
+    es = sorted(edge_rows)
+    edge = {}
+    out_edges: dict[int, list[int]] = defaultdict(list)
+    in_edges: dict[int, list[int]] = defaultdict(list)
+    for eid, s, d in es:
+        edge[eid] = (s, d)
+        out_edges[s].append(eid)
+        in_edges[d].append(eid)
+    outdeg = {v: len(l) for v, l in out_edges.items()}
+    indeg = {v: len(l) for v, l in in_edges.items()}
+
+    def excess_degree(v):
+        return outdeg.get(v, 0) - indeg.get(v, 0)
+
+    used: set[int] = set()
+    excess_used: dict[int, int] = defaultdict(int)
+    state = {"left": len(es)}
+
+    def build_walk(v):
+        # s2builder_graph.cc:802-830
+        walk = []
+        while True:
+            best = None
+            for e in out_edges.get(v, ()):  # ascending eid
+                if e not in used:
+                    best = e
+                    break
+            if best is None:
+                return walk
+            if excess_degree(v) - excess_used[v] < 0:
+                if any(
+                    e2 not in used and e2 <= best
+                    for e2 in in_edges.get(v, ())
+                ):
+                    return walk
+            walk.append(best)
+            used.add(best)
+            state["left"] -= 1
+            v = edge[best][1]
+
+    def maximize_walk(walk):
+        # s2builder_graph.cc:833-857
+        if not walk:
+            return
+        i = 0
+        while i <= len(walk):
+            v = edge[walk[i]][0] if i == 0 else edge[walk[i - 1]][1]
+            if any(e not in used for e in out_edges.get(v, ())):
+                loop = build_walk(v)
+                walk[i:i] = loop
+            i += 1
+
+    polylines: list[list[int]] = []
+    # phase 1: walks from excess-degree vertices, edge-id order
+    for eid, s, _ in es:
+        if eid in used:
+            continue
+        excess = excess_degree(s)
+        if excess <= 0:
+            continue
+        excess -= excess_used[s]
+        if excess <= 0:
+            continue
+        excess_used[s] += 1
+        w = build_walk(s)
+        polylines.append(w)
+        excess_used[edge[w[-1]][1]] -= 1
+    # phase 2: splice remaining loops into existing walks
+    if state["left"] > 0:
+        for w in polylines:
+            maximize_walk(w)
+    # phase 3: leftover loops (unique input ids: every unused edge
+    # qualifies via excess == 1, or dst == src for a self-loop)
+    for eid, s, d in es:
+        if state["left"] == 0:
+            break
+        if eid in used:
+            continue
+        # the reference's same-min-input-id excess scan
+        # (s2builder_graph.cc:769-790) sees only THIS edge when input
+        # ids are unique: excess = +1 (src) [-1 if self-loop], so the
+        # "excess == 1 || edge.second == v" gate always passes.
+        w = build_walk(s)
+        maximize_walk(w)
+        if w:
+            polylines.append(w)
+    assert state["left"] == 0, "walk decomposition left unused edges"
+    polylines.sort(key=lambda w: w[0])
+    return polylines
+
+
+def _walks_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for _, g in pdf.groupby("comp", sort=False):
+        edge = {
+            int(r.eid): (int(r.src), int(r.dst)) for r in g.itertuples()
+        }
+        for walk in build_walks(
+            (e, s, d) for e, (s, d) in edge.items()
+        ):
+            closed = edge[walk[0]][0] == edge[walk[-1]][1]
+            wid = walk[0]
+            rows.extend(
+                (wid, i, e, edge[e][0], edge[e][1], closed)
+                for i, e in enumerate(walk)
+            )
+    return pd.DataFrame(
+        rows, columns=["walk_id", "seq", "eid", "src", "dst", "closed"]
+    )
+
+
+def polyline_walks(edges: DataFrame) -> DataFrame:
+    """edges(eid, src, dst) -> (walk_id, seq, eid, src, dst, closed):
+    the WALK polyline decomposition; walk_id = the walk's first edge id,
+    seq = position along it, closed = walk starts and ends at the same
+    vertex."""
+    e = edges.select(
+        F.col("eid").cast("long").alias("eid"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    # vertex incidence counts (a self-loop touches its vertex twice)
+    inc = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = inc.select(F.col("v").alias("src"), F.col("deg").alias("sdeg"))
+    db = inc.select(F.col("v").alias("dst"), F.col("deg").alias("ddeg"))
+    ed = e.join(da, "src").join(db, "dst")
+    trivial = ed.where(
+        ((F.col("src") != F.col("dst"))
+         & (F.col("sdeg") == 1) & (F.col("ddeg") == 1))
+        | ((F.col("src") == F.col("dst")) & (F.col("sdeg") == 2))
+    ).select(
+        F.col("eid").alias("walk_id"),
+        F.lit(0).cast("long").alias("seq"),
+        "eid",
+        "src",
+        "dst",
+        (F.col("src") == F.col("dst")).alias("closed"),
+    )
+    rest = ed.where(
+        ~(((F.col("src") != F.col("dst"))
+           & (F.col("sdeg") == 1) & (F.col("ddeg") == 1))
+          | ((F.col("src") == F.col("dst")) & (F.col("sdeg") == 2)))
+    ).select("eid", "src", "dst")
+    comp = connected_components(
+        rest.select("src", "dst"), "src", "dst",
+        node_col="v", label_col="comp",
+    )
+    walked = (
+        rest.join(comp.withColumnRenamed("v", "src"), "src")
+        .withColumn("bkt", F.pmod(F.col("comp"), F.lit(_WALK_BUCKETS)))
+        .groupBy("bkt")
+        .applyInPandas(lambda pdf: _walks_frame(pdf), _OUT_SCHEMA)
+    )
+    return walked.unionByName(trivial)
