@@ -2575,6 +2575,26 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(audio_df(spark, n_audio_for_sf_dir(sf_dir)))
 
 
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs via integer landmark fingerprints
+    (kernels/audiofp: exact Walsh-Hadamard spectral peaks, joint
+    consecutive-frame signature hashes) over a WAV table with planted
+    x2-gain and hop-aligned time-shift variants: one fused decode pass,
+    stop-hash-capped inverted-index self-join, shared-count refinement
+    — the Shazam constellation recipe with bit-exact arithmetic.
+    Rows-only: binary decode; brute-force parity + planted-recovery in
+    tests/test_audio_dedup.py."""
+    from s2geometry_spark.operators.audio_dedup import audio_near_dup_pairs
+    from s2geometry_spark.sources.audio import (
+        audio_dedup_df,
+        n_audio_for_sf_dir,
+    )
+
+    return audio_near_dup_pairs(
+        audio_dedup_df(spark, n_audio_for_sf_dir(sf_dir))
+    )
+
+
 def q_shrink_to_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2PaddedCell::ShrinkToFit (s2padded_cell.cc:128-168) as a query:
     per key-derived (face, uv-rect) row, the smallest cell whose
@@ -4798,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 11: never driver-checked, so first ---
         "label_lexicon": q_label_lexicon,
         "polyline_walks": q_polyline_walks,
+        "audio_near_dup": q_audio_near_dup,
         # --- new in r4 session 10: never driver-checked, so first ---
         "point_layer": q_point_layer,
         "ann_topk_pq": q_ann_topk_pq,
