@@ -4795,6 +4795,26 @@ def q_polyline_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polyline_walks(edges)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup (pipeline op): every batch document
+    (doc_id % 10 == 7) gets its best corpus near-dup match (banded
+    minhash probe into the corpus band index + exact-Jaccard
+    refinement, max-jaccard/min-id struct-max pick) or the
+    admit-as-novel verdict (dup_of = -1).  The batch x corpus band join
+    costs O(|batch| x bands) probes per ingest — the corpus band table
+    is the precomputable, append-only side at scale."""
+    from s2geometry_spark.operators.dedup import incremental_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return incremental_dedup(docs, F.col("doc_id") % 10 == 7)
+
+
+def _dedup_incremental_oracle() -> str:
+    from s2geometry_spark.operators.dedup import incremental_dedup_oracle_sql
+
+    return incremental_dedup_oracle_sql("doc_id % 10 = 7")
+
+
 def q_label_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IdSetLexicon (id_set_lexicon.cc:57-77 AddInternal + the
     SequenceLexicon first-seen id order) as a distributed query: every
@@ -4819,6 +4839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_lexicon": q_label_lexicon,
         "polyline_walks": q_polyline_walks,
         "audio_near_dup": q_audio_near_dup,
+        "dedup_incremental": q_dedup_incremental,
         # --- new in r4 session 10: never driver-checked, so first ---
         "point_layer": q_point_layer,
         "ann_topk_pq": q_ann_topk_pq,
@@ -5432,6 +5453,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
 
     return {
         "label_lexicon": _label_lexicon_oracle(),
+        "dedup_incremental": _dedup_incremental_oracle(),
         "cell_index_ranges": _cell_index_ranges_oracle(),
         "text_chunks": text.doc_chunks_oracle_sql(),
         "cap_relations": _cap_relations_oracle(),

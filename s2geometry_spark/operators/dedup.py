@@ -658,3 +658,193 @@ FROM pairs
 JOIN szs st ON st.doc_id = train_doc
 JOIN szs se ON se.doc_id = eval_doc
 """
+
+
+# ---------- incremental (batch-vs-corpus) dedup ----------
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    is_batch: Column,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Ingestion-time dedup: which NEW documents duplicate the existing
+    corpus?  ``is_batch`` marks the incoming batch; everything else is
+    the corpus.  For every batch document: its best corpus match
+    (max exact Jaccard, ties to the smallest corpus doc_id) if that
+    match clears ``tau``, else (dup_of = -1, jaccard = 0.0) — the
+    admit-as-novel verdict.
+
+    Same banded-minhash shape as minhash_lsh_pairs but the band join is
+    batch × corpus instead of a self-join, so per ingest the cost is
+    O(|batch| x bands) probes into the corpus band index — at scale the
+    corpus side is a precomputed band table (append-only, partitioned
+    by bucket hash) and only the batch side is built per run.  The
+    best-match pick is a struct-max hash aggregate (map-side
+    combinable; no per-doc sort — the dedup_canonical recipe), so a
+    batch document with thousands of corpus matches stays skew-safe.
+    """
+    from pyspark import StorageLevel
+
+    rows_per_band = num_hashes // bands
+    flagged = docs.select("doc_id", "text", is_batch.alias("is_b"))
+    sh = shingle_set(flagged, n).join(
+        flagged.select("doc_id", "is_b"), "doc_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(
+        flagged, num_hashes, n, shingles=sh.select("doc_id", "shingle")
+    ).join(flagged.select("doc_id", "is_b"), "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[bi * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    bands_df = sig.select(
+        "doc_id", "is_b", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", "is_b", "b.band", "b.bucket")
+    bb = bands_df.where(F.col("is_b")).select(
+        F.col("doc_id").alias("doc_id"), "band", "bucket"
+    )
+    bc = bands_df.where(~F.col("is_b")).select(
+        F.col("doc_id").alias("dup_of"), "band", "bucket"
+    )
+    cand = (
+        bb.join(bc, ["band", "bucket"])
+        .select("doc_id", "dup_of")
+        .dropDuplicates(["doc_id", "dup_of"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("dup_of"), "shingle")
+    shared = (
+        cand.join(sa, "doc_id")
+        .join(sb, ["dup_of", "shingle"])
+        .groupBy("doc_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = sizes.select("doc_id", F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("sz").alias("sz_b"))
+    scored = (
+        shared.join(za, "doc_id")
+        .join(zb, "dup_of")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= tau)
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard").alias("j"),
+                (-F.col("dup_of")).alias("negid"),
+            )
+        ).alias("m")
+    ).select(
+        "doc_id",
+        (-F.col("m.negid")).cast("long").alias("dup_of"),
+        F.col("m.j").alias("jaccard"),
+    )
+    novel = (
+        flagged.where(F.col("is_b"))
+        .select("doc_id")
+        .join(best.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("dup_of"),
+            F.lit(0.0).alias("jaccard"),
+        )
+    )
+    return best.unionByName(novel)
+
+
+def incremental_dedup_oracle_sql(
+    batch_pred_sql: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    tau: float = 0.5,
+) -> str:
+    """DuckDB replay of incremental_dedup; ``batch_pred_sql`` is the
+    is_batch predicate over the documents columns."""
+    rows_per_band = num_hashes // bands
+    grams = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    coeffs = _minhash_coeffs(num_hashes)
+    P = MINHASH_P
+    base = f"((({md5_h64_sql('shingle')}) % {P} + {P}) % {P})"
+    mins = ", ".join(
+        f"min((b * {a} + {b_}) % {P}) AS h{i}"
+        for i, (a, b_) in enumerate(coeffs)
+    )
+    band_sel = " UNION ALL ".join(
+        "SELECT doc_id, is_b, {bi} AS band, {key} AS bucket FROM sig".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"CAST(h{bi * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH flagged AS (
+  SELECT doc_id, text, ({batch_pred_sql}) AS is_b FROM documents
+),
+wrds AS (SELECT doc_id, is_b, string_split(text, ' ') AS w FROM flagged),
+sh AS (
+  SELECT DISTINCT doc_id, is_b, {grams} AS shingle
+  FROM wrds, UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)
+),
+shb AS (SELECT doc_id, is_b, {base} AS b FROM sh),
+sig AS (SELECT doc_id, is_b, {mins} FROM shb GROUP BY doc_id, is_b),
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT b.doc_id, c.doc_id AS dup_of
+  FROM bands b JOIN bands c USING (band, bucket)
+  WHERE b.is_b AND NOT c.is_b
+),
+szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+  SELECT c.doc_id, c.dup_of, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id
+  JOIN sh b ON b.doc_id = c.dup_of AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.doc_id, s.dup_of,
+         CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE)
+           AS jaccard
+  FROM shared s
+  JOIN szs sa ON sa.doc_id = s.doc_id
+  JOIN szs sb ON sb.doc_id = s.dup_of
+  WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE)
+        >= {tau}
+),
+best AS (
+  SELECT doc_id, dup_of, jaccard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, dup_of ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(dup_of AS BIGINT) AS dup_of, jaccard
+FROM best WHERE rn = 1
+UNION ALL
+SELECT f.doc_id, CAST(-1 AS BIGINT) AS dup_of, 0.0 AS jaccard
+FROM flagged f
+WHERE f.is_b AND f.doc_id NOT IN (SELECT doc_id FROM best WHERE rn = 1)
+"""

@@ -381,3 +381,27 @@ def test_doc_chunks_brute_force(spark):
             n_rows += 1
         assert covered == set(range(n)), f"doc {doc_id} not fully covered"
     assert len(got) == n_rows
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Hand case: batch doc duplicating two corpus docs picks the max
+    jaccard (ties -> smallest corpus id); unmatched batch docs get the
+    novel verdict (-1, 0.0); corpus docs never appear in the output."""
+    rows = [
+        # corpus 1 and 2: identical text (tie candidates), corpus 3 distinct
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),
+        (3, "z y x w v u t s"),
+        # batch 17: exact dup of corpus 1/2 -> tie -> dup_of = 1
+        (17, "a b c d e f g h"),
+        # batch 27: novel
+        (27, "m n o p q r s t u"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.dup_of, round(r.jaccard, 6))
+        for r in dedup.incremental_dedup(
+            docs, F.col("doc_id") >= 10
+        ).collect()
+    }
+    assert out == {17: (1, 1.0), 27: (-1, 0.0)}
