@@ -162,6 +162,15 @@ HEADLINE = [
     # excluded for the same reason (the driver merge loop runs during
     # plan construction; per-round plans are window+hashAgg over the
     # localCheckpointed symbol table, same shape as sessionize)
+    # round 4 session 11
+    "label_lexicon",
+    # polyline_walks: star-contraction rounds run during plan
+    # construction (localCheckpoint per round, as for polyline_assembly);
+    # the dumped plan is the per-component-bucket applyInPandas plus the
+    # JVM-side trivial-edge anti-join arm
+    "polyline_walks",
+    "audio_near_dup",
+    "dedup_incremental",
 ]
 
 
