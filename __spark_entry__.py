@@ -4795,6 +4795,28 @@ def q_polyline_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polyline_walks(edges)
 
 
+def q_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling toward p^(1/2) (pipeline op): per doc the
+    deterministic md5 accept coin, its language's exact threshold
+    floor(sqrt(tok_min/tok_l) * 2^20), and the keep verdict — the
+    multilingual rebalance as a no-shuffle map over a broadcast
+    language-stats dim (alpha pinned at 1/2: IEEE sqrt is the one
+    portable exponent)."""
+    from s2geometry_spark.operators.text import lang_temperature_sample
+
+    return lang_temperature_sample(_load(spark, sf_dir, "documents"))
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (pipeline op): explode ->
+    (doc, term) hash agg -> df agg -> portable-ln idf (the BM25 idf
+    fragment, bit-identical doubles) -> per-doc row_number window.  No
+    global sort; the window partitions by doc_id."""
+    from s2geometry_spark.operators.text import tfidf_keywords
+
+    return tfidf_keywords(_load(spark, sf_dir, "documents"))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time dedup (pipeline op): every batch document
     (doc_id % 10 == 7) gets its best corpus near-dup match (banded
@@ -4840,6 +4862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_walks": q_polyline_walks,
         "audio_near_dup": q_audio_near_dup,
         "dedup_incremental": q_dedup_incremental,
+        "lang_temperature": q_lang_temperature,
+        "tfidf_keywords": q_tfidf_keywords,
         # --- new in r4 session 10: never driver-checked, so first ---
         "point_layer": q_point_layer,
         "ann_topk_pq": q_ann_topk_pq,
@@ -5454,6 +5478,8 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
     return {
         "label_lexicon": _label_lexicon_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),
+        "lang_temperature": text.lang_temperature_oracle_sql(),
+        "tfidf_keywords": text.tfidf_keywords_oracle_sql(),
         "cell_index_ranges": _cell_index_ranges_oracle(),
         "text_chunks": text.doc_chunks_oracle_sql(),
         "cap_relations": _cap_relations_oracle(),

@@ -928,3 +928,152 @@ SELECT doc_id,
 FROM wrds,
      LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS chunk_id) gs
 """
+
+
+# ---------- temperature resampling (multilingual data balancing) ----------
+
+#: acceptance-coin resolution (2^20 buckets)
+TEMP_COIN_MOD = 1 << 20
+
+
+def lang_temperature_sample(
+    docs: DataFrame, salt: str = "s2temp"
+) -> DataFrame:
+    """(doc_id, lang, coin, threshold, keep): temperature resampling of
+    a multilingual corpus toward p_l^alpha with alpha = 1/2 — the
+    standard multilingual-pretraining rebalance (upweight rare
+    languages) done as pure downsampling: accept a doc of language l
+    with probability a_l = sqrt(tok_min / tok_l), so the kept token
+    mass is proportional to sqrt(p_l) and the rarest language keeps
+    everything.  alpha is pinned at 1/2 because IEEE sqrt is correctly
+    rounded (bit-identical in Spark and DuckDB) while pow(x, a) is not
+    — the portable-trig lesson applied to the exponent.
+
+    The accept coin is the split_assign hash rule (md5-h32 of salt ||
+    doc_id, mod 2^20): deterministic, stable under re-runs and corpus
+    growth of OTHER languages' docs.  Shape: one token-count hash agg
+    per language (tiny dim), a broadcast min, and a map-side threshold
+    compare — no shuffle of the fact table.
+    """
+    from .dedup import md5_h32
+
+    toks = docs.select(
+        "doc_id", "lang", F.size(words_col()).cast("long").alias("n_tokens")
+    )
+    lt = toks.groupBy("lang").agg(F.sum("n_tokens").alias("tok_l"))
+    mn = lt.agg(F.min("tok_l").alias("tok_min"))
+    thr = lt.join(F.broadcast(mn)).select(
+        "lang",
+        F.floor(
+            F.sqrt(
+                F.col("tok_min").cast("double")
+                / F.col("tok_l").cast("double")
+            )
+            * F.lit(TEMP_COIN_MOD)
+        )
+        .cast("long")
+        .alias("threshold"),
+    )
+    coin = F.pmod(
+        md5_h32(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
+        F.lit(TEMP_COIN_MOD),
+    ).cast("long")
+    return (
+        toks.select("doc_id", "lang", coin.alias("coin"))
+        .join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "coin",
+            "threshold",
+            (F.col("coin") < F.col("threshold")).alias("keep"),
+        )
+    )
+
+
+def lang_temperature_oracle_sql(salt: str = "s2temp") -> str:
+    from .dedup import md5_h32_sql
+
+    key = f"'{salt}:' || CAST(doc_id AS VARCHAR)"
+    coin = f"({md5_h32_sql(key)}) % {TEMP_COIN_MOD}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+lt AS (SELECT lang, sum(n_tokens) AS tok_l FROM toks GROUP BY 1),
+mn AS (SELECT min(tok_l) AS tok_min FROM lt),
+thr AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST(tok_min AS DOUBLE) / CAST(tok_l AS DOUBLE))
+                    * {TEMP_COIN_MOD}) AS BIGINT) AS threshold
+  FROM lt, mn
+)
+SELECT t.doc_id, t.lang, CAST({coin} AS BIGINT) AS coin, thr.threshold,
+       ({coin} < thr.threshold) AS keep
+FROM toks t JOIN thr USING (lang)
+"""
+
+
+# ---------- tf-idf keyword extraction ----------
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, rnk, term, tf, df, score): the top-k tf-idf keywords of
+    every document — idf = ln_portable((N + 1) / (df + 0.5)), the BM25
+    idf, so the score doubles are bit-identical across engines.
+
+    Shape: explode words -> one (doc, term) hash agg; per-term df is a
+    second hash agg over the (doc, term) pairs (already deduplicated,
+    so df counts documents); N is a 1-row broadcast; the top-k pick is
+    a row_number window PARTITIONED BY doc_id (per-doc groups — no
+    global sort), ties broken by term ascending on both sides.
+    """
+    w = docs.select("doc_id", F.explode(words_col()).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = ln_portable_sql(
+        "((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 0.5))"
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", F.expr(f"(tf * {idf})"))
+        .withColumn("rnk", F.row_number().over(win).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "term", "tf", "df", "score")
+    )
+
+
+def tfidf_keywords_oracle_sql(k: int = 3) -> str:
+    idf = ln_portable_sql(
+        "((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 0.5))"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df, (tf * {idf}) AS score
+  FROM tf JOIN df_t USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rnk <= {k}
+"""

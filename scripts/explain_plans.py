@@ -36,6 +36,14 @@ ALLOWED = {
         "1-row broadcast of the corpus (n_total, vocab) LM stats — a "
         "scalar dim join, constant size at any scale"
     ),
+    ("lang_temperature", "BroadcastNestedLoopJoin"): (
+        "1-row broadcast of the min language token mass — a scalar dim "
+        "join, constant size at any scale"
+    ),
+    ("tfidf_keywords", "BroadcastNestedLoopJoin"): (
+        "1-row broadcast of the corpus document count — a scalar dim "
+        "join, constant size at any scale"
+    ),
     ("loop_pair_distance", "BroadcastNestedLoopJoin"): (
         "the FIXTURE's all-pairs enumeration: a chain_b > chain_a "
         "non-equi self-join over the distinct LOOP IDS only (hundreds of "
@@ -171,6 +179,8 @@ HEADLINE = [
     "polyline_walks",
     "audio_near_dup",
     "dedup_incremental",
+    "lang_temperature",
+    "tfidf_keywords",
 ]
 
 
