@@ -4795,6 +4795,18 @@ def q_polyline_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polyline_walks(edges)
 
 
+def q_img_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-blocked image near-dup (the geo x visual crossover): pHash
+    pairs at Hamming <= 2 whose images land in the SAME level-5 tile —
+    banded candidates keyed on (tile, band, value) so no candidate ever
+    crosses a tile boundary and the join stays linear per tile at
+    planetary scale.  Rows-only: binary decode + splitmix64 geotag;
+    brute-force parity in tests/test_image_dedup.py."""
+    from s2geometry_spark.operators.image_dedup import tile_blocked_near_dup
+
+    return tile_blocked_near_dup(_images_geo(spark, sf_dir), level=5)
+
+
 def q_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature resampling toward p^(1/2) (pipeline op): per doc the
     deterministic md5 accept coin, its language's exact threshold
@@ -4864,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "lang_temperature": q_lang_temperature,
         "tfidf_keywords": q_tfidf_keywords,
+        "img_tile_dedup": q_img_tile_dedup,
         # --- new in r4 session 10: never driver-checked, so first ---
         "point_layer": q_point_layer,
         "ann_topk_pq": q_ann_topk_pq,

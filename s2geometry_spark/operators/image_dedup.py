@@ -511,3 +511,75 @@ def caption_conflict_pairs(
         .where(F.col("caption_a") != F.col("caption_b"))
         .select("id_a", "id_b", "caption_a", "caption_b")
     )
+
+
+def tile_blocked_near_dup(
+    images_geo: DataFrame,
+    level: int = 5,
+    max_dist: int = 2,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """(tile, id_a, id_b, hamming): near-dup image pairs CO-LOCATED in
+    the same level-``level`` tile — the geo x visual crossover query
+    (duplicate uploads cluster spatially, and tile-blocking is the
+    standard way to keep a planetary-scale near-dup join linear: the
+    band join keys on (tile, band_index, band_value), so no candidate
+    ever crosses a tile boundary and per-tile skew is bounded by the
+    densest tile, the quantity S2DensityTree sharding already measures).
+
+    One decode pass (the narrow (id, phash, tile) frame is persisted and
+    feeds both join legs), banded candidates within tile, exact popcount
+    refinement, post-refinement dedup on 3 narrow columns.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .. import functions as s2f
+
+    ph = (
+        phash_from_bytes(images_geo.select(id_col, "bytes"), id_col)
+        .join(
+            images_geo.select(
+                id_col, s2f.parent_expr("cell", level).alias("tile")
+            ),
+            id_col,
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                (
+                    F.shiftright(F.col("phash"), BAND_BITS * i)
+                    .bitwiseAND(F.lit(_BAND_MASK))
+                ).alias("bv"),
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    banded = ph.select(
+        id_col, "phash", "tile", F.explode(bands).alias("b")
+    ).select(id_col, "phash", "tile", "b.bi", "b.bv")
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        "tile", "bi", "bv",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        "tile", "bi", "bv",
+    )
+    return (
+        a.join(b, ["tile", "bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast(
+                "int"
+            ),
+        )
+        .where(F.col("hamming") <= max_dist)
+        .select("tile", "id_a", "id_b", "hamming")
+        .dropDuplicates(["tile", "id_a", "id_b"])
+    )

@@ -264,3 +264,41 @@ def test_caption_conflict_planted(spark):
     cap = {r.image_id: r.caption for r in captions.collect()}
     for a, b in got:
         assert cap[a] != cap[b]
+
+
+def test_tile_blocked_near_dup_matches_brute_force(spark):
+    """Spatially-blocked near-dup == brute force over (same tile,
+    hamming <= 2) pairs; and it is exactly the global near-dup pair set
+    filtered to co-located pairs."""
+    from s2geometry_spark import functions as s2f
+    from s2geometry_spark.kernels import imagecodec
+    from s2geometry_spark.operators import image_pipeline as ip
+    from s2geometry_spark.operators.image_dedup import (
+        tile_blocked_near_dup,
+    )
+    from s2geometry_spark.sources import images as imgsrc
+
+    N, LVL = 150, 5
+    geo = ip.with_geotag(imgsrc.images_df(spark, N))
+    got = {
+        (r.tile, r.id_a, r.id_b): r.hamming
+        for r in tile_blocked_near_dup(geo, level=LVL).collect()
+    }
+    rows = geo.select(
+        "image_id", "bytes", s2f.parent_expr("cell", LVL).alias("tile")
+    ).collect()
+    hashes = [
+        (r.image_id, imagecodec.phash64(imagecodec.decode(bytes(r.bytes))[0]), r.tile)
+        for r in rows
+    ]
+    expect = {}
+    for i, (ia, ha, ta) in enumerate(hashes):
+        for ib, hb, tb in hashes[i + 1 :]:
+            if ta != tb:
+                continue
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 2:
+                a, b = sorted((ia, ib))
+                expect[(ta, a, b)] = d
+    assert got == expect
+    assert len(got) > 0, "fixture draw has no co-located near-dups"
