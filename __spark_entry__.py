@@ -4795,6 +4795,65 @@ def q_polyline_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polyline_walks(edges)
 
 
+def q_emb_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity screen (pipeline validation op): dimension,
+    NaN/Inf, all-zero, saturation, and unit-normalization-to-tolerance
+    verdicts per vector — a pure map-only projection with a left-fold
+    norm so the oracle is bit-exact."""
+    from s2geometry_spark.operators.ann import embedding_screen
+
+    return embedding_screen(_load(spark, sf_dir, "embeddings"))
+
+
+def q_tile_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog-256 distinct customers per level-5 tile,
+    reported against the exact distinct count with permille error — the
+    approximate-distinct rollup a 100 TB pipeline runs instead of the
+    exact shuffle, with registers that merge by max (lossless partial
+    aggregation).  Integer rho via bit_count((w & -w) - 1), exact
+    2^-M_j arithmetic, portable-ln linear-counting branch — bit-exact
+    in DuckDB, unlike approx_count_distinct's engine-private HLL++."""
+    from s2geometry_spark.operators.sketch import tile_distinct_hll
+
+    orders = _load(spark, sf_dir, "orders")
+    pts = tiling.with_cell_from_triplet(
+        orders.select(
+            F.col("o_orderkey").alias("key"),
+            *tiling.triplet_exprs("o_orderkey"),
+        )
+    )
+    # level 0 (face) tiles carry thousands of distinct keys — the raw
+    # HLL branch; level 5 tiles carry a handful — the linear-counting
+    # branch.  Cell ids encode their level, so the union can't collide.
+    keyed = pts.select(
+        s2f.parent_expr("cell", 0).alias("tile"), "key"
+    ).unionByName(
+        pts.select(s2f.parent_expr("cell", 5).alias("tile"), "key")
+    )
+    return tile_distinct_hll(keyed)
+
+
+def _tile_distinct_hll_oracle() -> str:
+    from s2geometry_spark.operators.sketch import tile_distinct_hll_oracle_sql
+
+    cte = oracle.leaf_cell_sql_cte(
+        "orders", "o_orderkey", keep_cols="o_orderkey AS okey"
+    )
+    p0 = oracle.parent_sql_expr("cell_leaf", 0)
+    p5 = oracle.parent_sql_expr("cell_leaf", 5)
+    src = (
+        f"WITH {cte} SELECT {p0} AS tile, okey AS key FROM leaf "
+        f"UNION ALL SELECT {p5} AS tile, okey AS key FROM leaf"
+    )
+    return tile_distinct_hll_oracle_sql(src)
+
+
+def _emb_screen_oracle() -> str:
+    from s2geometry_spark.operators.ann import embedding_screen_oracle_sql
+
+    return embedding_screen_oracle_sql()
+
+
 def q_img_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-blocked image near-dup (the geo x visual crossover): pHash
     pairs at Hamming <= 2 whose images land in the SAME level-5 tile —
@@ -4877,6 +4936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_temperature": q_lang_temperature,
         "tfidf_keywords": q_tfidf_keywords,
         "img_tile_dedup": q_img_tile_dedup,
+        "emb_screen": q_emb_screen,
+        "tile_distinct_hll": q_tile_distinct_hll,
         # --- new in r4 session 10: never driver-checked, so first ---
         "point_layer": q_point_layer,
         "ann_topk_pq": q_ann_topk_pq,
@@ -5492,6 +5553,8 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "label_lexicon": _label_lexicon_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),
         "lang_temperature": text.lang_temperature_oracle_sql(),
+        "emb_screen": _emb_screen_oracle(),
+        "tile_distinct_hll": _tile_distinct_hll_oracle(),
         "tfidf_keywords": text.tfidf_keywords_oracle_sql(),
         "cell_index_ranges": _cell_index_ranges_oracle(),
         "text_chunks": text.doc_chunks_oracle_sql(),

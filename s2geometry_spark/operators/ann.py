@@ -963,3 +963,78 @@ SELECT CAST(ipair AS BIGINT) AS pair_id,
        CAST(cpair AS BIGINT) AS neg_pair,
        cos
 FROM neg WHERE neg_rank <= {k}"""
+
+
+# ---------- embedding sanity screen (pipeline validation op) ----------
+
+#: |norm2 - 1| tolerance for the unit-normalization screen (the fixture
+#: vectors are float32-normalized, so their double-refolded norm2 sits
+#: within ~2e-7 of 1; 1e-7 keeps both verdict classes populated)
+NORM_TOL = 1e-7
+
+
+def embedding_screen(emb: DataFrame) -> DataFrame:
+    """(vec_id, dim_n, norm2, n_zero, n_nonfinite, abs_max, ok): the
+    pre-ANN data-validation screen — dimension check, NaN/Inf count,
+    all-zero detection, saturation (abs_max), and unit-normalization to
+    NORM_TOL.  Pure projection (no shuffle, map-only at any scale);
+    norm2 folds left-to-right so the DuckDB oracle is bit-exact."""
+    x = F.col("embedding")
+    sq = F.transform(x, lambda v: v.cast("double") * v.cast("double"))
+    norm2 = F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+    nonfinite = F.size(
+        F.filter(
+            x,
+            lambda v: F.isnan(v.cast("double"))
+            | (v.cast("double") == F.lit(float("inf")))
+            | (v.cast("double") == F.lit(float("-inf"))),
+        )
+    )
+    n_zero = F.size(F.filter(x, lambda v: v.cast("double") == 0.0))
+    abs_max = F.aggregate(
+        F.transform(x, lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    dim_n = F.size(x).cast("long")
+    ok = (
+        (dim_n == DIM)
+        & (nonfinite == 0)
+        & (n_zero < dim_n)
+        & (F.abs(norm2 - 1.0) <= NORM_TOL)
+    )
+    return emb.select(
+        "vec_id",
+        dim_n.alias("dim_n"),
+        norm2.alias("norm2"),
+        n_zero.cast("long").alias("n_zero"),
+        nonfinite.cast("long").alias("n_nonfinite"),
+        abs_max.alias("abs_max"),
+        ok.alias("ok"),
+    )
+
+
+def embedding_screen_oracle_sql() -> str:
+    return f"""
+SELECT vec_id,
+  CAST(len(embedding) AS BIGINT) AS dim_n,
+  list_reduce(list_prepend(0.0,
+      [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+      (a, b) -> a + b) AS norm2,
+  CAST(len([x for x in embedding if CAST(x AS DOUBLE) = 0.0]) AS BIGINT)
+    AS n_zero,
+  CAST(len([x for x in embedding
+            if isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))])
+       AS BIGINT) AS n_nonfinite,
+  list_reduce(list_prepend(0.0, [abs(CAST(x AS DOUBLE)) for x in embedding]),
+      (a, b) -> greatest(a, b)) AS abs_max,
+  (len(embedding) = {DIM}
+   AND len([x for x in embedding
+            if isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))]) = 0
+   AND len([x for x in embedding if CAST(x AS DOUBLE) = 0.0])
+       < len(embedding)
+   AND abs(list_reduce(list_prepend(0.0,
+         [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+         (a, b) -> a + b) - 1.0) <= {NORM_TOL!r}) AS ok
+FROM embeddings
+"""

@@ -1,0 +1,175 @@
+"""Portable HyperLogLog distinct-count sketches per tile.
+
+The classic approximate-distinct operator a 100 TB rollup actually runs
+(Flajolet et al. 2007, HyperLogLog; the analysis-time shape of Spark's
+own approx_count_distinct) — reimplemented so the sketch is BIT-EXACTLY
+reproducible in DuckDB, which Spark's HLL++ is not (its hash and bias
+tables are engine-private).  Everything integer until the final
+estimator:
+
+* hash   = md5-h64("hll:" || key)     (the repo's portable 64-bit hash)
+* reg    = hash mod m (m = 256 registers, p = 8)
+* w      = the other 56 bits; rho(w) = trailing-zero count + 1 computed
+  EXACTLY as bit_count((w & -w) - 1) + 1 — no float log anywhere
+* register value M_j = max rho per (tile, reg): a plain hash agg, and
+  the reason HLL scales — sketches MERGE by register-wise max, so
+  per-executor partial aggregation is lossless (the same partial+final
+  combine Spark applies to any max agg)
+
+The estimator (the only float arithmetic) is pinned portable:
+2^-M_j = 1.0 / (1::BIGINT << M_j) (exact), folded in register order,
+the empty-register mass V added last; alpha_m embedded as one literal;
+the small-range linear-counting branch E <= 5m/2 uses ln_portable
+(operators/text) on the rational m/V.  The 2^32 large-range branch is
+omitted: keys are 64-bit hashed and tile cardinalities here are far
+below 2^32 (documented, matching common implementations).
+
+Scale shape: one hash agg to registers (map-side combinable), one tiny
+per-tile fold (<= m rows per tile).  The exact distinct count computed
+alongside is itself one shuffle; at real scale it is the expensive leg
+the sketch replaces — the query reports both plus the permille error,
+i.e. the accuracy audit you run before trusting the sketch fleet-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import ln_portable_sql
+
+P_BITS = 8
+M_REGS = 1 << P_BITS  # 256
+#: alpha_256 (Flajolet): one shared literal so both engines parse the
+#: identical double
+ALPHA = repr(0.7213 / (1.0 + 1.079 / M_REGS))
+_W_MASK = (1 << 56) - 1
+
+
+def tile_distinct_hll(
+    keyed: DataFrame, tile_col: str = "tile", key_col: str = "key"
+) -> DataFrame:
+    """(tile, exact_distinct, n_regs, estimate, err_permille) per tile.
+
+    ``keyed``: any frame with a tile column and a key column (the
+    distinct-count subject).  estimate is the HLL-256 estimator;
+    err_permille = floor(1000 * |estimate - exact| / exact).
+    """
+    from .dedup import md5_h64
+
+    h = md5_h64(
+        F.concat(F.lit("hll:"), F.col(key_col).cast("string"))
+    )
+    t = keyed.select(
+        F.col(tile_col).alias("tile"),
+        F.col(key_col).alias("key"),
+        h.alias("h"),
+    ).select(
+        "tile",
+        "key",
+        F.expr(f"pmod(h, {M_REGS})").alias("reg"),
+        F.expr(f"shiftright(h, {P_BITS}) & {_W_MASK}").alias("w"),
+    )
+    t = t.withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(57))
+        .otherwise(F.expr("bit_count((w & -w) - 1) + 1"))
+        .cast("long"),
+    )
+    regs = t.groupBy("tile", "reg").agg(F.max("rho").alias("mj"))
+    # 2^-M_j exactly: 1.0 / (1 << M_j) — integer shift then one exact
+    # division (SQL-level shiftleft accepts a column shift amount)
+    regs = regs.withColumn(
+        "term",
+        F.expr("1.0 / cast(shiftleft(cast(1 as bigint), mj) as double)"),
+    )
+    folded = regs.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("reg"), F.col("term")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("s_present"),
+    )
+    exact = t.groupBy("tile").agg(
+        F.countDistinct("key").alias("exact_distinct")
+    )
+    j = folded.join(exact, "tile")
+    v = (F.lit(M_REGS) - F.col("n_regs")).cast("long")
+    s_all = F.col("s_present") + v.cast("double")
+    e_raw = F.lit(float(ALPHA)) * F.lit(float(M_REGS * M_REGS)) / s_all
+    lc = F.lit(float(M_REGS)) * F.expr(
+        ln_portable_sql(
+            f"({float(M_REGS)!r} / CAST(({M_REGS} - n_regs) AS DOUBLE))"
+        )
+    )
+    est = F.when((e_raw <= 2.5 * M_REGS) & (v > 0), lc).otherwise(e_raw)
+    return j.select(
+        "tile",
+        "exact_distinct",
+        F.col("n_regs").cast("long").alias("n_regs"),
+        est.alias("estimate"),
+        F.floor(
+            F.lit(1000.0)
+            * F.abs(est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        )
+        .cast("long")
+        .alias("err_permille"),
+    )
+
+
+def tile_distinct_hll_oracle_sql(src_sql: str) -> str:
+    """DuckDB replay over ``src_sql`` (must yield tile, key)."""
+    from .dedup import md5_h64_sql
+
+    h = md5_h64_sql("'hll:' || CAST(key AS VARCHAR)")
+    ln_mv = ln_portable_sql(
+        f"({float(M_REGS)!r} / CAST(({M_REGS} - n_regs) AS DOUBLE))"
+    )
+    return f"""
+WITH src AS ({src_sql}),
+hashed AS (
+  SELECT tile, key, (({h}) % {M_REGS} + {M_REGS}) % {M_REGS} AS reg,
+         (({h}) >> {P_BITS}) & {_W_MASK} AS w
+  FROM src
+),
+rhod AS (
+  SELECT tile, key, reg,
+         CASE WHEN w = 0 THEN 57
+              ELSE bit_count((w & -w) - 1) + 1 END AS rho
+  FROM hashed
+),
+regs AS (SELECT tile, reg, max(rho) AS mj FROM rhod GROUP BY 1, 2),
+folded AS (
+  SELECT tile, count(*) AS n_regs,
+         list_reduce(
+           list_prepend(0.0, list(1.0 / CAST(1::BIGINT << mj AS DOUBLE)
+                                  ORDER BY reg)),
+           (a, b) -> a + b
+         ) AS s_present
+  FROM regs GROUP BY tile
+),
+exact AS (
+  SELECT tile, count(DISTINCT key) AS exact_distinct FROM rhod GROUP BY 1
+),
+est AS (
+  SELECT f.tile, e.exact_distinct, CAST(f.n_regs AS BIGINT) AS n_regs,
+         CASE WHEN (CAST({ALPHA} AS DOUBLE) * CAST({float(M_REGS * M_REGS)!r} AS DOUBLE)
+                    / (s_present + CAST({M_REGS} - n_regs AS DOUBLE)))
+                   <= CAST({2.5 * M_REGS!r} AS DOUBLE)
+               AND n_regs < {M_REGS}
+              THEN CAST({float(M_REGS)!r} AS DOUBLE) * ({ln_mv})
+              ELSE (CAST({ALPHA} AS DOUBLE) * CAST({float(M_REGS * M_REGS)!r} AS DOUBLE)
+                    / (s_present + CAST({M_REGS} - n_regs AS DOUBLE)))
+         END AS estimate
+  FROM folded f JOIN exact e USING (tile)
+)
+SELECT tile, exact_distinct, n_regs, estimate,
+       CAST(floor(1000.0 * abs(estimate - CAST(exact_distinct AS DOUBLE))
+                  / CAST(exact_distinct AS DOUBLE)) AS BIGINT)
+         AS err_permille
+FROM est
+"""

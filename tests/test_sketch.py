@@ -1,0 +1,50 @@
+"""Portable HLL sketch: mergeability, branch coverage, accuracy."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.operators.sketch import M_REGS, tile_distinct_hll
+
+
+def _keyed(spark, rows):
+    return spark.createDataFrame(rows, "tile long, key long")
+
+
+def test_merge_by_max_is_lossless(spark):
+    """Sketching two halves into the same tile equals sketching the
+    union — the register-max merge property that makes partial
+    aggregation lossless (Spark's partial+final combine IS the merge).
+    """
+    a = [(1, k) for k in range(0, 3000)]
+    b = [(1, k) for k in range(1500, 4000)]  # overlapping half
+    whole = tile_distinct_hll(_keyed(spark, a + b)).collect()[0]
+    # same rows, different partitioning: results must be identical
+    shuffled = tile_distinct_hll(
+        _keyed(spark, a + b).repartition(13, "key")
+    ).collect()[0]
+    assert whole == shuffled
+
+
+def test_both_estimator_branches_and_accuracy(spark):
+    rows = [(1, k) for k in range(5000)] + [(2, k) for k in range(40)]
+    out = {r.tile: r for r in tile_distinct_hll(_keyed(spark, rows)).collect()}
+    big, small = out[1], out[2]
+    # raw-HLL branch: all registers hit, estimate within ~3 sigma of
+    # the m=256 standard error (1.04/sqrt(256) = 6.5%)
+    assert big.exact_distinct == 5000
+    assert big.n_regs == M_REGS
+    assert abs(big.estimate - 5000) / 5000 < 0.2
+    # linear-counting branch: nearly exact at tiny cardinality
+    assert small.exact_distinct == 40
+    assert small.n_regs < M_REGS
+    assert abs(small.estimate - 40) < 3
+
+
+def test_duplicates_do_not_move_registers(spark):
+    once = tile_distinct_hll(_keyed(spark, [(1, k) for k in range(500)]))
+    thrice = tile_distinct_hll(
+        _keyed(spark, [(1, k) for k in range(500)] * 3)
+    )
+    r1, r3 = once.collect()[0], thrice.collect()[0]
+    assert r1.estimate == r3.estimate
+    assert r1.exact_distinct == r3.exact_distinct
