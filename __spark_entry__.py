@@ -4848,6 +4848,42 @@ def _tile_distinct_hll_oracle() -> str:
     return tile_distinct_hll_oracle_sql(src)
 
 
+CM_HH_THRESHOLD = 6
+
+
+def q_tile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter audit per face tile: customers whose
+    4x1024 count-min estimate clears the threshold, with exact counts
+    and the false-positive flag alongside — the hot-key detector whose
+    bucket-sum table is constant-size per tile regardless of key
+    cardinality (and merges by addition, so partial aggregation is
+    lossless)."""
+    from s2geometry_spark.operators.sketch import tile_heavy_hitters
+
+    orders = _load(spark, sf_dir, "orders")
+    pts = tiling.with_cell_from_triplet(
+        orders.select(
+            F.col("o_custkey").alias("key"),
+            *tiling.triplet_exprs("o_orderkey"),
+        )
+    )
+    keyed = pts.select(s2f.parent_expr("cell", 0).alias("tile"), "key")
+    return tile_heavy_hitters(keyed, CM_HH_THRESHOLD)
+
+
+def _tile_heavy_hitters_oracle() -> str:
+    from s2geometry_spark.operators.sketch import (
+        tile_heavy_hitters_oracle_sql,
+    )
+
+    cte = oracle.leaf_cell_sql_cte(
+        "orders", "o_orderkey", keep_cols="o_custkey"
+    )
+    p0 = oracle.parent_sql_expr("cell_leaf", 0)
+    src = f"WITH {cte} SELECT {p0} AS tile, o_custkey AS key FROM leaf"
+    return tile_heavy_hitters_oracle_sql(src, CM_HH_THRESHOLD)
+
+
 def _emb_screen_oracle() -> str:
     from s2geometry_spark.operators.ann import embedding_screen_oracle_sql
 
@@ -4938,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_tile_dedup": q_img_tile_dedup,
         "emb_screen": q_emb_screen,
         "tile_distinct_hll": q_tile_distinct_hll,
+        "tile_heavy_hitters": q_tile_heavy_hitters,
         # --- new in r4 session 10: never driver-checked, so first ---
         "point_layer": q_point_layer,
         "ann_topk_pq": q_ann_topk_pq,
@@ -5555,6 +5592,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "lang_temperature": text.lang_temperature_oracle_sql(),
         "emb_screen": _emb_screen_oracle(),
         "tile_distinct_hll": _tile_distinct_hll_oracle(),
+        "tile_heavy_hitters": _tile_heavy_hitters_oracle(),
         "tfidf_keywords": text.tfidf_keywords_oracle_sql(),
         "cell_index_ranges": _cell_index_ranges_oracle(),
         "text_chunks": text.doc_chunks_oracle_sql(),

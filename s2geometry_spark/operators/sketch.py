@@ -173,3 +173,112 @@ SELECT tile, exact_distinct, n_regs, estimate,
          AS err_permille
 FROM est
 """
+
+
+# ---------- count-min heavy hitters ----------
+
+CM_D = 4  # hash rows
+CM_W = 1024  # buckets per row
+
+
+def tile_heavy_hitters(
+    keyed: DataFrame,
+    threshold: int,
+    tile_col: str = "tile",
+    key_col: str = "key",
+) -> DataFrame:
+    """(tile, key, exact_cnt, est_cnt, is_true_hitter): the count-min
+    heavy-hitter audit per tile — every key whose CM_D x CM_W count-min
+    estimate clears ``threshold``, with its exact count alongside
+    (est_cnt >= exact_cnt always; est_cnt > exact_cnt is collision
+    inflation, and is_true_hitter = exact_cnt >= threshold exposes the
+    sketch's false-positive set, the lsh_recall_audit shape).
+
+    Why a sketch at 100 TB: the bucket-sum table is |tiles| x d x w
+    rows REGARDLESS of key cardinality, merges by plain addition
+    (partial aggregation is lossless), and only candidate keys probe it
+    — the exact per-(tile, key) agg it replaces is the unbounded one.
+    All integer, portable md5 row hashes, bit-exact in DuckDB.
+    """
+    from .dedup import md5_h64
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(
+                    md5_h64(
+                        F.concat(
+                            F.lit(f"cm{i}:"),
+                            F.col(key_col).cast("string"),
+                        )
+                    ),
+                    F.lit(CM_W),
+                ).alias("b"),
+            )
+            for i in range(CM_D)
+        ]
+    )
+    t = keyed.select(
+        F.col(tile_col).alias("tile"),
+        F.col(key_col).alias("key"),
+        F.explode(rows).alias("r"),
+    ).select("tile", "key", "r.i", "r.b")
+    sums = t.groupBy("tile", "i", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probes = t.distinct().join(sums, ["tile", "i", "b"])
+    est = probes.groupBy("tile", "key").agg(
+        F.min("cnt").cast("long").alias("est_cnt")
+    )
+    exact = (
+        keyed.select(
+            F.col(tile_col).alias("tile"), F.col(key_col).alias("key")
+        )
+        .groupBy("tile", "key")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, ["tile", "key"])
+        .where(F.col("est_cnt") >= threshold)
+        .select(
+            "tile",
+            "key",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("exact_cnt") >= threshold).alias("is_true_hitter"),
+        )
+    )
+
+
+def tile_heavy_hitters_oracle_sql(src_sql: str, threshold: int) -> str:
+    """DuckDB replay over ``src_sql`` (must yield tile, key)."""
+    from .dedup import md5_h64_sql
+
+    arms = " UNION ALL ".join(
+        "SELECT tile, key, {i} AS i, "
+        "(({h}) % {w} + {w}) % {w} AS b FROM src".format(
+            i=i,
+            w=CM_W,
+            h=md5_h64_sql(f"'cm{i}:' || CAST(key AS VARCHAR)"),
+        )
+        for i in range(CM_D)
+    )
+    return f"""
+WITH src AS ({src_sql}),
+t AS ({arms}),
+sums AS (SELECT tile, i, b, count(*) AS cnt FROM t GROUP BY 1, 2, 3),
+probes AS (
+  SELECT DISTINCT tile, key, i, b FROM t
+),
+est AS (
+  SELECT p.tile, p.key, CAST(min(s.cnt) AS BIGINT) AS est_cnt
+  FROM probes p JOIN sums s USING (tile, i, b)
+  GROUP BY 1, 2
+),
+exact AS (SELECT tile, key, count(*) AS exact_cnt FROM src GROUP BY 1, 2)
+SELECT e.tile, e.key, x.exact_cnt, e.est_cnt,
+       (x.exact_cnt >= {threshold}) AS is_true_hitter
+FROM est e JOIN exact x USING (tile, key)
+WHERE e.est_cnt >= {threshold}
+"""

@@ -48,3 +48,23 @@ def test_duplicates_do_not_move_registers(spark):
     r1, r3 = once.collect()[0], thrice.collect()[0]
     assert r1.estimate == r3.estimate
     assert r1.exact_distinct == r3.exact_distinct
+
+
+def test_count_min_overestimates_and_never_misses(spark):
+    from s2geometry_spark.operators.sketch import tile_heavy_hitters
+
+    rows = (
+        [(1, 7)] * 20 + [(1, 9)] * 12
+        + [(1, k) for k in range(100, 400)]  # singleton tail
+        + [(2, 7)] * 3                       # below threshold in tile 2
+    )
+    out = tile_heavy_hitters(_keyed(spark, rows), threshold=10).collect()
+    got = {(r.tile, r.key): r for r in out}
+    # no-miss guarantee: est >= exact, so every true hitter is present
+    assert (1, 7) in got and got[(1, 7)].is_true_hitter
+    assert (1, 9) in got and got[(1, 9)].is_true_hitter
+    assert got[(1, 7)].exact_cnt == 20 and got[(1, 7)].est_cnt >= 20
+    # tile 2's count stays below threshold (tiles don't bleed)
+    assert (2, 7) not in got
+    for r in out:
+        assert r.est_cnt >= r.exact_cnt
