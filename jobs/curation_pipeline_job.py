@@ -10,6 +10,8 @@ from, built entirely out of this repo's oracled operators.
       -> quality gate (token stats + repetition filters)
       -> split assignment (leakage-safe hash permille)
       -> decontamination (drop train docs overlapping eval 5-grams)
+      -> multilingual temperature resampling of the train split
+         (lang_temperature_sample, p^(1/2) rebalance)
       -> data-mix report (corpus_mixture)
       -> sequence packing (pack_assign over the surviving train split)
 
@@ -162,8 +164,26 @@ def main() -> None:
 
     curated = stage("s4_decontaminated", build_decon)
 
+    # 4b. multilingual temperature resampling of the TRAIN split toward
+    # p^(1/2): downsample dominant languages by the deterministic md5
+    # coin (text.lang_temperature_sample); val/test stay unsampled so
+    # evaluation remains representative
+    def build_resample():
+        verdict = text.lang_temperature_sample(curated.drop("split"))
+        dropped = verdict.where(~F.col("keep")).select("doc_id")
+        return curated.join(
+            dropped.join(
+                curated.where(F.col("split") == "train").select("doc_id"),
+                "doc_id",
+            ),
+            "doc_id",
+            "left_anti",
+        )
+
+    resampled = stage("s4b_temperature", build_resample)
+
     # 5. data-mix report (tiny; recomputed each run, printed not stored)
-    mix = text.corpus_mixture(curated.drop("split")).collect()
+    mix = text.corpus_mixture(resampled.drop("split")).collect()
     print(json.dumps({"stage": "s5_mixture",
                       "cells": [{k: r[k] for k in
                                  ("lang", "split", "n_docs", "n_tokens",
@@ -171,7 +191,7 @@ def main() -> None:
 
     # 6. sequence packing of the surviving train split
     def build_pack():
-        train = curated.where(F.col("split") == "train")
+        train = resampled.where(F.col("split") == "train")
         return text.pack_assign(train)
 
     packed = stage("s6_packed_train", build_pack)
@@ -183,6 +203,7 @@ def main() -> None:
         "after_near_dup": neardup.count(),
         "after_quality": quality.count(),
         "after_decontamination": curated.count(),
+        "after_temperature": resampled.count(),
         "packed_train_docs": packed.count(),
         "context_windows": (int(n_bins) + 1) if n_bins is not None else 0,
     }))

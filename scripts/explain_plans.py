@@ -181,6 +181,10 @@ HEADLINE = [
     "dedup_incremental",
     "lang_temperature",
     "tfidf_keywords",
+    "img_tile_dedup",
+    "emb_screen",
+    "tile_distinct_hll",
+    "tile_heavy_hitters",
 ]
 
 
