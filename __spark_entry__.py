@@ -4962,8 +4962,95 @@ def _label_lexicon_oracle() -> str:
     return id_set_lexicon_oracle_sql(_LEXICON_SRC_SQL)
 
 
+DOMAIN_CAP = 10
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the C4/Gopher-style anti-domination
+    rule): rank each source's documents by a deterministic md5 coin and
+    keep the first DOMAIN_CAP — a uniform, re-run-stable sample of every
+    domain.  Audit shape: every doc with its rank and keep verdict."""
+    from s2geometry_spark.operators.text import domain_cap
+
+    return domain_cap(_docs(spark, sf_dir), cap=DOMAIN_CAP)
+
+
+def _domain_cap_oracle() -> str:
+    from s2geometry_spark.operators.text import domain_cap_oracle_sql
+
+    return domain_cap_oracle_sql(cap=DOMAIN_CAP)
+
+
+def q_decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination audit — the scale path for the
+    train/eval n-gram scan: a 2^18-bit / 4-hash filter of the eval
+    n-gram set tested map-side against every distinct train n-gram,
+    reported per train doc as bloom_hits vs exact_hits with the
+    one-sided false_pos remainder (false negatives structurally
+    impossible).  Disagreement rows = docs an undersized filter would
+    over-scan at 100 TB."""
+    from s2geometry_spark.operators.dedup import bloom_decontaminate
+
+    return bloom_decontaminate(_docs(spark, sf_dir), n=DECON_N)
+
+
+def _decon_bloom_oracle() -> str:
+    from s2geometry_spark.operators.dedup import bloom_decontaminate_oracle_sql
+
+    return bloom_decontaminate_oracle_sql(n=DECON_N)
+
+
+def q_tile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram quantile sketch per level-5 tile (order
+    value p50/p90/p99), audited against the exact order statistic —
+    completes the sketch family (HLL distinct, count-min frequency,
+    histogram quantiles).  Bin counts merge by addition, so partial
+    aggregation is lossless; the exact leg is the per-tile sort the
+    sketch replaces at scale."""
+    from s2geometry_spark.operators.sketch import tile_quantile_sketch
+
+    orders = _load(spark, sf_dir, "orders")
+    pts = tiling.with_cell_from_triplet(
+        orders.select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("value"),
+            *tiling.triplet_exprs("o_orderkey"),
+        )
+    )
+    # face tiles (thousands of values: the sketch regime) + level-2
+    # tiles (~10^2 values: interpolation inside sparse bins); the level
+    # is encoded in the cell id so the union can't collide.
+    keyed = pts.select(
+        s2f.parent_expr("cell", 0).alias("tile"), "key", "value"
+    ).unionByName(
+        pts.select(s2f.parent_expr("cell", 2).alias("tile"), "key", "value")
+    )
+    return tile_quantile_sketch(keyed)
+
+
+def _tile_quantiles_oracle() -> str:
+    from s2geometry_spark.operators.sketch import tile_quantile_sketch_oracle_sql
+
+    cte = oracle.leaf_cell_sql_cte(
+        "orders",
+        "o_orderkey",
+        keep_cols="o_orderkey AS key, o_totalprice AS value",
+    )
+    p0 = oracle.parent_sql_expr("cell_leaf", 0)
+    p2 = oracle.parent_sql_expr("cell_leaf", 2)
+    src = (
+        f"WITH {cte} SELECT {p0} AS tile, key, value FROM leaf "
+        f"UNION ALL SELECT {p2} AS tile, key, value FROM leaf"
+    )
+    return tile_quantile_sketch_oracle_sql(src)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- new in r4 session 12: never driver-checked, so first ---
+        "domain_cap": q_domain_cap,
+        "decon_bloom": q_decon_bloom,
+        "tile_quantiles": q_tile_quantiles,
         # --- new in r4 session 11: never driver-checked, so first ---
         "label_lexicon": q_label_lexicon,
         "polyline_walks": q_polyline_walks,
@@ -5587,6 +5674,9 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
     from s2geometry_spark.operators.projections import projection_tiles_oracle_sql
 
     return {
+        "domain_cap": _domain_cap_oracle(),
+        "decon_bloom": _decon_bloom_oracle(),
+        "tile_quantiles": _tile_quantiles_oracle(),
         "label_lexicon": _label_lexicon_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),
         "lang_temperature": text.lang_temperature_oracle_sql(),

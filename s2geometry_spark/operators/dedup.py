@@ -848,3 +848,177 @@ SELECT f.doc_id, CAST(-1 AS BIGINT) AS dup_of, 0.0 AS jaccard
 FROM flagged f
 WHERE f.is_b AND f.doc_id NOT IN (SELECT doc_id FROM best WHERE rn = 1)
 """
+
+
+# ---------- Bloom-filter decontamination (the 100 TB scale path) ----------
+
+BLOOM_M = 1 << 18  # bits in the filter
+BLOOM_K = 4  # hash functions (double hashing, Kirsch-Mitzenmacher)
+
+
+def _bloom_positions(grams: DataFrame, m: int, k: int) -> DataFrame:
+    """shingle -> k filter positions via double hashing:
+    pos_i = (h1 + i*h2) mod m, h1/h2 from the two salted portable md5
+    hashes.  Everything integer; pmod keeps positions in [0, m)."""
+    h1 = F.pmod(md5_h64(F.concat(F.lit("bf1:"), F.col("shingle"))), F.lit(m))
+    h2 = F.pmod(md5_h64(F.concat(F.lit("bf2:"), F.col("shingle"))), F.lit(m))
+    cols = [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("long").alias(f"p{i}")
+        for i in range(k)
+    ]
+    return grams.select("shingle", *cols)
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    n: int = 5,
+    salt: str = "s2split",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """The Bloom-prefilter leg of decontamination, with its accuracy
+    audit — the scale path :func:`decontaminate`'s docstring promises:
+    at 100 TB you do not join every train n-gram against the eval n-gram
+    table; you build a Bloom filter of the eval set once, broadcast it,
+    and let the train scan test membership map-side.  Only the (tiny)
+    bloom-positive remainder ever reaches the exact join.
+
+    This operator runs BOTH legs and reports, per train document:
+    ``n_grams`` distinct n-grams, ``bloom_hits`` (grams the filter
+    flags), ``exact_hits`` (grams actually present in the eval set),
+    ``false_pos = bloom_hits - exact_hits`` (the filter's one-sided
+    error; false NEGATIVES are structurally impossible, which is the
+    property that makes the prefilter safe), and the two per-doc
+    verdicts ``bloom_flag`` / ``exact_flag`` — disagreement rows are
+    precisely the documents an undersized filter would over-scan.
+
+    The filter is held in dataflow form: ``bits`` = the distinct set
+    positions of the eval grams (<= m rows, a few MB at m = 2^18),
+    broadcast into a position join.  On a cluster you would fold the
+    positions into an m/64-word bitmap with bit_or and broadcast one
+    array; the broadcast position join is the plan-equivalent shape and
+    keeps every integer visible to the DuckDB oracle.  Hash work is done
+    once per DISTINCT gram (not per (doc, gram)) and joined back.
+    """
+    from .text import split_assign
+
+    sh = shingle_set(docs, n)
+    sp = split_assign(docs, salt).select("doc_id", "split")
+    shs = sh.join(sp, "doc_id")
+    ev_grams = (
+        shs.where(F.col("split") != "train").select("shingle").distinct()
+    )
+    tr = shs.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    tr_grams = tr.select("shingle").distinct()
+
+    pos_cols = F.array(*[f"p{i}" for i in range(k)])
+    bits = (
+        _bloom_positions(ev_grams, m, k)
+        .select(F.explode(pos_cols).alias("pos"))
+        .distinct()
+    )
+    # membership: each of the k position slots must be set.  Exploding the
+    # slots and counting join survivors equals "all k present" (duplicate
+    # slots within a gram are the same value, so they survive together).
+    tpl = _bloom_positions(tr_grams, m, k).select(
+        "shingle", F.explode(pos_cols).alias("pos")
+    )
+    npresent = (
+        tpl.join(F.broadcast(bits), "pos")
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("npresent"))
+    )
+    flags = (
+        tr_grams.join(npresent, "shingle", "left")
+        .join(
+            F.broadcast(ev_grams.withColumn("in_eval", F.lit(True))),
+            "shingle",
+            "left",
+        )
+        .select(
+            "shingle",
+            (F.coalesce(F.col("npresent"), F.lit(0)) == k).alias("bloom_hit"),
+            F.coalesce(F.col("in_eval"), F.lit(False)).alias("exact_hit"),
+        )
+    )
+    agg = tr.join(flags, "shingle").groupBy("train_doc").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("bloom_hits"),
+        F.sum(F.col("exact_hit").cast("long")).alias("exact_hits"),
+    )
+    return agg.select(
+        "train_doc",
+        "n_grams",
+        "bloom_hits",
+        "exact_hits",
+        (F.col("bloom_hits") - F.col("exact_hits")).alias("false_pos"),
+        (F.col("bloom_hits") > 0).alias("bloom_flag"),
+        (F.col("exact_hits") > 0).alias("exact_flag"),
+    )
+
+
+def bloom_decontaminate_oracle_sql(
+    n: int = 5,
+    salt: str = "s2split",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB replay: same tokenizer/split/hash chain; membership as
+    "every position IN the bits set" (equivalent to the count-of-k
+    join)."""
+    from .text import SPLIT_PERMILLE
+
+    grams = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    sp_h = md5_h32_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    train_hi = dict(SPLIT_PERMILLE)["train"]
+    h1 = md5_h64_sql("'bf1:' || shingle")
+    h2 = md5_h64_sql("'bf2:' || shingle")
+    pos = lambda i: f"((((h1 + {i} * h2) % {m}) + {m}) % {m})"  # noqa: E731
+    pos_list = ", ".join(pos(i) for i in range(k))
+    all_in = " AND ".join(
+        f"{pos(i)} IN (SELECT pos FROM bits)" for i in range(k)
+    )
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {grams} AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)
+),
+sp AS (SELECT doc_id, ({sp_h}) % 1000 < {train_hi} AS is_train FROM documents),
+ev AS MATERIALIZED (
+  SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id) WHERE NOT is_train
+),
+evh AS (SELECT shingle, ({h1}) AS h1, ({h2}) AS h2 FROM ev),
+evhp AS (SELECT ((h1 % {m}) + {m}) % {m} AS h1, ((h2 % {m}) + {m}) % {m} AS h2
+         FROM evh),
+bits AS MATERIALIZED (
+  SELECT DISTINCT unnest([{pos_list}]) AS pos FROM evhp
+),
+trg AS MATERIALIZED (
+  SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id) WHERE is_train
+),
+trh AS (SELECT shingle, ({h1}) AS h1, ({h2}) AS h2 FROM trg),
+trhp AS (SELECT shingle, ((h1 % {m}) + {m}) % {m} AS h1,
+                ((h2 % {m}) + {m}) % {m} AS h2 FROM trh),
+gflags AS MATERIALIZED (
+  SELECT shingle, ({all_in}) AS bloom_hit,
+         shingle IN (SELECT shingle FROM ev) AS exact_hit
+  FROM trhp
+),
+agg AS (
+  SELECT sh.doc_id AS train_doc, count(*) AS n_grams,
+         sum(CASE WHEN g.bloom_hit THEN 1 ELSE 0 END) AS bloom_hits,
+         sum(CASE WHEN g.exact_hit THEN 1 ELSE 0 END) AS exact_hits
+  FROM sh JOIN sp USING (doc_id) JOIN gflags g USING (shingle)
+  WHERE sp.is_train
+  GROUP BY 1
+)
+SELECT train_doc, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(bloom_hits AS BIGINT) AS bloom_hits,
+       CAST(exact_hits AS BIGINT) AS exact_hits,
+       CAST(bloom_hits - exact_hits AS BIGINT) AS false_pos,
+       bloom_hits > 0 AS bloom_flag, exact_hits > 0 AS exact_flag
+FROM agg
+"""

@@ -282,3 +282,160 @@ SELECT e.tile, e.key, x.exact_cnt, e.est_cnt,
 FROM est e JOIN exact x USING (tile, key)
 WHERE e.est_cnt >= {threshold}
 """
+
+
+# ---------- mergeable histogram quantile sketch ----------
+
+Q_PERMILLE = (500, 900, 990)
+#: bin width for the equi-width histogram (one literal shared by both
+#: engines so floor(value/width) is the identical IEEE divide+floor)
+BIN_WIDTH = 1000.0
+
+
+def tile_quantile_sketch(
+    keyed: DataFrame,
+    width: float = BIN_WIDTH,
+    qs: tuple[int, ...] = Q_PERMILLE,
+) -> DataFrame:
+    """Approximate per-tile quantiles from an equi-width histogram
+    sketch, audited against the exact order statistic — the third leg of
+    the sketch family (HLL = distinct, count-min = frequency, this =
+    quantiles).  Spark's own approx_quantile (Greenwald-Khanna) is
+    engine-private like its HLL++, so the sketch here is the portable
+    classic: per-tile bin counts ``floor(value / width)`` that MERGE BY
+    ADDITION — partial aggregation is lossless, which is the property
+    that lets a 1000-executor rollup combine map-side and ship counts,
+    never values.
+
+    ``keyed``: (tile, key, value).  For each q in ``qs`` (permille):
+    rank ``needed = ceil(q/1000 * n)`` exactly in integers, walk the
+    cumulative bin counts to the covering bin, and interpolate linearly
+    inside it.  Output per (tile, q_permille): n, the estimate, the
+    exact rank-``needed`` order statistic, and the permille error — the
+    audit you run before trusting width/sketch sizing fleet-wide.  The
+    exact leg is a full per-tile sort by construction (the expensive
+    thing the sketch replaces at 100 TB); the sketch leg is one hash agg
+    on (tile, bin) plus a window over the tiny bin table (<= value
+    range / width rows per tile, not n).
+    """
+    from pyspark.sql import Window
+
+    t = keyed.select(
+        "tile", "key", F.col("value").cast("double").alias("value")
+    )
+    bins = (
+        t.select(
+            "tile",
+            F.floor(F.col("value") / F.lit(width)).cast("long").alias("bin"),
+        )
+        .groupBy("tile", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum_w = (
+        Window.partitionBy("tile")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bins = bins.withColumn(
+        "cum", F.sum("cnt").over(cum_w).cast("long")
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    n = t.groupBy("tile").agg(F.count(F.lit(1)).alias("n"))
+    qdf = n.select(
+        "tile",
+        "n",
+        F.explode(F.array(*[F.lit(q).cast("long") for q in qs])).alias(
+            "q_permille"
+        ),
+    ).withColumn("needed", F.expr("(q_permille * n + 999) DIV 1000"))
+    est_sel = (
+        qdf.join(bins, "tile")
+        .where((F.col("cum") >= F.col("needed")) & (F.col("cum_prev") < F.col("needed")))
+        .withColumn(
+            "estimate",
+            F.expr(
+                f"CAST(bin AS DOUBLE) * {width!r} + {width!r} * "
+                "(CAST(needed - cum_prev AS DOUBLE) / CAST(cnt AS DOUBLE))"
+            ),
+        )
+        .select("tile", "q_permille", "n", "needed", "estimate")
+    )
+    rank_w = Window.partitionBy("tile").orderBy(
+        F.col("value").asc(), F.col("key").asc()
+    )
+    ranked = (
+        t.withColumn("rn", F.row_number().over(rank_w).cast("long"))
+        .select(
+            F.col("tile").alias("rtile"),
+            "rn",
+            F.col("value").alias("exact_value"),
+        )
+    )
+    exact = est_sel.join(
+        ranked,
+        on=(F.col("rtile") == F.col("tile")) & (F.col("rn") == F.col("needed")),
+    ).select("tile", "q_permille", "n", "estimate", "exact_value")
+    return exact.select(
+        "tile",
+        "q_permille",
+        "n",
+        "estimate",
+        "exact_value",
+        F.floor(
+            F.lit(1000.0)
+            * F.abs(F.col("estimate") - F.col("exact_value"))
+            / F.col("exact_value")
+        )
+        .cast("long")
+        .alias("err_permille"),
+    )
+
+
+def tile_quantile_sketch_oracle_sql(
+    src_sql: str,
+    width: float = BIN_WIDTH,
+    qs: tuple[int, ...] = Q_PERMILLE,
+) -> str:
+    """DuckDB replay over ``src_sql`` (must yield tile, key, value).
+    Identical integer rank arithmetic (// is DuckDB's floor division,
+    DIV Spark's) and the identical a*W + W*(x/y) interpolation shape."""
+    q_list = ", ".join(str(q) for q in qs)
+    return f"""
+WITH src AS ({src_sql}),
+t AS (SELECT tile, key, CAST(value AS DOUBLE) AS value FROM src),
+bins AS (
+  SELECT tile, CAST(floor(value / {width!r}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM t GROUP BY 1, 2
+),
+cumd AS (
+  SELECT tile, bin, cnt,
+         sum(cnt) OVER (PARTITION BY tile ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bins
+),
+n AS (SELECT tile, count(*) AS n FROM t GROUP BY 1),
+qd AS (
+  SELECT tile, n, q_permille,
+         (q_permille * n + 999) // 1000 AS needed
+  FROM n, UNNEST([{q_list}]::BIGINT[]) AS u(q_permille)
+),
+est AS (
+  SELECT qd.tile, qd.q_permille, qd.n, qd.needed,
+         CAST(c.bin AS DOUBLE) * {width!r} + {width!r} *
+         (CAST(qd.needed - (c.cum - c.cnt) AS DOUBLE) / CAST(c.cnt AS DOUBLE))
+           AS estimate
+  FROM qd JOIN cumd c ON qd.tile = c.tile
+  WHERE c.cum >= qd.needed AND (c.cum - c.cnt) < qd.needed
+),
+ranked AS (
+  SELECT tile, value,
+         row_number() OVER (PARTITION BY tile
+                            ORDER BY value ASC, key ASC) AS rn
+  FROM t
+)
+SELECT est.tile, est.q_permille, CAST(est.n AS BIGINT) AS n, est.estimate,
+       r.value AS exact_value,
+       CAST(floor(1000.0 * abs(est.estimate - r.value) / r.value) AS BIGINT)
+         AS err_permille
+FROM est JOIN ranked r ON est.tile = r.tile AND r.rn = est.needed
+"""

@@ -1077,3 +1077,73 @@ SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, CAST(tf AS BIGINT) AS tf,
        CAST(df AS BIGINT) AS df, score
 FROM ranked WHERE rnk <= {k}
 """
+
+
+def domain_cap(docs: DataFrame, cap: int = 10, salt: str = "s2dcap") -> DataFrame:
+    """Per-source document cap — the anti-domination rule every web-scale
+    corpus applies so one crawl host cannot own the training mixture
+    (the C4/Gopher-style "max N documents per domain" curation step).
+
+    Each document draws the deterministic coin md5_h64(salt || doc_id);
+    within a source, documents are ranked by (coin, doc_id) and only the
+    first ``cap`` survive.  Ranking on the hash coin — not on arrival
+    order — makes the kept subset a uniform random sample of the domain
+    that is stable across re-runs, re-shards, and cluster sizes (the
+    same pure-function-of-the-row contract as split_assign).
+
+    Output: (doc_id, source, n_source_docs, rank_in_source, keep) for
+    EVERY document — the audit shape; enforcement is one ``WHERE keep``
+    downstream.
+
+    Scale shape: one shuffle on ``source`` + a row_number window.  Skew
+    is bounded by the largest domain; at 100 TB the window never
+    materializes more than one domain per task, and a domain too large
+    for one task is exactly the domain the cap is about to cut to
+    ``cap`` rows — so a two-phase per-partition pre-cap (keep the
+    ``cap`` smallest coins per partition, then re-rank the survivors,
+    which cannot evict a true winner) bounds the shuffle at
+    cap * n_partitions rows per domain.
+    """
+    from .dedup import md5_h64
+
+    coin = md5_h64(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("source").orderBy(
+        F.col("coin").asc(), F.col("doc_id").asc()
+    )
+    n_win = Window.partitionBy("source")
+    return (
+        docs.select("doc_id", "source", coin.alias("coin"))
+        .withColumn("rank_in_source", F.row_number().over(win).cast("long"))
+        .withColumn("n_source_docs", F.count(F.lit(1)).over(n_win).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            "n_source_docs",
+            "rank_in_source",
+            (F.col("rank_in_source") <= cap).alias("keep"),
+        )
+    )
+
+
+def domain_cap_oracle_sql(cap: int = 10, salt: str = "s2dcap") -> str:
+    """DuckDB replay: identical md5 coin, identical (coin, doc_id) rank."""
+    from .dedup import md5_h64_sql
+
+    coin = md5_h64_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH c AS (
+  SELECT doc_id, source, ({coin}) AS coin FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY coin ASC, doc_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM c
+)
+SELECT doc_id, source, CAST(n_src AS BIGINT) AS n_source_docs,
+       CAST(rnk AS BIGINT) AS rank_in_source, rnk <= {cap} AS keep
+FROM r
+"""

@@ -405,3 +405,96 @@ def test_incremental_dedup_verdicts(spark):
         ).collect()
     }
     assert out == {17: (1, 1.0), 27: (-1, 0.0)}
+
+
+def test_domain_cap_brute_force(docs):
+    """Replay the coin/rank rule in pure Python (hashlib md5) and check
+    every keep verdict plus the per-source cap invariant."""
+    import hashlib
+
+    cap = 7
+    out = {r.doc_id: r for r in text.domain_cap(docs, cap=cap).collect()}
+    rows = docs.select("doc_id", "source").collect()
+
+    def coin(doc_id):
+        hx = hashlib.md5(f"s2dcap:{doc_id}".encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        v = (hi << 32) + lo
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    for src, ids in by_src.items():
+        ranked = sorted(ids, key=lambda d: (coin(d), d))
+        for i, d in enumerate(ranked, start=1):
+            got = out[d]
+            assert got.rank_in_source == i
+            assert got.n_source_docs == len(ids)
+            assert got.keep == (i <= cap)
+        assert sum(out[d].keep for d in ids) == min(cap, len(ids))
+
+
+def test_domain_cap_partition_invariant(docs):
+    a = sorted(map(tuple, text.domain_cap(docs).collect()))
+    b = sorted(map(tuple, text.domain_cap(docs.repartition(13, "doc_id")).collect()))
+    assert a == b
+
+
+def test_bloom_decontaminate_one_sided_and_small_filter(docs):
+    """With a deliberately undersized filter (m=1024) false positives
+    must appear, false negatives must not, and both legs must agree
+    with a pure-Python bloom replay."""
+    import hashlib
+
+    m, k, n = 1024, 3, 5
+    out = dedup.bloom_decontaminate(docs, n=n, m=m, k=k).collect()
+    assert len(out) > 0
+    total_fp = 0
+    for r in out:
+        assert r.exact_hits <= r.bloom_hits  # one-sided error only
+        assert r.false_pos == r.bloom_hits - r.exact_hits
+        assert r.bloom_flag == (r.bloom_hits > 0)
+        assert r.exact_flag == (r.exact_hits > 0)
+        total_fp += r.false_pos
+    assert total_fp > 0, "undersized filter should produce false positives"
+
+    # python replay on one train doc with hits
+    def h64(s):
+        hx = hashlib.md5(s.encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        v = (hi << 32) + lo
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def grams(txt):
+        w = txt.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 0))}
+
+    rows = docs.select("doc_id", "text").collect()
+    train, eval_g = {}, set()
+    for r in rows:
+        if h32(f"s2split:{r.doc_id}") % 1000 < 900:
+            train[r.doc_id] = grams(r.text)
+        else:
+            eval_g |= grams(r.text)
+    bits = set()
+    for g in eval_g:
+        h1, h2 = h64("bf1:" + g) % m, h64("bf2:" + g) % m
+        bits |= {(h1 + i * h2) % m for i in range(k)}
+
+    def bloom_hit(g):
+        h1, h2 = h64("bf1:" + g) % m, h64("bf2:" + g) % m
+        return all((h1 + i * h2) % m in bits for i in range(k))
+
+    byid = {r.train_doc: r for r in out}
+    assert set(byid) == set(d for d, gs in train.items() if gs)
+    for d, gs in list(train.items())[:25]:
+        if not gs:
+            continue
+        r = byid[d]
+        assert r.n_grams == len(gs)
+        assert r.exact_hits == sum(g in eval_g for g in gs)
+        assert r.bloom_hits == sum(bloom_hit(g) for g in gs)

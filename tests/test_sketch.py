@@ -68,3 +68,58 @@ def test_count_min_overestimates_and_never_misses(spark):
     assert (2, 7) not in got
     for r in out:
         assert r.est_cnt >= r.exact_cnt
+
+
+# ---------- histogram quantile sketch ----------
+
+
+def _valued(spark, rows):
+    return spark.createDataFrame(rows, "tile long, key long, value double")
+
+
+def test_quantile_sketch_exact_leg_is_order_statistic(spark):
+    import math
+
+    from s2geometry_spark.operators.sketch import tile_quantile_sketch
+
+    vals = [float(v) for v in range(1, 1001)]  # 1..1000, width 1000 -> 2 bins
+    rows = [(1, k, v * 37.5) for k, v in enumerate(vals)]
+    out = {
+        r.q_permille: r
+        for r in tile_quantile_sketch(_valued(spark, rows), width=1000.0).collect()
+    }
+    import numpy as np
+
+    sv = np.sort([v * 37.5 for v in vals])
+    for q in (500, 900, 990):
+        needed = math.ceil(q / 1000 * len(vals))
+        assert out[q].exact_value == sv[needed - 1]
+        assert out[q].n == len(vals)
+        # estimate lands within one bin width of the exact statistic
+        assert abs(out[q].estimate - out[q].exact_value) <= 1000.0
+
+
+def test_quantile_sketch_merge_by_addition_is_lossless(spark):
+    """Bin counts add: computing the sketch over a repartitioned frame
+    (different partial-agg splits) must give identical rows."""
+    from s2geometry_spark.operators.sketch import tile_quantile_sketch
+
+    rows = [(t, k, float((k * 7919) % 50000)) for t in (1, 2) for k in range(2000)]
+    df = _valued(spark, rows)
+    a = sorted(map(tuple, tile_quantile_sketch(df).collect()))
+    b = sorted(map(tuple, tile_quantile_sketch(df.repartition(17, "key")).collect()))
+    assert a == b
+
+
+def test_quantile_sketch_interpolation_inside_bin(spark):
+    """100 equal-spaced values inside ONE bin: linear interpolation
+    recovers every quantile to within one value spacing."""
+    from s2geometry_spark.operators.sketch import tile_quantile_sketch
+
+    rows = [(1, k, 10.0 * k) for k in range(100)]  # all in bin 0 (width 1000)
+    out = {
+        r.q_permille: r
+        for r in tile_quantile_sketch(_valued(spark, rows), width=1000.0).collect()
+    }
+    for q in (500, 900, 990):
+        assert abs(out[q].estimate - out[q].exact_value) <= 10.0 + 1e-9
