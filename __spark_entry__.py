@@ -5045,9 +5045,51 @@ def _tile_quantiles_oracle() -> str:
     return tile_quantile_sketch_oracle_sql(src)
 
 
+@functools.lru_cache(maxsize=1)
+def _composite_coverings() -> dict:
+    """Cap + loop fixture coverings under one namespace (loops prefixed
+    so cap 'zurich' and loop 'zurich' stay distinct regions — their
+    overlap is what makes intersection/difference non-trivial)."""
+    from s2geometry_spark.kernels.coverer import CovererOptions, RegionCoverer
+
+    coverer = RegionCoverer(CovererOptions(max_cells=16))
+    regions = dict(_cap_coverings())
+    for rid, loop in _pip_loops().items():
+        regions[f"L_{rid}"] = coverer.get_covering(loop)
+    return regions
+
+
+def q_composite_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2RegionUnion / S2RegionIntersection (s2region_union.h:36-73,
+    s2region_intersection.h:37-76) composed at the covering level:
+    per unordered (cap|loop) fixture pair and mode in {union,
+    intersection, difference}, the distributed S2CellUnion set-op
+    (applyInPandas over pair groups) followed by the broadcast
+    cell-iterator point join; n_points per composite, zeros included.
+    The oracle replays membership as boolean algebra over the MEMBER
+    coverings — an independent check of the set-op kernels."""
+    from s2geometry_spark.operators.region_algebra import composite_region_join
+
+    return composite_region_join(
+        spark, _order_points(spark, sf_dir), _composite_coverings()
+    )
+
+
+def _composite_regions_oracle() -> str:
+    from s2geometry_spark.operators.region_algebra import (
+        composite_region_oracle_parts,
+    )
+
+    parts = composite_region_oracle_parts(
+        _composite_coverings(), oracle.parent_sql_expr
+    )
+    return _leaf_sql(" UNION ALL ".join(parts))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r4 session 12: never driver-checked, so first ---
+        "composite_regions": q_composite_regions,
         "domain_cap": q_domain_cap,
         "decon_bloom": q_decon_bloom,
         "tile_quantiles": q_tile_quantiles,
@@ -5674,6 +5716,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
     from s2geometry_spark.operators.projections import projection_tiles_oracle_sql
 
     return {
+        "composite_regions": _composite_regions_oracle(),
         "domain_cap": _domain_cap_oracle(),
         "decon_bloom": _decon_bloom_oracle(),
         "tile_quantiles": _tile_quantiles_oracle(),

@@ -126,3 +126,46 @@ def test_expand_level_contains_original(ids, dlevel):
         va = np.array([v], np.uint64)
         lo, hi = int(cellid.range_min(va)[0]), int(cellid.range_max(va)[0])
         assert any(mlo <= lo and hi <= mhi for mlo, mhi in merged)
+
+def test_composite_region_join_matches_boolean_membership(spark):
+    """The distributed (pair, mode) set-op + point join must equal pure
+    boolean membership over the member coverings — the leaf-exactness
+    identity the oracle relies on — including zero rows for empty
+    compositions."""
+    from s2geometry_spark.operators.region_algebra import composite_region_join
+
+    rng = np.random.default_rng(7)
+    # three coverings: two overlapping over face 0, one disjoint (face 3)
+    def cov(face, count, level):
+        leaf = cellid.from_latlng_degrees(
+            rng.uniform(5, 40, count), rng.uniform(5 + 90 * face, 40 + 90 * face, count)
+        )
+        return cellunion.normalize(cellid.parent(leaf, level))
+
+    covs = {
+        "a": cov(0, 8, 6),
+        "b": cov(0, 8, 7),
+        "c": cov(1, 4, 6),
+    }
+    pts_leaf = cellid.from_latlng_degrees(
+        rng.uniform(0, 50, 4000), rng.uniform(0, 140, 4000)
+    )
+    pts = spark.createDataFrame(
+        [(int(i), int(c)) for i, c in enumerate(cellid.to_biased(pts_leaf).tolist())],
+        "pid long, cell long",
+    )
+    got = {
+        (r.rid_a, r.rid_b, r.mode): r.n_points
+        for r in composite_region_join(spark, pts, covs).collect()
+    }
+    assert len(got) == 9  # 3 pairs x 3 modes, zeros included
+    import itertools
+
+    for ra, rb in itertools.combinations(sorted(covs), 2):
+        in_a = cellunion.contains_cell(covs[ra], pts_leaf)
+        in_b = cellunion.contains_cell(covs[rb], pts_leaf)
+        assert got[(ra, rb, "union")] == int(np.sum(in_a | in_b))
+        assert got[(ra, rb, "intersection")] == int(np.sum(in_a & in_b))
+        assert got[(ra, rb, "difference")] == int(np.sum(in_a & ~in_b))
+    # the disjoint pair's intersection must be present as an explicit 0
+    assert got[("a", "c", "intersection")] == 0 or got[("b", "c", "intersection")] == 0
