@@ -5088,7 +5088,20 @@ def _composite_regions_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- new in r4 session 12: never driver-checked, so first ---
+        # --- VERDICT r3 tasks 1+2 done-criteria: r3's one red row
+        # (loop_nesting, oracle dtype CAST-pinned) and the 8 LLM-pipeline
+        # oracles that never got a driver row — these MUST land inside the
+        # driver's 50-query budget this round ---
+        "loop_nesting": q_loop_nesting,
+        "sessionize": q_sessionize,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
+        "dedup_components": q_dedup_components,
+        "text_bm25": q_text_bm25,
+        "text_length_quantiles": q_text_length_quantiles,
+        "text_repetition": q_text_repetition,
+        "split_assign": q_split_assign,
+        "ann_topk_sq8": q_ann_topk_sq8,
+        # --- new in r4 session 12: never driver-checked ---
         "composite_regions": q_composite_regions,
         "domain_cap": q_domain_cap,
         "decon_bloom": q_decon_bloom,
@@ -5156,20 +5169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": q_emb_semdedup,
         "range_pairs": q_range_pairs,
         "dbscan": q_dbscan,
-        "dedup_lsh_recall": q_dedup_lsh_recall,
-        "dedup_components": q_dedup_components,
-        "sessionize": q_sessionize,
-        "text_bm25": q_text_bm25,
-        "text_length_quantiles": q_text_length_quantiles,
-        "text_repetition": q_text_repetition,
-        "split_assign": q_split_assign,
-        "ann_topk_sq8": q_ann_topk_sq8,
-        # (the 8 rows-only generated-image queries sit just past the
-        # driver's 50-query budget: a rows-only driver row is weaker
-        # evidence than the bit-exact oracle rows the budget buys below;
-        # each img query is brute-force pixel-verified in pytest)
-        # --- r3's one red row — oracle dtype CAST-pinned in r4, re-prove it ---
-        "loop_nesting": q_loop_nesting,
         # --- new round-4 queries ---
         "hausdorff_pairs": q_hausdorff_pairs,
         "edge_crossings_all": q_edge_crossings_all,

@@ -185,6 +185,14 @@ HEADLINE = [
     "emb_screen",
     "tile_distinct_hll",
     "tile_heavy_hitters",
+    # round 4 session 12
+    "domain_cap",
+    "decon_bloom",
+    "tile_quantiles",
+    # composite_regions: the (pair, mode) set-op applyInPandas and the
+    # distinct-levels collect run during plan construction; the dumped
+    # plan is the exploded-parents broadcast join + count
+    "composite_regions",
 ]
 
 
