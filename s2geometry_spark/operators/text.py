@@ -1147,3 +1147,51 @@ SELECT doc_id, source, CAST(n_src AS BIGINT) AS n_source_docs,
        CAST(rnk AS BIGINT) AS rank_in_source, rnk <= {cap} AS keep
 FROM r
 """
+
+
+def domain_cap_enforce(
+    docs: DataFrame, cap: int = 10, salt: str = "s2dcap"
+) -> DataFrame:
+    """Two-phase enforcement variant of :func:`domain_cap` — the shape
+    that survives a monster domain at 100 TB.  Phase 1 is a map-side
+    pre-cap with NO shuffle: one mapInPandas over the existing
+    partitions keeps only the ``cap`` smallest (coin, doc_id) rows per
+    source per Arrow batch.  A batch-local cap can never evict a true
+    global winner (a top-``cap`` document is top-``cap`` within its own
+    batch a fortiori), so phase 2 — the same (source) window as the
+    audit variant, now over at most cap x n_batches rows per source
+    instead of the whole domain — re-ranks the survivors exactly.
+
+    Output is the ENFORCEMENT shape (doc_id, source, rank_in_source for
+    kept rows only), not the audit shape: rows cut in phase 1 have no
+    exact global rank, only the guarantee rank > cap.  Equivalence of
+    the kept set with the single-window audit is pinned by test.
+
+    The coin is computed JVM-side before the Python crossing, so the
+    pandas stage only sorts/slices — no per-row hashing in Python.
+    """
+    from .dedup import md5_h64
+
+    coin = md5_h64(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+    base = docs.select("doc_id", "source", coin.alias("coin"))
+
+    def precap(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["coin", "doc_id"])
+                    .groupby("source", sort=False)
+                    .head(cap)
+                )
+
+    surv = base.mapInPandas(precap, schema="doc_id long, source string, coin long")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("source").orderBy(
+        F.col("coin").asc(), F.col("doc_id").asc()
+    )
+    return (
+        surv.withColumn("rank_in_source", F.row_number().over(win).cast("long"))
+        .where(F.col("rank_in_source") <= cap)
+        .select("doc_id", "source", "rank_in_source")
+    )

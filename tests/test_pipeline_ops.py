@@ -498,3 +498,21 @@ def test_bloom_decontaminate_one_sided_and_small_filter(docs):
         assert r.n_grams == len(gs)
         assert r.exact_hits == sum(g in eval_g for g in gs)
         assert r.bloom_hits == sum(bloom_hit(g) for g in gs)
+
+
+def test_domain_cap_enforce_equals_audit_keep_set(docs):
+    """The two-phase map-side pre-cap must select exactly the audit
+    variant's keep set (a batch-local cap cannot evict a true winner),
+    at any input partitioning."""
+    cap = 7
+    audit = text.domain_cap(docs, cap=cap)
+    want = {
+        (r.doc_id, r.source, r.rank_in_source)
+        for r in audit.where("keep").collect()
+    }
+    for df in (docs, docs.repartition(23, "doc_id"), docs.coalesce(1)):
+        got = {
+            (r.doc_id, r.source, r.rank_in_source)
+            for r in text.domain_cap_enforce(df, cap=cap).collect()
+        }
+        assert got == want
