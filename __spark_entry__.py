@@ -5086,6 +5086,64 @@ def _composite_regions_oracle() -> str:
     return _leaf_sql(" UNION ALL ".join(parts))
 
 
+def q_streaming_tile_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the HLL distinct sketch: the register-max merge
+    that makes partial aggregation lossless ALSO makes the sketch
+    streamable — groupBy(tile, reg).max(rho) is one legal streaming
+    aggregation whose complete-mode state is exactly the sketch (bounded
+    at m rows per tile forever).  Registers stream from the orders file
+    source into a memory sink; the estimator folds at read time as a
+    batch query over the sink.  The oracle replays registers + estimator
+    over the same rows — stream-vs-batch bit-exactness as a driver row."""
+    import uuid
+
+    from s2geometry_spark.operators.sketch import hll_estimate, hll_registers
+
+    schema = _load(spark, sf_dir, "orders").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    pts = tiling.with_cell_from_triplet(
+        stream.select(
+            F.col("o_orderkey").alias("key"),
+            *tiling.triplet_exprs("o_orderkey"),
+        )
+    )
+    keyed = pts.select(
+        s2f.parent_expr("cell", 0).alias("tile"), "key"
+    ).unionByName(
+        pts.select(s2f.parent_expr("cell", 5).alias("tile"), "key")
+    )
+    name = "std_" + uuid.uuid4().hex[:10]
+    q = (
+        hll_registers(keyed)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hll_estimate(spark.table(name))
+
+
+def _streaming_tile_distinct_oracle() -> str:
+    from s2geometry_spark.operators.sketch import hll_estimate_oracle_sql
+
+    cte = oracle.leaf_cell_sql_cte(
+        "orders", "o_orderkey", keep_cols="o_orderkey AS okey"
+    )
+    p0 = oracle.parent_sql_expr("cell_leaf", 0)
+    p5 = oracle.parent_sql_expr("cell_leaf", 5)
+    src = (
+        f"WITH {cte} SELECT {p0} AS tile, okey AS key FROM leaf "
+        f"UNION ALL SELECT {p5} AS tile, okey AS key FROM leaf"
+    )
+    return hll_estimate_oracle_sql(src)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- VERDICT r3 tasks 1+2 done-criteria: r3's one red row
@@ -5106,6 +5164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "decon_bloom": q_decon_bloom,
         "tile_quantiles": q_tile_quantiles,
+        "streaming_tile_distinct": q_streaming_tile_distinct,
         # --- new in r4 session 11: never driver-checked, so first ---
         "label_lexicon": q_label_lexicon,
         "polyline_walks": q_polyline_walks,
@@ -5719,6 +5778,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "domain_cap": _domain_cap_oracle(),
         "decon_bloom": _decon_bloom_oracle(),
         "tile_quantiles": _tile_quantiles_oracle(),
+        "streaming_tile_distinct": _streaming_tile_distinct_oracle(),
         "label_lexicon": _label_lexicon_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),
         "lang_temperature": text.lang_temperature_oracle_sql(),

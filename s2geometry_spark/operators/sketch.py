@@ -46,15 +46,10 @@ ALPHA = repr(0.7213 / (1.0 + 1.079 / M_REGS))
 _W_MASK = (1 << 56) - 1
 
 
-def tile_distinct_hll(
+def hll_keyed_rho(
     keyed: DataFrame, tile_col: str = "tile", key_col: str = "key"
 ) -> DataFrame:
-    """(tile, exact_distinct, n_regs, estimate, err_permille) per tile.
-
-    ``keyed``: any frame with a tile column and a key column (the
-    distinct-count subject).  estimate is the HLL-256 estimator;
-    err_permille = floor(1000 * |estimate - exact| / exact).
-    """
+    """(tile, key, reg, rho) — the stateless hash/register derivation."""
     from .dedup import md5_h64
 
     h = md5_h64(
@@ -70,13 +65,32 @@ def tile_distinct_hll(
         F.expr(f"pmod(h, {M_REGS})").alias("reg"),
         F.expr(f"shiftright(h, {P_BITS}) & {_W_MASK}").alias("w"),
     )
-    t = t.withColumn(
+    return t.withColumn(
         "rho",
         F.when(F.col("w") == 0, F.lit(57))
         .otherwise(F.expr("bit_count((w & -w) - 1) + 1"))
         .cast("long"),
+    ).drop("w")
+
+
+def hll_registers(
+    keyed: DataFrame, tile_col: str = "tile", key_col: str = "key"
+) -> DataFrame:
+    """(tile, reg, mj) — the sketch state.  ONE max aggregation, which
+    is also what makes the sketch streamable: register-max is a legal
+    single streaming aggregation, and complete-mode state IS the
+    sketch (bounded at m rows per tile forever, however many rows
+    stream through)."""
+    return (
+        hll_keyed_rho(keyed, tile_col, key_col)
+        .groupBy("tile", "reg")
+        .agg(F.max("rho").alias("mj"))
     )
-    regs = t.groupBy("tile", "reg").agg(F.max("rho").alias("mj"))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(tile, n_regs, estimate) from a register frame (tile, reg, mj) —
+    the read-time estimator over the sketch state."""
     # 2^-M_j exactly: 1.0 / (1 << M_j) — integer shift then one exact
     # division (SQL-level shiftleft accepts a column shift amount)
     regs = regs.withColumn(
@@ -93,10 +107,6 @@ def tile_distinct_hll(
             lambda acc, s: acc + s["term"],
         ).alias("s_present"),
     )
-    exact = t.groupBy("tile").agg(
-        F.countDistinct("key").alias("exact_distinct")
-    )
-    j = folded.join(exact, "tile")
     v = (F.lit(M_REGS) - F.col("n_regs")).cast("long")
     s_all = F.col("s_present") + v.cast("double")
     e_raw = F.lit(float(ALPHA)) * F.lit(float(M_REGS * M_REGS)) / s_all
@@ -106,14 +116,37 @@ def tile_distinct_hll(
         )
     )
     est = F.when((e_raw <= 2.5 * M_REGS) & (v > 0), lc).otherwise(e_raw)
+    return folded.select(
+        "tile",
+        F.col("n_regs").cast("long").alias("n_regs"),
+        est.alias("estimate"),
+    )
+
+
+def tile_distinct_hll(
+    keyed: DataFrame, tile_col: str = "tile", key_col: str = "key"
+) -> DataFrame:
+    """(tile, exact_distinct, n_regs, estimate, err_permille) per tile.
+
+    ``keyed``: any frame with a tile column and a key column (the
+    distinct-count subject).  estimate is the HLL-256 estimator;
+    err_permille = floor(1000 * |estimate - exact| / exact).
+    """
+    t = hll_keyed_rho(keyed, tile_col, key_col)
+    regs = t.groupBy("tile", "reg").agg(F.max("rho").alias("mj"))
+    est_f = hll_estimate(regs)
+    exact = t.groupBy("tile").agg(
+        F.countDistinct("key").alias("exact_distinct")
+    )
+    j = est_f.join(exact, "tile")
     return j.select(
         "tile",
         "exact_distinct",
-        F.col("n_regs").cast("long").alias("n_regs"),
-        est.alias("estimate"),
+        "n_regs",
+        "estimate",
         F.floor(
             F.lit(1000.0)
-            * F.abs(est - F.col("exact_distinct").cast("double"))
+            * F.abs(F.col("estimate") - F.col("exact_distinct").cast("double"))
             / F.col("exact_distinct").cast("double")
         )
         .cast("long")
@@ -172,6 +205,52 @@ SELECT tile, exact_distinct, n_regs, estimate,
                   / CAST(exact_distinct AS DOUBLE)) AS BIGINT)
          AS err_permille
 FROM est
+"""
+
+
+def hll_estimate_oracle_sql(src_sql: str) -> str:
+    """DuckDB replay of registers + estimator only — (tile, n_regs,
+    estimate) — for the streaming variant, whose state holds no raw
+    keys to count exactly."""
+    from .dedup import md5_h64_sql
+
+    h = md5_h64_sql("'hll:' || CAST(key AS VARCHAR)")
+    ln_mv = ln_portable_sql(
+        f"({float(M_REGS)!r} / CAST(({M_REGS} - n_regs) AS DOUBLE))"
+    )
+    return f"""
+WITH src AS ({src_sql}),
+hashed AS (
+  SELECT tile, key, (({h}) % {M_REGS} + {M_REGS}) % {M_REGS} AS reg,
+         (({h}) >> {P_BITS}) & {_W_MASK} AS w
+  FROM src
+),
+rhod AS (
+  SELECT tile, key, reg,
+         CASE WHEN w = 0 THEN 57
+              ELSE bit_count((w & -w) - 1) + 1 END AS rho
+  FROM hashed
+),
+regs AS (SELECT tile, reg, max(rho) AS mj FROM rhod GROUP BY 1, 2),
+folded AS (
+  SELECT tile, count(*) AS n_regs,
+         list_reduce(
+           list_prepend(0.0, list(1.0 / CAST(1::BIGINT << mj AS DOUBLE)
+                                  ORDER BY reg)),
+           (a, b) -> a + b
+         ) AS s_present
+  FROM regs GROUP BY tile
+)
+SELECT tile, CAST(n_regs AS BIGINT) AS n_regs,
+       CASE WHEN (CAST({ALPHA} AS DOUBLE) * CAST({float(M_REGS * M_REGS)!r} AS DOUBLE)
+                  / (s_present + CAST({M_REGS} - n_regs AS DOUBLE)))
+                 <= CAST({2.5 * M_REGS!r} AS DOUBLE)
+             AND n_regs < {M_REGS}
+            THEN CAST({float(M_REGS)!r} AS DOUBLE) * ({ln_mv})
+            ELSE (CAST({ALPHA} AS DOUBLE) * CAST({float(M_REGS * M_REGS)!r} AS DOUBLE)
+                  / (s_present + CAST({M_REGS} - n_regs AS DOUBLE)))
+       END AS estimate
+FROM folded
 """
 
 
