@@ -3547,6 +3547,11 @@ def _refpoint_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["dx"], out["dy"], out["dz"] = dx, dy, dz
             yield out
 
+    # the orders scan is 1-2 input splits at any sf (a few MB of
+    # parquet): without an explicit repartition the exploded 5x rows and
+    # the trig crossing below run on those 1-2 tasks (the AQE/compute
+    # fan-out rule from BENCH.md — partition by compute, not bytes)
+    arms = arms.repartition(64, "gid")
     return arms.mapInPandas(
         _coords,
         "gid long, seq long, src long, dst long, sx double, sy double, "

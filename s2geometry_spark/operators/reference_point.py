@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.containsvertex import ContainsVertexQuery
+from ..kernels.containsvertex import contains_signs_batch
 
 __all__ = ["reference_points"]
 
@@ -42,51 +42,87 @@ _N_BUCKETS = 256
 
 
 def _query_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-    rows = []
-    for gid, g in pdf.groupby("gid", sort=False):
-        r = g.iloc[0]
-        q = ContainsVertexQuery((r["vx"], r["vy"], r["vz"]))
-        for t in g.itertuples():
-            q.add_edge((t.wx, t.wy, t.wz), int(t.sign))
-        rows.append((int(gid), int(r["v"]), q.contains_sign() > 0))
-    return pd.DataFrame(rows, columns=["gid", "ref_vertex", "contained"])
+    """One vectorized contains-vertex fold over the whole bucket
+    (kernels/containsvertex.contains_signs_batch — bit-identical to the
+    scalar ContainsVertexQuery, pinned by test); the per-shape Python
+    loop this replaces dominated the query wall at corpus scale."""
+    gid = pdf["gid"].to_numpy(np.int64)
+    target = pdf[["vx", "vy", "vz"]].to_numpy(np.float64)
+    far = pdf[["wx", "wy", "wz"]].to_numpy(np.float64)
+    sgn = pdf["sign"].to_numpy(np.int64)
+    ug, bsign = contains_signs_batch(gid, target, far, sgn)
+    verts = (
+        pdf[["gid", "v"]]
+        .drop_duplicates("gid")
+        .set_index("gid")["v"]
+        .reindex(ug)
+        .to_numpy(np.int64)
+    )
+    return pd.DataFrame(
+        {"gid": ug, "ref_vertex": verts, "contained": bsign > 0}
+    )
 
 
 def reference_points(edges: DataFrame) -> DataFrame:
     """edges(gid, seq, src, dst, sx..sz, dx..dz) ->
     (gid, ref_vertex, contained), one row per shape."""
+    from pyspark import StorageLevel
+
+    # the edge table feeds FOUR legs (first-vertex pick, the directed
+    # count agg, and both incident-edge projections); persist it so the
+    # upstream coordinate derivation runs once — the minhash/ngram
+    # recompute-elimination pattern
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     first_v = (
         edges.groupBy("gid")
         .agg(F.min(F.struct("seq", "src")).alias("m"))
         .select("gid", F.col("m.src").alias("v0"))
     )
-    cnt = edges.groupBy("gid", F.col("src").alias("a"), F.col("dst").alias("b")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    rev = cnt.select("gid", F.col("b").alias("a"), F.col("a").alias("b"),
-                     F.col("n").alias("rn"))
-    unm = (
-        cnt.join(rev, ["gid", "a", "b"], "full_outer")
-        .where(
-            F.coalesce("n", F.lit(0)) != F.coalesce("rn", F.lit(0))
+    # unmatched directed pairs via ONE canonical-key aggregation (the
+    # pair (a, b) is unmatched iff cnt(a, b) != cnt(b, a); aggregating
+    # on (lo, hi) = (min, max) with a direction flag computes both
+    # multiplicities in one map-side-combinable pass — this replaced a
+    # full-outer self-join of the directed-count table, which was the
+    # query's dominant shuffle).  Self-loops (src == dst) are their own
+    # reverse siblings and can never be unmatched.
+    unm_canon = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            "gid",
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+            (F.col("src") < F.col("dst")).cast("long").alias("fwd"),
         )
-        .select("gid", "a", "b")
+        .groupBy("gid", "lo", "hi")
+        .agg(
+            F.sum("fwd").alias("nf"),
+            (F.count(F.lit(1)) - F.sum("fwd")).alias("nr"),
+        )
+        .where(F.col("nf") != F.col("nr"))
+        .select("gid", "lo", "hi")
     )
-    # the reference's sorted-sweep pick: min (a, b) over the unmatched set
-    fallback = unm.groupBy("gid").agg(
-        F.min(F.struct("a", "b")).alias("m")
-    ).select("gid", F.col("m.a").alias("vf"))
-    unb_first = (
-        first_v.join(
-            unm.select("gid", F.col("a").alias("v0")).distinct(),
-            ["gid", "v0"],
-            "left_semi",
-        ).select("gid", F.col("v0").alias("vu"))
+    # the reference's sorted-sweep pick = min directed (a, b) over the
+    # unmatched set; since (hi, lo) > (lo, hi) rowwise, the global min
+    # is min struct(lo, hi)
+    fallback = unm_canon.groupBy("gid").agg(
+        F.min(F.struct("lo", "hi")).alias("m")
+    ).select("gid", F.col("m.lo").alias("vf"))
+    # v0 is unbalanced iff it is an endpoint of any unmatched pair
+    unb_verts = unm_canon.select(
+        "gid", F.explode(F.array("lo", "hi")).alias("v0")
+    ).distinct()
+    unb_first = first_v.join(unb_verts, ["gid", "v0"], "left_semi").select(
+        "gid", F.col("v0").alias("vu")
     )
+    # one row per shape, consumed by the incident-edge leg AND (via its
+    # null rows) the balanced arm: persist so the unmatched chain runs
+    # once.  A plain hash join on gid follows — NOT broadcast: at 10^12
+    # rows there are millions of shapes.
     chosen = (
         first_v.join(unb_first, "gid", "left")
         .join(fallback, "gid", "left")
         .select("gid", F.coalesce("vu", "vf").alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # shapes with every edge matched: contained = false, sentinel vertex
     balanced = chosen.where(F.col("v").isNull()).select(
@@ -94,24 +130,37 @@ def reference_points(edges: DataFrame) -> DataFrame:
         F.lit(-1).cast("long").alias("ref_vertex"),
         F.lit(False).alias("contained"),
     )
-    # one row per shape — a plain hash join on gid (NOT broadcast: at
-    # 10^12 rows there are millions of shapes)
     live = chosen.where(F.col("v").isNotNull())
-    outs = edges.join(live, ["gid"]).where(F.col("src") == F.col("v")).select(
-        "gid", "v",
+    # ONE pass over the edge table for both incident directions: an
+    # edge contributes outgoing (+1) when src == v, incoming (-1) when
+    # dst == v, and BOTH rows for a degenerate self-loop at v (they
+    # cancel in the fold, matching AddEdge's direction-0 contract)
+    out_e = F.struct(
         F.col("sx").alias("vx"), F.col("sy").alias("vy"), F.col("sz").alias("vz"),
         F.col("dx").alias("wx"), F.col("dy").alias("wy"), F.col("dz").alias("wz"),
         F.lit(1).alias("sign"),
     )
-    ins = edges.join(live, ["gid"]).where(F.col("dst") == F.col("v")).select(
-        "gid", "v",
+    in_e = F.struct(
         F.col("dx").alias("vx"), F.col("dy").alias("vy"), F.col("dz").alias("vz"),
         F.col("sx").alias("wx"), F.col("sy").alias("wy"), F.col("sz").alias("wz"),
         F.lit(-1).alias("sign"),
     )
+    ent = (
+        F.when(
+            (F.col("src") == F.col("v")) & (F.col("dst") == F.col("v")),
+            F.array(out_e, in_e),
+        )
+        .when(F.col("src") == F.col("v"), F.array(out_e))
+        .otherwise(F.array(in_e))
+    )
+    incident = (
+        edges.join(live, ["gid"])
+        .where((F.col("src") == F.col("v")) | (F.col("dst") == F.col("v")))
+        .select("gid", "v", F.explode(ent).alias("e"))
+        .select("gid", "v", "e.*")
+    )
     queried = (
-        outs.unionByName(ins)
-        .withColumn("bkt", F.pmod(F.col("gid"), F.lit(_N_BUCKETS)))
+        incident.withColumn("bkt", F.pmod(F.col("gid"), F.lit(_N_BUCKETS)))
         .groupBy("bkt")
         .applyInPandas(lambda pdf: _query_bucket(pdf), _OUT_SCHEMA)
     )

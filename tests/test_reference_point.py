@@ -84,3 +84,37 @@ def test_sweep_picks_min_unmatched_edge(spark):
             # all edges matched: sentinel vertex, not contained
             assert out.loc[pid, "ref_vertex"] == -1
             assert not out.loc[pid, "contained"]
+
+
+def test_contains_signs_batch_equals_scalar_class():
+    """Randomized equivalence: the vectorized batch fold must reproduce
+    the scalar ContainsVertexQuery sign for every shape, including
+    cancelling sibling pairs and duplicate endpoints."""
+    import numpy as np
+
+    from s2geometry_spark.kernels.containsvertex import contains_signs_batch
+
+    rng = np.random.default_rng(11)
+    gids, tgts, fars, sgns = [], [], [], []
+    expected = {}
+    for gid in range(300):
+        t = rng.normal(size=3)
+        t /= np.linalg.norm(t)
+        q = ContainsVertexQuery(tuple(t))
+        n_edges = rng.integers(1, 6)
+        pts = rng.normal(size=(n_edges, 3))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        for j in range(n_edges):
+            s = int(rng.choice([-1, 1]))
+            q.add_edge(tuple(pts[j]), s)
+            gids.append(gid); tgts.append(t); fars.append(pts[j]); sgns.append(s)
+            if rng.random() < 0.3:  # sibling pair: cancels to 0
+                q.add_edge(tuple(pts[j]), -s)
+                gids.append(gid); tgts.append(t); fars.append(pts[j]); sgns.append(-s)
+        expected[gid] = q.contains_sign()
+    ug, bs = contains_signs_batch(
+        np.array(gids, np.int64), np.array(tgts), np.array(fars),
+        np.array(sgns, np.int64),
+    )
+    got = dict(zip(ug.tolist(), bs.tolist()))
+    assert got == expected
