@@ -79,6 +79,49 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _local_contract(e0: DataFrame) -> DataFrame:
+    """Per-Arrow-batch union-find pre-contraction (the standard
+    two-level CC optimization): each batch's edges collapse to
+    (node, local_min_rep) mapping edges.  Connectivity is preserved —
+    within a batch both endpoints map to one rep; across batches a
+    shared node links its reps — while long in-batch paths become
+    stars, so the global star rounds start from a near-forest and the
+    round count stops depending on the input diameter for any
+    component that fits a batch.  Output rows satisfy rep <= node; the
+    final labeling (component MINIMUM) is invariant to batching."""
+    import pandas as pd
+
+    def uf(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            us = pdf["u"].tolist()
+            vs = pdf["v"].tolist()
+            for a, b in zip(us, vs):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            nodes = set(us)
+            nodes.update(vs)
+            yield pd.DataFrame(
+                [(n, find(n)) for n in nodes], columns=["u", "v"]
+            )
+
+    return e0.mapInPandas(uf, "u long, v long")
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "doc_a",
@@ -103,8 +146,11 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # per-batch union-find pre-contraction: the star rounds start from
+    # the (node, local_rep) mapping edges instead of the raw pair set
     edges = (
-        e0.where(F.col("u") != F.col("v"))
+        _local_contract(e0)
+        .where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
         .localCheckpoint()

@@ -94,12 +94,22 @@ def assemble_polylines(edges: DataFrame) -> DataFrame:
     """edges(eid, src, dst) -> (chain_id, seq, eid, src, dst, is_loop):
     the PATH polyline decomposition, chain_id = min edge id of the
     polyline, seq = position along it."""
-    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
-    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    # interior vertices (outdeg == indeg == 1) in ONE degree aggregation
+    # over the unioned endpoint view — replaces two per-side aggs plus
+    # their join (one shuffle instead of three)
     interior = (
-        outd.join(ind, outd["src"] == ind["dst"])
+        edges.select(
+            F.col("src").alias("iv"), F.lit(1).alias("o"), F.lit(0).alias("i")
+        )
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("iv"), F.lit(0).alias("o"), F.lit(1).alias("i")
+            )
+        )
+        .groupBy("iv")
+        .agg(F.sum("o").alias("outd"), F.sum("i").alias("ind"))
         .where((F.col("outd") == 1) & (F.col("ind") == 1))
-        .select(F.col("src").alias("iv"))
+        .select("iv")
     )
     e = edges.alias("e")
     f = edges.alias("f")
