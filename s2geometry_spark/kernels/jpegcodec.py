@@ -364,6 +364,51 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _huff_lut(bits, values):
+    """(value, length) lookup over every 16-bit window: a canonical code
+    of length L occupies the 2^(16-L) windows it prefixes.  One array
+    index replaces the read-one-bit-at-a-time walk (same codes, same
+    first-match semantics — canonical codes are prefix-free)."""
+    val = np.zeros(65536, np.int32)
+    ln = np.zeros(65536, np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            val[base : base + span] = values[k]
+            ln[base : base + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return val.tolist(), ln.tolist()
+
+
+def _entropy_windows(data: bytes) -> list[int]:
+    """De-stuffed scan bits as per-bit-position 16-bit windows.
+
+    Replicates _BitReader byte semantics exactly: 0xFF 0x00 unstuffs to
+    0xFF, the first real marker ends the stream, and reads past the end
+    see all-ones padding (the spec's pad bits).  Returns w[p] = the 16
+    bits starting at bit p, as a plain list (fastest to index from the
+    symbol loop)."""
+    arr = np.frombuffer(data, np.uint8)
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    marker_ff = ff[arr[ff + 1] != 0x00]
+    end = int(marker_ff[0]) if len(marker_ff) else len(arr)
+    body = arr[:end]
+    stuffed = np.nonzero((body[:-1] == 0xFF) & (body[1:] == 0x00))[0] + 1
+    clean = np.delete(body, stuffed) if len(stuffed) else body
+    bits_arr = np.unpackbits(clean)
+    n = len(bits_arr)
+    pad = np.concatenate([bits_arr, np.ones(80, np.uint8)])
+    w = np.zeros(n + 64, np.uint32)
+    for i in range(16):
+        w += pad[i : i + n + 64].astype(np.uint32) << (15 - i)
+    return w.tolist()
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Baseline 4:4:4 JFIF bytes -> (h, w, 3) uint8 RGB.  Parses the
     real marker structure; tables come from the stream."""
@@ -413,7 +458,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 nvals = sum(bits)
                 values = list(payload[p + 17 : p + 17 + nvals])
-                huff[(cls_id >> 4, cls_id & 0xF)] = _huff_decoder(bits, values)
+                huff[(cls_id >> 4, cls_id & 0xF)] = _huff_lut(bits, values)
                 p += 17 + nvals
         elif marker == 0xDA:
             ns = payload[0]
@@ -424,38 +469,72 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             break
     if data_start is None:
         raise ValueError("no SOS in JPEG")
-    br = _BitReader(buf[data_start:])
+    win = _entropy_windows(buf[data_start:])
+    n_win = len(win)
     M = _dct_matrix()
     nbx, nby = (w + 7) // 8, (h + 7) // 8
     chans = np.empty((3, nby * 8, nbx * 8), np.float64)
     prev_dc = [0, 0, 0]
-    for by in range(nby):
-        for bx in range(nbx):
-            for c in range(3):
-                dc_t = huff[(0, scan_tabs[c][0])]
-                ac_t = huff[(1, scan_tabs[c][1])]
-                zz = np.zeros(64, np.int32)
-                s = _read_huff(br, dc_t)
-                diff = _extend(br.bits(s), s) if s else 0
-                prev_dc[c] += diff
-                zz[0] = prev_dc[c]
-                k = 1
-                while k < 64:
-                    rs = _read_huff(br, ac_t)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.bits(s), s)
-                    k += 1
-                F = (zz[UNZIGZAG] * quant[comp_q[c]]).reshape(8, 8)
-                blk = M.T @ F @ M
-                chans[c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk + 128.0
+    tabs = [
+        (huff[(0, scan_tabs[c][0])], huff[(1, scan_tabs[c][1])])
+        for c in range(3)
+    ]
+    p = 0
+    # all-blocks coefficient buffer: one vectorized dequant + IDCT pass
+    # afterwards instead of one 8x8 matmul pair per block
+    coeffs = np.zeros((nby * nbx * 3, 64), np.int32)
+    for b in range(nby * nbx * 3):
+        c = b % 3
+        (dc_val, dc_len), (ac_val, ac_len) = tabs[c]
+        if p + 16 > n_win:
+            raise ValueError("JPEG entropy stream truncated")
+        zz = coeffs[b]
+        wv = win[p]
+        s = dc_val[wv]
+        l = dc_len[wv]
+        if l == 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        p += l
+        if s:
+            diff = _extend(win[p] >> (16 - s), s)
+            p += s
+        else:
+            diff = 0
+        prev_dc[c] += diff
+        zz[0] = prev_dc[c]
+        k = 1
+        while k < 64:
+            wv = win[p]
+            rs = ac_val[wv]
+            l = ac_len[wv]
+            if l == 0:
+                raise ValueError("invalid Huffman code in JPEG stream")
+            p += l
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(win[p] >> (16 - s), s)
+            p += s
+            k += 1
+    # dequant + IDCT for all blocks at once: F blocks (nb, 8, 8) =
+    # M.T @ (zz[UNZIGZAG] * q) @ M via one einsum
+    qs = np.stack([quant[comp_q[c]] for c in range(3)])  # (3, 64)
+    nb = nby * nbx * 3
+    fmat = (coeffs[:, UNZIGZAG] * np.tile(qs, (nby * nbx, 1))).reshape(nb, 8, 8)
+    # two batched matmuls, same association as the per-block M.T @ F @ M
+    # (bitwise-identical reduction order to the scalar path)
+    blocks = np.matmul(np.matmul(M.T, fmat.astype(np.float64)), M) + 128.0
+    grid = blocks.reshape(nby, nbx, 3, 8, 8)
+    for c in range(3):
+        chans[c] = (
+            grid[:, :, c].transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
     y = chans[0, :h, :w]
     cb = chans[1, :h, :w] - 128.0
     cr = chans[2, :h, :w] - 128.0
