@@ -385,14 +385,29 @@ def _huff_lut(bits, values):
     return val.tolist(), ln.tolist()
 
 
-def _entropy_windows(data: bytes) -> list[int]:
+# Worst case one 8x8 block can consume from the entropy stream: DC code
+# (<=16) + DC magnitude (<=11) + 63 AC codes (<=16 each) + AC magnitudes
+# (<=10 each) = 27 + 63*26 = 1665 bits; rounded up.  The window array is
+# padded this far past the real bits so every read inside a block whose
+# START was in-bounds stays in-bounds (truncation is then detected at the
+# next block start, never as an IndexError).
+_MAX_BLOCK_BITS = 1728
+# Above this many scan bits the windows stay a uint32 ndarray instead of
+# a Python int list: the list costs ~200 bytes per scan bit (fine for the
+# small tiles/thumbnails this engine stores, a blowup for multi-MB scans).
+_LIST_WINDOW_MAX_BITS = 1 << 23
+
+
+def _entropy_windows(data: bytes):
     """De-stuffed scan bits as per-bit-position 16-bit windows.
 
     Replicates _BitReader byte semantics exactly: 0xFF 0x00 unstuffs to
     0xFF, the first real marker ends the stream, and reads past the end
-    see all-ones padding (the spec's pad bits).  Returns w[p] = the 16
-    bits starting at bit p, as a plain list (fastest to index from the
-    symbol loop)."""
+    see all-ones padding (the spec's pad bits).  Returns (w, n_bits)
+    where w[p] = the 16 bits starting at bit p — a plain list for small
+    scans (fastest to index from the symbol loop), a uint32 ndarray for
+    scans over _LIST_WINDOW_MAX_BITS (identical indexing, bounded
+    memory) — and n_bits = the number of real (unpadded) scan bits."""
     arr = np.frombuffer(data, np.uint8)
     ff = np.nonzero(arr[:-1] == 0xFF)[0]
     marker_ff = ff[arr[ff + 1] != 0x00]
@@ -402,11 +417,11 @@ def _entropy_windows(data: bytes) -> list[int]:
     clean = np.delete(body, stuffed) if len(stuffed) else body
     bits_arr = np.unpackbits(clean)
     n = len(bits_arr)
-    pad = np.concatenate([bits_arr, np.ones(80, np.uint8)])
-    w = np.zeros(n + 64, np.uint32)
+    pad = np.concatenate([bits_arr, np.ones(_MAX_BLOCK_BITS + 16, np.uint8)])
+    w = np.zeros(n + _MAX_BLOCK_BITS, np.uint32)
     for i in range(16):
-        w += pad[i : i + n + 64].astype(np.uint32) << (15 - i)
-    return w.tolist()
+        w += pad[i : i + n + _MAX_BLOCK_BITS].astype(np.uint32) << (15 - i)
+    return (w.tolist() if n <= _LIST_WINDOW_MAX_BITS else w), n
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
@@ -469,8 +484,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             break
     if data_start is None:
         raise ValueError("no SOS in JPEG")
-    win = _entropy_windows(buf[data_start:])
-    n_win = len(win)
+    win, n_bits = _entropy_windows(buf[data_start:])
     M = _dct_matrix()
     nbx, nby = (w + 7) // 8, (h + 7) // 8
     chans = np.empty((3, nby * 8, nbx * 8), np.float64)
@@ -486,7 +500,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     for b in range(nby * nbx * 3):
         c = b % 3
         (dc_val, dc_len), (ac_val, ac_len) = tabs[c]
-        if p + 16 > n_win:
+        # a block start at/past the real bits means the stream ran dry
+        # (reads WITHIN a block are covered by the _MAX_BLOCK_BITS pad)
+        if p >= n_bits:
             raise ValueError("JPEG entropy stream truncated")
         zz = coeffs[b]
         wv = win[p]

@@ -469,16 +469,75 @@ def phash_canon_from_bytes(
     return images.mapInPandas(batches, f"{id_col} string, canon long")
 
 
-def dihedral_dup_pairs(
+def phash_canon_with_dihedral(
     images: DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """(id_col, canon) for the corpus AND one planted dihedral variant
+    per multiple-of-8 image, in ONE decode pass: each image is decoded
+    once, canon-hashed, and its dihedral transform is re-encoded (PNG)
+    and decoded back inside the same Arrow batch — the
+    phash_with_reencoded recipe applied to dihedral_variants, replacing
+    the compose-then-union path that decoded the corpus twice (once to
+    build variants, once to hash the union) and shuffled the variant
+    binary.  The PNG round-trip is kept so the query still exercises
+    the codec end to end; ids/transform-index match dihedral_variants
+    exactly, so the downstream pair set is identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(dtype="object"),
+                        "canon": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            ids: list[str] = []
+            hashes: list[int] = []
+            for iid, buf in zip(pdf[id_col], pdf["bytes"]):
+                px, _ = imagecodec.decode(bytes(buf))
+                ids.append(iid)
+                hashes.append(imagecodec.phash64_canon(px))
+                h, w = px.shape[:2]
+                if h % 8 or w % 8:
+                    continue
+                k = 1 + (int(str(iid)[3:]) % 7)
+                vpx, _ = imagecodec.decode(
+                    imagecodec.encode_png(imagecodec.dihedral_transform(px, k))
+                )
+                ids.append(f"{iid}:d{k}")
+                hashes.append(imagecodec.phash64_canon(vpx))
+            yield pd.DataFrame({id_col: ids, "canon": np.array(hashes, np.int64)})
+
+    return images.select(id_col, "bytes").mapInPandas(
+        batches, f"{id_col} string, canon long"
+    )
+
+
+def dihedral_dup_pairs(
+    images: DataFrame | None = None,
+    id_col: str = "image_id",
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(canon, id_a, id_b): all image pairs sharing the dihedral-
     invariant hash — catches rotated and mirrored duplicates that the
     plain pHash band join structurally cannot (a quarter-turn permutes
     all 64 bits).  One decode pass, then a pure-Catalyst exact-hash
     self-join: one shuffle on a uniformly distributed 64-bit key, the
-    same shape at 10^12 rows."""
-    ph = phash_canon_from_bytes(images, id_col)
+    same shape at 10^12 rows.  ``hashes``: a precomputed
+    (id_col, canon) frame replacing the decode (e.g. from
+    phash_canon_with_dihedral)."""
+    from pyspark.storagelevel import StorageLevel
+
+    if (images is None) == (hashes is None):
+        raise ValueError("pass exactly one of images / hashes")
+    ph = hashes if hashes is not None else phash_canon_from_bytes(images, id_col)
+    # the canon frame feeds BOTH legs of the self-join and is the
+    # product of the only expensive step (the binary decode): persist
+    # the narrow (id, 8-byte hash) projection so the decode chain runs
+    # once, not once per leg (the phash_near_dup_pairs lesson)
+    ph = ph.persist(StorageLevel.MEMORY_AND_DISK)
     a = ph.select(F.col("canon"), F.col(id_col).alias("id_a"))
     b = ph.select(F.col("canon"), F.col(id_col).alias("id_b"))
     return a.join(b, "canon").filter(F.col("id_a") < F.col("id_b")).select(

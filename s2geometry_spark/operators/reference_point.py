@@ -164,4 +164,11 @@ def reference_points(edges: DataFrame) -> DataFrame:
         .groupBy("bkt")
         .applyInPandas(lambda pdf: _query_bucket(pdf), _OUT_SCHEMA)
     )
-    return queried.unionByName(balanced)
+    # materialize the (one-row-per-shape) result eagerly so the two
+    # intermediate caches can be released now instead of accumulating
+    # for the process lifetime of a long multi-query session (cached
+    # plans are pinned by the session's cache manager until unpersisted)
+    result = queried.unionByName(balanced).localCheckpoint()
+    edges.unpersist()
+    chosen.unpersist()
+    return result

@@ -39,6 +39,34 @@ def test_dihedral_group_closure():
     assert len(orbit) == 1
 
 
+def test_fused_canon_pass_equals_composed(spark):
+    """phash_canon_with_dihedral (one decode pass) must produce exactly
+    the (id, canon) set of the composed path it replaced: canon-hash
+    over corpus ∪ dihedral_variants(corpus)."""
+    from s2geometry_spark.operators.image_dedup import (
+        dihedral_variants,
+        phash_canon_from_bytes,
+        phash_canon_with_dihedral,
+    )
+    from s2geometry_spark.sources import images as imgsrc
+
+    corpus = imgsrc.images_df(spark, 40).select("image_id", "bytes")
+    fused = (
+        phash_canon_with_dihedral(corpus)
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    composed = (
+        phash_canon_from_bytes(corpus.unionByName(dihedral_variants(corpus)))
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert fused.image_id.tolist() == composed.image_id.tolist()
+    assert (fused.canon.values == composed.canon.values).all()
+
+
 def test_planted_pairs_recovered(spark):
     mod_spec = importlib.util.spec_from_file_location(
         "spark_entry_dih", "/root/repo/__spark_entry__.py"

@@ -134,3 +134,35 @@ def test_star_sector_key_axis_cases():
     # degenerate center point: finite key, no NaN
     q3, r3 = _star_sector_key(np.array([0.0]), np.array([0.0]))
     assert q3[0] == 7 and r3[0] == 0.0
+
+
+def test_star_sector_key_matches_atan2_order():
+    """VERDICT r4 low #5 closure: the (sector, ratio) key must induce
+    exactly the atan2 angular order for ANY mix of interior and
+    axis-exact bearings — including negative zeros, whose IEEE
+    comparison semantics (-0.0 == 0.0) the sector CASE relies on."""
+    import numpy as np
+
+    from s2geometry_spark.operators.validate import _star_sector_key
+
+    ang = np.sort(
+        np.concatenate(
+            [
+                np.linspace(0.001, 2 * np.pi - 0.001, 97),
+                np.radians([0.0, 90.0, 180.0, 270.0]),
+            ]
+        )
+    )
+    u = np.cos(ang)
+    v = np.sin(ang)
+    # exact axis values, with negative zeros where cos/sin approach 0
+    # from below (the sign a real dot product can carry)
+    u[np.isclose(ang, np.pi / 2)] = -0.0
+    v[np.isclose(ang, 0.0)] = 0.0
+    u[np.isclose(ang, 3 * np.pi / 2)] = 0.0
+    v[np.isclose(ang, np.pi)] = -0.0
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(len(ang))
+    q, r = _star_sector_key(u[perm], v[perm])
+    order = np.lexsort((np.arange(len(ang)), r, q))
+    assert list(perm[order]) == list(range(len(ang)))
