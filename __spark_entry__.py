@@ -4807,6 +4807,75 @@ def q_polyline_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polyline_walks(edges)
 
 
+def q_polyline_walk_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable oracle for the WALK decomposition (VERDICT r4
+    task #8): the walk ORDER is a loop-carried sequential fixpoint (that
+    stays rows-only, reference-golden-tested), but the decomposition's
+    defining invariants are exact SQL — per weak component, the walk
+    rows must reproduce the input edge multiset (count / sum / xor of
+    edge ids: every edge in exactly one walk, multiplicity preserved),
+    every walk must be contiguous (dst_i == src_{i+1}), and the closed
+    flag must equal (first src == last dst).  The oracle recomputes the
+    witness columns from the INPUT edge table alone (components via a
+    recursive-CTE transitive closure) and pins both violation counts at
+    literal 0."""
+    from s2geometry_spark.operators.polyline_walks import (
+        polyline_walks,
+        walk_invariants,
+    )
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    r = k % 64
+    base = F.expr("o_orderkey div 64") * 32
+    edges = orders.select(
+        k.cast("long").alias("eid"),
+        (base + (r * 7 + 3) % 32).cast("long").alias("src"),
+        (base + (r * 13 + 5) % 32).cast("long").alias("dst"),
+    )
+    return walk_invariants(polyline_walks(edges), edges)
+
+
+def _polyline_walk_invariants_oracle() -> str:
+    """Components by transitive closure over the key-range-blocked
+    fixture graph (components never span a 64-key block, so the closure
+    is bounded), then the per-component edge-multiset witness straight
+    from the input edge table; violation counts are literal 0."""
+    return """WITH RECURSIVE
+base AS (SELECT o_orderkey AS eid FROM orders),
+edges AS (
+  SELECT eid,
+         (eid // 64) * 32 + (((eid % 64) * 7 + 3) % 32) AS src,
+         (eid // 64) * 32 + (((eid % 64) * 13 + 5) % 32) AS dst
+  FROM base
+),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges
+  )
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges
+    UNION ALL SELECT dst AS a, src AS b FROM edges
+  ) WHERE a <> b
+),
+reach AS (
+  SELECT v, v AS w FROM verts
+  UNION
+  SELECT r.v, u.b AS w FROM reach r JOIN und u ON u.a = r.w
+),
+lbl AS (SELECT v, min(w) AS comp FROM reach GROUP BY v)
+SELECT l.comp,
+       count(*) AS n_edges,
+       CAST(sum(e.eid) AS BIGINT) AS sum_eid,
+       CAST(bit_xor(e.eid) AS BIGINT) AS xor_eid,
+       CAST(0 AS BIGINT) AS n_break,
+       CAST(0 AS BIGINT) AS n_flag_bad
+FROM edges e JOIN lbl l ON l.v = e.src
+GROUP BY l.comp"""
+
+
 def q_emb_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding sanity screen (pipeline validation op): dimension,
     NaN/Inf, all-zero, saturation, and unit-normalization-to-tolerance
@@ -5204,6 +5273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "quality_sample": q_quality_sample,
         "corpus_mixture": q_corpus_mixture,
+        # new in r5 (walk-decomposition invariant oracle), never checked:
+        "polyline_walk_invariants": q_polyline_walk_invariants,
         # --- slots 27-50: rotating staples ---
         # code paths touched in r4 (strict-gate/oracle/kernel edits):
         "knn_edges": q_knn_edges,
@@ -5228,11 +5299,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loop_boundary_match": q_loop_boundary_match,
         "chain_pair_distance": q_chain_pair_distance,
         "dist_to_boundary": q_dist_to_boundary,
-        # r3 staples re-rotated into the window:
+        # r3 staples re-rotated into the window (slots now 28-50 after
+        # the r5 addition above; knn moved past the budget to keep the
+        # window at exactly 50):
         "tile_counts_l5": q_tile_counts_l5,
         "pip_join": q_pip_join,
-        "knn": q_knn,
         # --- past the 50-query budget: green in r3/r4 and unchanged ---
+        "knn": q_knn,
         "loop_nesting": q_loop_nesting,
         "sessionize": q_sessionize,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5870,6 +5943,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         ),
         "decontaminate": dedup.decontaminate_oracle_sql(n=DECON_N),
         "pack_assign": text.pack_assign_oracle_sql(),
+        "polyline_walk_invariants": _polyline_walk_invariants_oracle(),
         "corpus_mixture": text.corpus_mixture_oracle_sql(),
         "quality_sample": text.quality_sample_oracle_sql(),
         "unigram_logprob": text.unigram_logprob_oracle_sql(),

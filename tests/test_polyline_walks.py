@@ -149,3 +149,43 @@ def test_closed_flag(spark):
     rows = polyline_walks(df).collect()
     closed = {r.eid: r.closed for r in rows}
     assert closed == {0: True, 1: True, 2: False, 3: True}
+
+
+def test_walk_invariants_catch_corruption(spark):
+    """The r5 invariant oracle actually discriminates: intact walks
+    produce the input edge-multiset witness with zero violations, while
+    a lost edge, a swapped order, or a flipped closed flag each perturb
+    at least one output column."""
+    from pyspark.sql import functions as F
+
+    from s2geometry_spark.operators.polyline_walks import (
+        polyline_walks,
+        walk_invariants,
+    )
+
+    rows = [
+        # one 4-cycle component and one open chain component
+        (1, 0, 1), (2, 1, 2), (3, 2, 3), (4, 3, 0),
+        (10, 100, 101), (11, 101, 102), (12, 102, 103),
+    ]
+    edges = spark.createDataFrame(rows, "eid long, src long, dst long")
+    walks = polyline_walks(edges)
+    good = walk_invariants(walks, edges).toPandas().sort_values("comp")
+    assert (good.n_break == 0).all() and (good.n_flag_bad == 0).all()
+    assert sorted(good.n_edges.tolist()) == [3, 4]
+    assert set(good.sum_eid) == {10, 33}
+
+    # lost edge: the witness no longer matches the input multiset
+    lost = walk_invariants(walks.where(F.col("eid") != 2), edges).toPandas()
+    assert set(lost.n_edges) != {3, 4} or set(lost.sum_eid) != {10, 33}
+
+    # scrambled order: contiguity violations become nonzero
+    scram = walks.withColumn(
+        "seq", F.when(F.col("seq") == 0, 99).otherwise(F.col("seq"))
+    )
+    bad = walk_invariants(scram, edges).toPandas()
+    assert bad.n_break.sum() > 0
+
+    # flipped closed flag on the cycle walk
+    flip = walks.withColumn("closed", ~F.col("closed"))
+    assert walk_invariants(flip, edges).toPandas().n_flag_bad.sum() > 0
