@@ -4679,6 +4679,43 @@ def _point_vector_codec_oracle() -> str:
     return point_codec_oracle_sql(verts)
 
 
+def q_point_block_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EncodedS2PointVector CELL_IDS block container
+    (encoded_s2point_vector.cc:62-944 — the last §2.3 wire format;
+    byte-size goldens from encoded_s2point_vector_test.cc pinned in
+    tests/test_pointvec.py): per level-5 tile, the tile's points in key
+    order — snapped to level-12 cell centers except every 5th key,
+    which stays raw and rides as a 24-byte exception — are encoded into
+    the reference's 16-value base+offset+nibble-delta blocks over the
+    bit-pair-interleaved (sj, tj) value space, decoded back bit-exactly,
+    and summarized.  The oracle replays the WHOLE size computation
+    (5% fallback rule, ChooseBase excluded-bits, per-block delta/
+    overlap ladder + offset widths, nibble packing, string-vector
+    offsets, varint header) analytically in integer SQL."""
+    from s2geometry_spark.operators.pointvec_blocks import tile_point_block_codec
+
+    orders = _load(spark, sf_dir, "orders")
+    pts = tiling.with_cell_from_triplet(
+        orders.select(
+            F.col("o_orderkey").alias("key"),
+            *tiling.triplet_exprs("o_orderkey"),
+        )
+    )
+    return tile_point_block_codec(pts, tile_level=5, snap_level=12)
+
+
+def _point_block_codec_oracle() -> str:
+    from s2geometry_spark import oracle
+    from s2geometry_spark.operators.pointvec_blocks import (
+        point_block_codec_oracle_sql,
+    )
+
+    cte = oracle.leaf_cell_sql_cte(
+        "orders", "o_orderkey", keep_cols="o_orderkey AS key"
+    )
+    return point_block_codec_oracle_sql(cte, tile_level=5, snap_level=12)
+
+
 def q_loop_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2::GetCurvature (s2loop_measures.cc:206-244) per loop: sum of
     turn angles under the canonical traversal (GetCanonicalLoopOrder,
@@ -5273,8 +5310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "quality_sample": q_quality_sample,
         "corpus_mixture": q_corpus_mixture,
-        # new in r5 (walk-decomposition invariant oracle), never checked:
+        # new in r5 (walk-decomposition invariant oracle; the CELL_IDS
+        # point-vector block container), never checked:
         "polyline_walk_invariants": q_polyline_walk_invariants,
+        "point_block_codec": q_point_block_codec,
         # --- slots 27-50: rotating staples ---
         # code paths touched in r4 (strict-gate/oracle/kernel edits):
         "knn_edges": q_knn_edges,
@@ -5944,6 +5983,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "decontaminate": dedup.decontaminate_oracle_sql(n=DECON_N),
         "pack_assign": text.pack_assign_oracle_sql(),
         "polyline_walk_invariants": _polyline_walk_invariants_oracle(),
+        "point_block_codec": _point_block_codec_oracle(),
         "corpus_mixture": text.corpus_mixture_oracle_sql(),
         "quality_sample": text.quality_sample_oracle_sql(),
         "unigram_logprob": text.unigram_logprob_oracle_sql(),
