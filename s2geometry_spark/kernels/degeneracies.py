@@ -37,13 +37,18 @@ __all__ = ["find_polygon_degeneracies"]
 
 
 def find_polygon_degeneracies(
-    verts: np.ndarray, edges: list[tuple[int, int]]
+    verts: np.ndarray,
+    edges: list[tuple[int, int]],
+    is_full: bool | None = None,
 ) -> list[tuple[int, bool]]:
     """``verts``: (n, 3) unit points; ``edges``: directed (v0, v1)
     vertex-id pairs (no duplicate directed edges).  Returns
     [(edge_index, is_hole)] sorted by edge index — one entry per
     degenerate edge and per sibling-pair member, exactly the reference's
-    output contract."""
+    output contract.  ``is_full`` plays the IsFullPolygon predicate role
+    for fully degenerate graphs (.cc:121-132: every degeneracy is then
+    a hole iff the polygon is full); None keeps the strict fixture
+    contract and raises on that case."""
     n_e = len(edges)
     edge_set = set(edges)
     out_edges: dict[int, list[int]] = {}
@@ -65,11 +70,13 @@ def find_polygon_degeneracies(
     if n_deg == 0:
         return []
     if n_deg == n_e:
-        raise ValueError(
-            "fully degenerate graph: classification needs IsFullPolygon "
-            "metadata (reference .cc:124-132); fixture contract requires "
-            "a non-degenerate boundary"
-        )
+        if is_full is None:
+            raise ValueError(
+                "fully degenerate graph: classification needs IsFullPolygon "
+                "metadata (reference .cc:124-132); pass is_full or keep a "
+                "non-degenerate boundary in the fixture"
+            )
+        return [(e, bool(is_full)) for e in range(n_e)]
 
     def pt(v: int) -> tuple:
         return tuple(verts[v])
