@@ -177,3 +177,86 @@ def test_mjpeg_rejects_bad_payloads():
     )
     with pytest.raises(ValueError):
         decode_mjpeg(mixed)
+
+
+def _handbuilt_jfif() -> bytes:
+    """A baseline JFIF constructed byte-by-byte from the T.81 spec in
+    this test — independent of the encoder — carrying exactly ONE
+    non-zero AC coefficient at ZIGZAG INDEX 1, which T.81 Figure A.6
+    places at (row 0, col 1): the horizontal-frequency slot.  A decoder
+    with a transposed zigzag table (the r3 bug class) lands it at
+    (1, 0) and produces a VERTICAL gradient instead."""
+    import struct as st
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: table 0, all 16s (constant, so table zigzag order is moot)
+    out += b"\xff\xdb" + st.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([16] * 64)
+    # SOF0: 8x8, 3 components, 1x1 sampling, all quant table 0
+    out += b"\xff\xc0" + st.pack(">H", 8 + 9) + b"\x08" + st.pack(">HH", 8, 8)
+    out += b"\x03" + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    # DHT: minimal canonical tables.
+    # DC (class 0, id 0): L1=1 -> sym 0 ('0'); L2=1 -> sym 2 ('10')
+    dc_bits = bytes([1, 1] + [0] * 14)
+    dc_syms = bytes([0, 2])
+    # AC (class 1, id 0): '0'->EOB(0x00), '10'->0x01, '110'->0x02
+    ac_bits = bytes([1, 1, 1] + [0] * 13)
+    ac_syms = bytes([0x00, 0x01, 0x02])
+    payload = b"\x00" + dc_bits + dc_syms + b"\x10" + ac_bits + ac_syms
+    out += b"\xff\xc4" + st.pack(">H", 2 + len(payload)) + payload
+    # SOS: all 3 components use tables (0, 0)
+    out += b"\xff\xda" + st.pack(">H", 6 + 6)
+    out += b"\x03" + b"\x01\x00" + b"\x02\x00" + b"\x03\x00" + b"\x00\x3f\x00"
+    # Entropy bits: Y: DC '0', AC 0x02='110' + value '11' (=3), EOB '0'
+    #               Cb: DC '0', EOB '0' ; Cr: DC '0', EOB '0'
+    # -> 0 110 11 0 0 0 0 0 = 01101100 000 + 1-padding = 0x6C 0x1F
+    out += bytes([0x6C, 0x1F])
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def test_handbuilt_spec_jpeg_decodes_to_horizontal_gradient():
+    from s2geometry_spark.kernels.jpegcodec import decode_jpeg
+
+    img = decode_jpeg(_handbuilt_jfif())
+    assert img.shape == (8, 8, 3)
+    y = img[:, :, 0].astype(int)
+    # Cb = Cr = 0 centered => grayscale
+    assert (img[:, :, 0] == img[:, :, 1]).all()
+    assert (img[:, :, 1] == img[:, :, 2]).all()
+    # every ROW identical (no vertical variation) ...
+    assert (y == y[0:1, :]).all()
+    # ... and the horizontal profile follows cos((2x+1)pi/16): strictly
+    # decreasing, antisymmetric about the center, NOT constant
+    row = y[0]
+    assert (np.diff(row) <= 0).all() and row[0] > row[7]
+    # exact expected pixels: IDCT of F[0,1] = 3 * 16 with +128 shift,
+    # pinned via the separable T.81 A.3.3 formula written out here
+    M = np.zeros((8, 8))
+    M[0, 1] = 48.0
+    a = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    basis = np.array(
+        [
+            [np.cos((2 * x + 1) * u * np.pi / 16) for u in range(8)]
+            for x in range(8)
+        ]
+    )
+    spatial = 0.25 * (basis * a) @ M.T @ (basis * a).T * 1.0
+    exp2 = np.clip(np.round(128.0 + spatial.T[0]), 0, 255).astype(int)
+    assert (row == exp2).all()
+
+
+def test_truncated_entropy_stream_raises_valueerror_not_indexerror():
+    from s2geometry_spark.kernels.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    buf = encode_jpeg(px, quality=90)
+    # find the scan start (SOS payload) and cut the stream mid-scan
+    sos = buf.find(b"\xff\xda")
+    assert sos > 0
+    ln = int.from_bytes(buf[sos + 2 : sos + 4], "big")
+    data_start = sos + 2 + ln
+    for cut in (data_start + 1, data_start + 4,
+                data_start + (len(buf) - data_start) // 2):
+        with pytest.raises(ValueError):
+            decode_jpeg(buf[:cut] + b"\xff\xd9")
