@@ -193,6 +193,13 @@ HEADLINE = [
     # distinct-levels collect run during plan construction; the dumped
     # plan is the exploded-parents broadcast join + count
     "composite_regions",
+    # round 5
+    # polyline_walk_invariants: component labelling rounds run during
+    # plan construction (localCheckpoint per round, as for
+    # polyline_walks); the dumped plan is the witness/violation join
+    "polyline_walk_invariants",
+    "point_block_codec",
+    "lax_polygon_layer",
 ]
 
 
