@@ -163,24 +163,58 @@ def _choose_best_level(level: np.ndarray) -> int:
     return best
 
 
+_PAIR_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+)
+
+
+def _interleave_bit_pairs_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized InterleaveUint32BitPairs over uint64 arrays."""
+    v0 = a.astype(np.uint64)
+    v1 = b.astype(np.uint64)
+    for shift, mask in _PAIR_STEPS:
+        m = np.uint64(mask)
+        s = np.uint64(shift)
+        v0 = (v0 | (v0 << s)) & m
+        v1 = (v1 | (v1 << s)) & m
+    return v0 | (v1 << np.uint64(2))
+
+
+def _deinterleave_bit_pairs_vec(code: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized DeinterleaveUint32BitPairs."""
+    v0 = code.astype(np.uint64)
+    v1 = v0 >> np.uint64(2)
+    for shift, mask in reversed(_PAIR_STEPS):
+        m = np.uint64(mask)
+        s = np.uint64(shift)
+        v0 &= m
+        v0 |= v0 >> s
+        v1 &= m
+        v1 |= v1 >> s
+    u32 = np.uint64(0xFFFFFFFF)
+    return v0 & u32, v1 & u32
+
+
 def _convert_cells_to_values(
     face: np.ndarray, si: np.ndarray, ti: np.ndarray,
     cell_level: np.ndarray, level: int,
 ) -> list[int]:
     """ConvertCellsToValues (cc:645-677): the bit-pair-interleaved
-    (sj, tj) value per point, or kException."""
-    shift = _MAX_LEVEL - level
-    values: list[int] = []
-    for f, s, t, lv in zip(
-        face.tolist(), si.tolist(), ti.tolist(), cell_level.tolist()
-    ):
-        if lv != level:
-            values.append(_EXCEPTION)
-        else:
-            sj = (((f & 3) << 30) | (s >> 1)) >> shift
-            tj = (((f & 4) << 29) | t) >> (shift + 1)
-            values.append(interleave_bit_pairs(sj, tj))
-    return values
+    (sj, tj) value per point, or kException — one vectorized pass."""
+    shift = np.uint64(_MAX_LEVEL - level)
+    f = np.asarray(face, np.uint64)
+    s = np.asarray(si, np.uint64)
+    t = np.asarray(ti, np.uint64)
+    sj = (((f & np.uint64(3)) << np.uint64(30)) | (s >> np.uint64(1))) >> shift
+    tj = (((f & np.uint64(4)) << np.uint64(29)) | t) >> (shift + np.uint64(1))
+    v = _interleave_bit_pairs_vec(sj, tj)
+    v = np.where(
+        np.asarray(cell_level, np.int64) != level, np.uint64(_EXCEPTION), v
+    )
+    return [int(x) for x in v]
 
 
 def _choose_base(
@@ -261,11 +295,18 @@ def encode_point_vector_fast(points: np.ndarray) -> bytes:
     ).tobytes()
 
 
-def encode_point_vector_compact(points: np.ndarray) -> bytes:
+def encode_point_vector_compact(
+    points: np.ndarray, cell_points=None
+) -> bytes:
     """EncodeS2PointVectorCompact (cc:478-592): CELL_IDS, falling back
-    to UNCOMPRESSED when not worthwhile."""
+    to UNCOMPRESSED when not worthwhile.  ``cell_points`` optionally
+    supplies a precomputed (face, si, ti, cell_level) tuple for the
+    batch (callers that already ran the coordinate pipeline — e.g. the
+    per-tile operator — skip re-deriving it per vector)."""
     pts = np.asarray(points, np.float64).reshape(-1, 3)
-    face, si, ti, cell_level = _cell_points(pts)
+    face, si, ti, cell_level = (
+        cell_points if cell_points is not None else _cell_points(pts)
+    )
     level = _choose_best_level(cell_level)
     if level < 0:
         return encode_point_vector_fast(pts)
@@ -343,29 +384,39 @@ def encode_point_vector_compact(points: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def encode_point_vector(points: np.ndarray, hint: str = "compact") -> bytes:
+def encode_point_vector(
+    points: np.ndarray, hint: str = "compact", cell_points=None
+) -> bytes:
     if hint == "fast":
         return encode_point_vector_fast(points)
-    return encode_point_vector_compact(points)
+    return encode_point_vector_compact(points, cell_points)
+
+
+def _values_to_points(values: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized DecodeCellIdsFormat value -> point tail (cc:925-936)
+    for a batch of 64-bit values: returns (n, 3) float64."""
+    from . import coords
+
+    sj, tj = _deinterleave_bit_pairs_vec(np.asarray(values, np.uint64))
+    shift = np.uint64(_MAX_LEVEL - level)
+    u32 = np.uint64(0xFFFFFFFF)
+    one = np.uint64(1)
+    # C++ does these shifts in 32-bit registers: mask to uint32
+    si = ((((sj << one) | one) << shift) & u32) & np.uint64(0x7FFFFFFF)
+    ti = ((((tj << one) | one) << shift) & u32) & np.uint64(0x7FFFFFFF)
+    face = (((sj << shift) & u32) >> np.uint64(30)) | (
+        (((tj << (shift + one)) & u32) >> np.uint64(29)) & np.uint64(4)
+    )
+    u = coords.st_to_uv(coords.si_ti_to_st(si.astype(np.int64)))
+    v = coords.st_to_uv(coords.si_ti_to_st(ti.astype(np.int64)))
+    x, y, z = coords.face_uv_to_xyz(face.astype(np.int64) & 7, u, v)
+    x, y, z = coords.normalize(x, y, z)
+    return np.stack([x, y, z], axis=1)
 
 
 def encoded_value_to_point(value: int, level: int) -> np.ndarray:
-    """DecodeCellIdsFormat's value -> point tail (cc:925-936)."""
-    from . import coords
-
-    sj, tj = deinterleave_bit_pairs(value)
-    shift = _MAX_LEVEL - level
-    # C++ does these shifts in 32-bit registers: mask to uint32 first
-    si = ((((sj << 1) | 1) << shift) & 0xFFFFFFFF) & 0x7FFFFFFF
-    ti = ((((tj << 1) | 1) << shift) & 0xFFFFFFFF) & 0x7FFFFFFF
-    face = (((sj << shift) & 0xFFFFFFFF) >> 30) | (
-        (((tj << (shift + 1)) & 0xFFFFFFFF) >> 29) & 4
-    )
-    u = coords.st_to_uv(coords.si_ti_to_st(np.array([si], np.int64)))
-    v = coords.st_to_uv(coords.si_ti_to_st(np.array([ti], np.int64)))
-    x, y, z = coords.face_uv_to_xyz(np.array([face & 7]), u, v)
-    x, y, z = coords.normalize(x, y, z)
-    return np.array([x[0], y[0], z[0]], np.float64)
+    """Single-value convenience wrapper over :func:`_values_to_points`."""
+    return _values_to_points(np.array([value], np.uint64), level)[0]
 
 
 def point_vector_info(buf: bytes) -> dict:
@@ -432,6 +483,11 @@ def decode_point_vector(buf: bytes) -> np.ndarray:
     pos += n_blocks * off_len
     n = BLOCK_SIZE * (n_blocks - 1) + last_block_count if n_blocks else 0
     out = np.empty((n, 3), np.float64)
+    # delta-decode every index first (cheap int ops), then convert all
+    # cell values to points in ONE vectorized pass — the per-point
+    # trig/normalize tail dominated the scalar path
+    values = np.zeros(n, np.uint64)
+    is_cell = np.zeros(n, bool)
     start = 0
     for bi in range(n_blocks):
         body = buf[pos + start : pos + offsets[bi]]
@@ -462,5 +518,8 @@ def decode_point_vector(buf: bytes) -> np.ndarray:
                 continue
             if have_exceptions:
                 delta -= BLOCK_SIZE
-            out[i] = encoded_value_to_point(base + offset + delta, level)
+            values[i] = base + offset + delta
+            is_cell[i] = True
+    if is_cell.any():
+        out[is_cell] = _values_to_points(values[is_cell], level)
     return out

@@ -56,29 +56,42 @@ def tile_point_block_codec(
     Points with key % 5 == 0 stay raw (exception rows); the rest snap to
     their level-``snap_level`` cell center."""
 
-    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        tile = int(pdf["tile"].iloc[0])
-        keys = np.sort(pdf["k"].to_numpy(np.int64))
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorize the whole coordinate pipeline ONCE per bucket (the
+        # per-tile Arrow-group version spent its wall on ~30-row NumPy
+        # calls x thousands of groups); per tile only the byte codec
+        # loops remain
+        order = np.lexsort(
+            (pdf["k"].to_numpy(np.int64), pdf["tile"].to_numpy(np.int64))
+        )
+        tiles = pdf["tile"].to_numpy(np.int64)[order]
+        keys = pdf["k"].to_numpy(np.int64)[order]
         x, y, z = xyz_from_triplet(*int_triplet_from_key(keys))
         leaf = cellid.from_xyz(x, y, z)
         snap = cellid.parent(leaf, snap_level)
         cx, cy, cz = cellid.to_point(snap)
         snap_mask = keys % 5 != 0
-        pts = np.where(
+        pts_all = np.where(
             snap_mask[:, None],
             np.stack([cx, cy, cz], axis=1),
             np.stack([x, y, z], axis=1),
         )
-        buf = pointvec.encode_point_vector(pts, "compact")
-        dec = pointvec.decode_point_vector(buf)
-        info = pointvec.point_vector_info(buf)
-        _, _, _, lv = pointvec._cell_points(pts)
-        return pd.DataFrame(
-            [
+        f_all, si_all, ti_all, lv_all = pointvec._cell_points(pts_all)
+        rows = []
+        starts = np.flatnonzero(
+            np.r_[True, tiles[1:] != tiles[:-1]]
+        ).tolist() + [len(tiles)]
+        for a, b in zip(starts[:-1], starts[1:]):
+            pts = pts_all[a:b]
+            cp = (f_all[a:b], si_all[a:b], ti_all[a:b], lv_all[a:b])
+            buf = pointvec.encode_point_vector(pts, "compact", cell_points=cp)
+            dec = pointvec.decode_point_vector(buf)
+            info = pointvec.point_vector_info(buf)
+            rows.append(
                 {
-                    "tile": tile,
-                    "n_points": len(pts),
-                    "n_snapped": int((lv == snap_level).sum()),
+                    "tile": int(tiles[a]),
+                    "n_points": b - a,
+                    "n_snapped": int((lv_all[a:b] == snap_level).sum()),
                     "fmt": info["fmt"],
                     "level": info["level"],
                     "base_bytes": info["base_bytes"],
@@ -88,13 +101,13 @@ def tile_point_block_codec(
                         dec.shape == pts.shape and (dec == pts).all()
                     ),
                 }
-            ]
-        )
+            )
+        return pd.DataFrame(rows)
 
     keyed = df.select(
         s2f.parent_expr(cell, tile_level).alias("tile"), F.col(key).alias("k")
-    )
-    return keyed.groupBy("tile").applyInPandas(per_tile, _SCHEMA)
+    ).withColumn("bkt", F.pmod(F.col("tile"), F.lit(1024)))
+    return keyed.groupBy("bkt").applyInPandas(per_bucket, _SCHEMA)
 
 
 def _bw(e: str) -> str:
