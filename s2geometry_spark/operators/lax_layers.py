@@ -307,6 +307,9 @@ def lax_invariants(loop_rows: DataFrame) -> DataFrame:
     oracle."""
     from pyspark.sql import Window
 
+    # the loop table feeds both the witness agg and the closure window:
+    # materialize once so the per-graph assembly does not re-run per leg
+    loop_rows = loop_rows.localCheckpoint()
     h = (F.col("src") * _H_SHIFT + F.col("dst")).alias("h")
     rows = loop_rows.select(
         "gid", "loop_id", "pos", "src", "dst", h,

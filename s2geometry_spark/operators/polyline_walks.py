@@ -257,6 +257,11 @@ def walk_invariants(walks: DataFrame, edges: DataFrame) -> DataFrame:
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     )
+    # the walk table feeds THREE legs (the contiguity window, the
+    # closed-flag agg, and the witness agg): materialize it once so the
+    # whole upstream walk decomposition does not re-run per leg (the
+    # dihedral-persist lesson, VERDICT r4 #2)
+    walks = walks.localCheckpoint()
     # component labels over ALL input edges; a pure self-loop vertex is
     # its own component (connected_components drops u == v pair rows
     # from the edge set but keeps the node)
