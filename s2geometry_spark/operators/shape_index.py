@@ -374,3 +374,125 @@ FROM cand p
 JOIN fron f
   ON f.face = p.face AND f.level = p.level AND f.ci = p.ci AND f.cj = p.cj
 """
+
+
+def shape_index_postings(
+    edges: DataFrame,
+    max_edges_per_cell: int = MAX_EDGES_PER_CELL,
+    max_level: int = MAX_LEVEL,
+    id_col: str = "eid",
+) -> DataFrame:
+    """(face, level, ci, cj, eid): the PER-EDGE posting rows of the
+    finalized index cells — the same BFS as :func:`shape_index_build`,
+    emitting the actual posting lists instead of their witnesses (what
+    the index SERIALIZER consumes; the witness form is what queries
+    verify)."""
+    from s2geometry_spark.operators.faceclip import clip_to_faces
+
+    active = clip_to_faces(edges, K_CELL_PADDING, id_col).select(
+        "eid", "face",
+        F.lit(0).cast("long").alias("ci"),
+        F.lit(0).cast("long").alias("cj"),
+        "au", "av", "bu", "bv",
+    )
+    outs: list[DataFrame] = []
+    for lvl in range(max_level + 1):
+        active = active.localCheckpoint(eager=True)
+        g = active.groupBy("face", "ci", "cj").agg(
+            F.count("*").alias("n_edges")
+        )
+        fin = g if lvl == max_level else g.filter(
+            F.col("n_edges") <= max_edges_per_cell
+        )
+        outs.append(
+            active.join(
+                F.broadcast(fin.select("face", "ci", "cj")),
+                ["face", "ci", "cj"],
+            ).select(
+                "face", F.lit(lvl).cast("long").alias("level"),
+                "ci", "cj", "eid",
+            )
+        )
+        if lvl == max_level:
+            break
+        split = g.filter(F.col("n_edges") > max_edges_per_cell).select(
+            "face", "ci", "cj"
+        )
+        rect = _child_rect_exprs(lvl + 1, "ci", "cj")
+        active = (
+            active.join(F.broadcast(split), ["face", "ci", "cj"])
+            .withColumn("di", F.explode(F.array(F.lit(0), F.lit(1))))
+            .withColumn("dj", F.explode(F.array(F.lit(0), F.lit(1))))
+            .select(
+                "eid", "face",
+                (2 * F.col("ci") + F.col("di")).alias("ci"),
+                (2 * F.col("cj") + F.col("dj")).alias("cj"),
+                "au", "av", "bu", "bv",
+            )
+            .filter(F.expr(_intersects_sql(rect)))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def shape_index_postings_oracle_cte(
+    table: str,
+    key: str,
+    key2: str,
+    max_edges_per_cell: int = MAX_EDGES_PER_CELL,
+    max_level: int = MAX_LEVEL,
+    id_expr: str | None = None,
+) -> str:
+    """WITH-clause body ending in CTE ``post`` (face, level, ci, cj,
+    eid): the per-edge posting replay of :func:`shape_index_oracle_sql`
+    (identical BFS, arms join the finalized cells back to the active
+    edge rows instead of aggregating witnesses)."""
+    from s2geometry_spark.operators.faceclip import clip_to_faces_oracle_sql
+
+    seed = clip_to_faces_oracle_sql(table, key, key2, K_CELL_PADDING, id_expr)
+    m = max_edges_per_cell
+    ctes = [
+        f"""a0 AS MATERIALIZED (
+  SELECT eid, face, CAST(0 AS BIGINT) AS ci, CAST(0 AS BIGINT) AS cj,
+         au, av, bu, bv
+  FROM ({seed})
+)"""
+    ]
+    arms = []
+    for lvl in range(max_level + 1):
+        ctes.append(
+            f"""g{lvl} AS MATERIALIZED (
+  SELECT face, ci, cj, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM a{lvl} GROUP BY face, ci, cj
+)"""
+        )
+        cond = "" if lvl == max_level else f"AND g.n_edges <= {m}"
+        arms.append(
+            f"SELECT a.face, CAST({lvl} AS BIGINT) AS level, a.ci, a.cj, "
+            f"a.eid FROM a{lvl} a JOIN g{lvl} g "
+            f"ON g.face = a.face AND g.ci = a.ci AND g.cj = a.cj {cond}"
+        )
+        if lvl == max_level:
+            break
+        rect = _child_rect_exprs(
+            lvl + 1, "(2 * x.ci + d.di)", "(2 * x.cj + d.dj)"
+        )
+        ctes.append(
+            f"""a{lvl + 1} AS MATERIALIZED (
+  SELECT x.eid, x.face, 2 * x.ci + d.di AS ci, 2 * x.cj + d.dj AS cj,
+         x.au AS au, x.av AS av, x.bu AS bu, x.bv AS bv
+  FROM a{lvl} x
+  JOIN g{lvl} g ON g.face = x.face AND g.ci = x.ci AND g.cj = x.cj
+  CROSS JOIN (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                     (CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+                     (CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                     (CAST(1 AS BIGINT), CAST(1 AS BIGINT))) d(di, dj)
+  WHERE g.n_edges > {m}
+    AND {_intersects_sql(rect)}
+)"""
+        )
+    body = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(arms)
+    return f"{body},\npost AS MATERIALIZED (\n{union}\n)"

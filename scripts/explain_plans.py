@@ -200,6 +200,10 @@ HEADLINE = [
     "polyline_walk_invariants",
     "point_block_codec",
     "lax_polygon_layer",
+    # shape_index_codec: the BFS rounds run during plan construction
+    # (localCheckpoint per round, as for shape_index); the dumped plan
+    # is the per-face codec applyInPandas over the posting union
+    "shape_index_codec",
 ]
 
 
