@@ -5087,6 +5087,7 @@ def q_polyline_walk_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     witness columns from the INPUT edge table alone (components via a
     recursive-CTE transitive closure) and pins both violation counts at
     literal 0."""
+    from s2geometry_spark.operators.graph import connected_components
     from s2geometry_spark.operators.polyline_walks import (
         polyline_walks,
         walk_invariants,
@@ -5101,7 +5102,16 @@ def q_polyline_walk_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         (base + (r * 7 + 3) % 32).cast("long").alias("src"),
         (base + (r * 13 + 5) % 32).cast("long").alias("dst"),
     )
-    return walk_invariants(polyline_walks(edges), edges)
+    # ONE star-contraction pass shared by the walk builder and the
+    # witness legs (the oracle recomputes labels independently in SQL,
+    # so sharing Spark-side does not weaken the check)
+    comp = connected_components(
+        edges.select("src", "dst"), "src", "dst",
+        node_col="v", label_col="comp",
+    )
+    return walk_invariants(
+        polyline_walks(edges, comp=comp), edges, comp=comp
+    )
 
 
 def _polyline_walk_invariants_oracle() -> str:

@@ -179,11 +179,15 @@ def _walks_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def polyline_walks(edges: DataFrame) -> DataFrame:
+def polyline_walks(edges: DataFrame, comp: DataFrame | None = None) -> DataFrame:
     """edges(eid, src, dst) -> (walk_id, seq, eid, src, dst, closed):
     the WALK polyline decomposition; walk_id = the walk's first edge id,
     seq = position along it, closed = walk starts and ends at the same
-    vertex."""
+    vertex.  ``comp``: an optional precomputed (v, comp) weak-component
+    frame over the FULL edge set (trivial edges are vertex-disjoint from
+    the rest, so full-graph labels restrict to the same partition the
+    internal contraction would compute) — callers that also need the
+    labels (walk_invariants) pass one frame and pay for one contraction."""
     e = edges.select(
         F.col("eid").cast("long").alias("eid"),
         F.col("src").cast("long").alias("src"),
@@ -216,10 +220,11 @@ def polyline_walks(edges: DataFrame) -> DataFrame:
            & (F.col("sdeg") == 1) & (F.col("ddeg") == 1))
           | ((F.col("src") == F.col("dst")) & (F.col("sdeg") == 2)))
     ).select("eid", "src", "dst")
-    comp = connected_components(
-        rest.select("src", "dst"), "src", "dst",
-        node_col="v", label_col="comp",
-    )
+    if comp is None:
+        comp = connected_components(
+            rest.select("src", "dst"), "src", "dst",
+            node_col="v", label_col="comp",
+        )
     walked = (
         rest.join(comp.withColumnRenamed("v", "src"), "src")
         .withColumn("bkt", F.pmod(F.col("comp"), F.lit(_WALK_BUCKETS)))
@@ -229,7 +234,9 @@ def polyline_walks(edges: DataFrame) -> DataFrame:
     return walked.unionByName(trivial)
 
 
-def walk_invariants(walks: DataFrame, edges: DataFrame) -> DataFrame:
+def walk_invariants(
+    walks: DataFrame, edges: DataFrame, comp: DataFrame | None = None
+) -> DataFrame:
     """SQL-checkable per-component invariants of the WALK decomposition
     (VERDICT r4 task #8: the walk ORDER is a sequential fixpoint no
     recursive CTE replays, but these derived facts are exactly
@@ -264,10 +271,13 @@ def walk_invariants(walks: DataFrame, edges: DataFrame) -> DataFrame:
     walks = walks.localCheckpoint()
     # component labels over ALL input edges; a pure self-loop vertex is
     # its own component (connected_components drops u == v pair rows
-    # from the edge set but keeps the node)
-    comp = connected_components(
-        e.select("src", "dst"), "src", "dst", node_col="v", label_col="comp"
-    )
+    # from the edge set but keeps the node).  The ORACLE recomputes the
+    # labels independently in SQL, so accepting the caller's frame here
+    # (shared with polyline_walks) does not weaken the check.
+    if comp is None:
+        comp = connected_components(
+            e.select("src", "dst"), "src", "dst", node_col="v", label_col="comp"
+        )
     eid_comp = e.join(
         comp.withColumnRenamed("v", "src"), "src"
     ).select("eid", "comp")
