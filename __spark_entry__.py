@@ -2606,8 +2606,13 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer peak / sum-of-squares / zero-crossing / clipping
     features plus the typed-metadata invariant (decoded rate/channels/
     length must equal the claimed columns; PCM is lossless so the check
-    is exact).  Rows-only: binary decode is not SQL-expressible; the
-    codec and features are brute-force-verified in tests/test_audio.py."""
+    is exact).  Oracled as of r5: splitmix64's mod-2^64 arithmetic
+    turned out to be exactly expressible in HUGEINT SQL (32-bit split
+    multiply + xor), so the oracle regenerates every sample from the
+    generator's integer recurrence WITHOUT touching the WAV bytes and
+    recomputes the features — an end-to-end independent check of
+    encode_wav + decode_wav + the feature pass (codec additionally
+    brute-force-verified in tests/test_audio.py)."""
     from s2geometry_spark.operators.audio_pipeline import audio_features
     from s2geometry_spark.sources.audio import audio_df, n_audio_for_sf_dir
 
@@ -5558,6 +5563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_block_codec": q_point_block_codec,
         "lax_polygon_layer": q_lax_polygon_layer,
         "shape_index_codec": q_shape_index_codec,
+        # upgraded rows-only -> oracled in r5 (analytic splitmix64 SQL):
+        "audio_features": q_audio_features,
         # --- slots 27-50: rotating staples ---
         # code paths touched in r4 (strict-gate/oracle/kernel edits):
         "knn_edges": q_knn_edges,
@@ -5580,11 +5587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "tile_sample": q_tile_sample,
         "loop_boundary_match": q_loop_boundary_match,
-        "chain_pair_distance": q_chain_pair_distance,
-        # (the 4 r5 additions above fill the window to exactly 50; the
-        # staples knn / tile_counts_l5 / pip_join / dist_to_boundary
-        # moved past the budget — each green in r3 and unchanged)
+        # (the 5 r5 additions above fill the window to exactly 50; the
+        # staples knn / tile_counts_l5 / pip_join / dist_to_boundary /
+        # chain_pair_distance moved past the budget — each green in r3
+        # and unchanged)
         # --- past the 50-query budget: green in r3/r4 and unchanged ---
+        "chain_pair_distance": q_chain_pair_distance,
         "dist_to_boundary": q_dist_to_boundary,
         "knn": q_knn,
         "tile_counts_l5": q_tile_counts_l5,
@@ -5675,7 +5683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rows-only tail (no oracle_sql twin; excluded from the window) ---
         "polyline_walks": q_polyline_walks,
         "audio_near_dup": q_audio_near_dup,
-        "audio_features": q_audio_features,
         "img_tile_dedup": q_img_tile_dedup,
         "img_caption_conflict": q_img_caption_conflict,
         "img_dedup_dihedral": q_img_dedup_dihedral,
@@ -6016,6 +6023,7 @@ FROM un"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from s2geometry_spark.operators import audio_pipeline as audio_pipeline_oracle
     from s2geometry_spark.operators import pq as pq_ops
 
     p5 = oracle.parent_sql_expr("cell_leaf", 5)
@@ -6230,6 +6238,9 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         "point_block_codec": _point_block_codec_oracle(),
         "lax_polygon_layer": _lax_polygon_layer_oracle(),
         "shape_index_codec": _shape_index_codec_oracle(),
+        # the driver's gate runs at sf0.01, so the generated-table row
+        # count is baked for that scale (n_audio_for_sf_dir contract)
+        "audio_features": audio_pipeline_oracle.audio_features_oracle_sql(60),
         "corpus_mixture": text.corpus_mixture_oracle_sql(),
         "quality_sample": text.quality_sample_oracle_sql(),
         "unigram_logprob": text.unigram_logprob_oracle_sql(),
