@@ -2626,8 +2626,13 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     x2-gain and hop-aligned time-shift variants: one fused decode pass,
     stop-hash-capped inverted-index self-join, shared-count refinement
     — the Shazam constellation recipe with bit-exact arithmetic.
-    Rows-only: binary decode; brute-force parity + planted-recovery in
-    tests/test_audio_dedup.py."""
+    Oracled as of r5: the DuckDB side regenerates base + variant
+    waveforms from the generator's integer recurrence (splitmix64 in
+    HUGEINT SQL) and computes every WHT coefficient as the exact sign
+    aggregate sum((-1)^popcount(k&t) * mono[t]) — an independent
+    end-to-end check of the codec, transform, and join (brute-force
+    parity + planted-recovery additionally in
+    tests/test_audio_dedup.py)."""
     from s2geometry_spark.operators.audio_dedup import audio_near_dup_pairs
     from s2geometry_spark.sources.audio import (
         audio_dedup_df,
@@ -5565,6 +5570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_index_codec": q_shape_index_codec,
         # upgraded rows-only -> oracled in r5 (analytic splitmix64 SQL):
         "audio_features": q_audio_features,
+        "audio_near_dup": q_audio_near_dup,
         # --- slots 27-50: rotating staples ---
         # code paths touched in r4 (strict-gate/oracle/kernel edits):
         "knn_edges": q_knn_edges,
@@ -5586,12 +5592,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "tile_sample": q_tile_sample,
-        "loop_boundary_match": q_loop_boundary_match,
-        # (the 5 r5 additions above fill the window to exactly 50; the
+        # (the 6 r5 additions above fill the window to exactly 50; the
         # staples knn / tile_counts_l5 / pip_join / dist_to_boundary /
-        # chain_pair_distance moved past the budget — each green in r3
-        # and unchanged)
+        # chain_pair_distance / loop_boundary_match moved past the
+        # budget — each green in r3 and unchanged)
         # --- past the 50-query budget: green in r3/r4 and unchanged ---
+        "loop_boundary_match": q_loop_boundary_match,
         "chain_pair_distance": q_chain_pair_distance,
         "dist_to_boundary": q_dist_to_boundary,
         "knn": q_knn,
@@ -5682,7 +5688,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_crossings": q_polyline_crossings,
         # --- rows-only tail (no oracle_sql twin; excluded from the window) ---
         "polyline_walks": q_polyline_walks,
-        "audio_near_dup": q_audio_near_dup,
         "img_tile_dedup": q_img_tile_dedup,
         "img_caption_conflict": q_img_caption_conflict,
         "img_dedup_dihedral": q_img_dedup_dihedral,
@@ -6023,6 +6028,7 @@ FROM un"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from s2geometry_spark.operators import audio_dedup as audio_dedup_oracle
     from s2geometry_spark.operators import audio_pipeline as audio_pipeline_oracle
     from s2geometry_spark.operators import pq as pq_ops
 
@@ -6241,6 +6247,7 @@ SELECT h_chord2, 2.0 * asin(sqrt(h_chord2) / 2.0) AS h_radians FROM (
         # the driver's gate runs at sf0.01, so the generated-table row
         # count is baked for that scale (n_audio_for_sf_dir contract)
         "audio_features": audio_pipeline_oracle.audio_features_oracle_sql(60),
+        "audio_near_dup": audio_dedup_oracle.audio_near_dup_oracle_sql(60),
         "corpus_mixture": text.corpus_mixture_oracle_sql(),
         "quality_sample": text.quality_sample_oracle_sql(),
         "unigram_logprob": text.unigram_logprob_oracle_sql(),
